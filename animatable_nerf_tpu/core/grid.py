@@ -1,0 +1,80 @@
+"""Trilinear voxel-grid sampling with PyTorch `grid_sample` semantics
+(align_corners=True, padding_mode='border').
+
+Reference semantics: lib/utils/blend_utils.py:119-149
+(`pts_sample_blend_weights`). The reference normalizes points into the
+volume bounds, flips xyz->zyx and calls F.grid_sample on a (B, 25, D, H, W)
+volume; the net effect is that volume axis 0 (D) is indexed by x, axis 1
+(H) by y and axis 2 (W) by z. We implement that mapping directly on a
+channels-last (D, H, W, C) volume — no permutes, no flips, and the gather
+is expressed as a flat 1-D take that XLA lowers to an efficient dynamic
+gather on TPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_trilerp(vol: jnp.ndarray, pts01: jnp.ndarray) -> jnp.ndarray:
+    """Sample `vol` (D, H, W, C) at normalized points (..., 3) in [0, 1].
+
+    Coordinates outside [0, 1] clamp to the border (grid_sample
+    padding_mode='border'); coordinate c in [0,1] maps to voxel index
+    c * (size - 1) (align_corners=True). pts01[..., 0] indexes axis D,
+    [..., 1] axis H, [..., 2] axis W.
+    """
+    D, H, W, C = vol.shape
+    sizes = jnp.array([D, H, W], dtype=pts01.dtype)
+    idx = pts01 * (sizes - 1.0)
+    idx = jnp.clip(idx, 0.0, sizes - 1.0)
+
+    i0 = jnp.floor(idx)
+    frac = idx - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.array([D - 1, H - 1, W - 1], dtype=jnp.int32))
+
+    x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    x1, y1, z1 = i1[..., 0], i1[..., 1], i1[..., 2]
+    fx, fy, fz = frac[..., 0:1], frac[..., 1:2], frac[..., 2:3]
+
+    flat = vol.reshape(-1, C)
+
+    def take(xi, yi, zi):
+        lin = (xi * H + yi) * W + zi
+        return jnp.take(flat, lin, axis=0)
+
+    c000 = take(x0, y0, z0)
+    c001 = take(x0, y0, z1)
+    c010 = take(x0, y1, z0)
+    c011 = take(x0, y1, z1)
+    c100 = take(x1, y0, z0)
+    c101 = take(x1, y0, z1)
+    c110 = take(x1, y1, z0)
+    c111 = take(x1, y1, z1)
+
+    c00 = c000 * (1 - fz) + c001 * fz
+    c01 = c010 * (1 - fz) + c011 * fz
+    c10 = c100 * (1 - fz) + c101 * fz
+    c11 = c110 * (1 - fz) + c111 * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
+
+
+def pts_sample_blend_weights(pts, vol, bounds):
+    """Interpolate per-point blend weights from a voxel volume.
+
+    Args:
+      pts: (..., 3) points in SMPL coordinates.
+      vol: (D, H, W, C) blend-weight volume (C = 24 weights + 1 distance
+        channel in the reference's `lbs/bweights/<i>.npy` files, which are
+        stored exactly in this layout — tpose_dataset.py:158).
+      bounds: (2, 3) volume bounds in SMPL coordinates.
+
+    Returns:
+      (..., C) interpolated channels. Reference: blend_utils.py:119-149.
+    """
+    mn, mx = bounds[0], bounds[1]
+    pts01 = (pts - mn) / (mx - mn)
+    return grid_trilerp(vol, pts01)
