@@ -1,0 +1,80 @@
+"""Mesh-extraction datasets: dense voxel query grids over the subject
+bounds plus a multi-view visibility mask.
+
+Reference: lib/datasets/aninerf_mesh_dataset.py:100-156 (world-space grid
+at cfg.voxel_size + `prepare_inside_pts` projecting grid points into
+every training-view mask) and anisdf_mesh_dataset.py (canonical-space
+grid for SDF models).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from .novel_view import _GridFrameMixin, _PDFFrameMixin, _VisMixin
+from .dataset import _imread_rgb
+
+
+def grid_points(bounds, voxel_size):
+    """Dense meshgrid over bounds (aninerf_mesh_dataset.py:144-156)."""
+    vs = np.asarray(voxel_size)
+    x = np.arange(bounds[0, 0], bounds[1, 0] + vs[0], vs[0])
+    y = np.arange(bounds[0, 1], bounds[1, 1] + vs[1], vs[1])
+    z = np.arange(bounds[0, 2], bounds[1, 2] + vs[2], vs[2])
+    return np.stack(np.meshgrid(x, y, z, indexing="ij"), axis=-1).astype(
+        np.float32
+    )
+
+
+def _make_mesh_dataset(base_cls, canonical: bool):
+    class _Mesh(base_cls, _VisMixin):
+        def __init__(self, cfg, split="test"):
+            super().__init__(cfg, split)
+            annots = np.load(
+                (cfg.test_dataset if split == "test" else cfg.train_dataset)[
+                    "ann_file"
+                ],
+                allow_pickle=True,
+            ).item()
+            self._annots_ims = annots["ims"]
+            # one item per test frame
+            n_frames = len(self.ims) // self.num_cams
+            self.frame_ids = [
+                self.frame_index_of(os.path.join(self.data_root, self.ims[k * self.num_cams]))[1]
+                for k in range(n_frames)
+            ]
+
+        def __len__(self):
+            return len(self.frame_ids)
+
+        def __getitem__(self, index):
+            i = self.frame_ids[index]
+            item = self._frame_item(i)
+            bounds = item["tbounds"] if canonical else item["wbounds"]
+            pts = grid_points(bounds, self.cfg.voxel_size)
+            item["pts"] = pts
+            item["frame_index"] = i
+
+            img0 = _imread_rgb(os.path.join(self.data_root, self.ims[0]))
+            H, W = img0.shape[:2]
+            H, W = int(H * self.cfg.ratio), int(W * self.cfg.ratio)
+            item["msks"] = self._train_view_masks(i, H, W)
+            Ks, RTs = self._vis_cams(H, W)
+            item["Ks"] = Ks
+            item["RT"] = RTs
+            item["voxel_size"] = np.asarray(self.cfg.voxel_size, np.float32)
+            return item
+
+    return _Mesh
+
+
+MeshDataset = _make_mesh_dataset(_GridFrameMixin, canonical=False)
+SDFMeshDataset = _make_mesh_dataset(_PDFFrameMixin, canonical=True)
+PDFMeshDataset = _make_mesh_dataset(_PDFFrameMixin, canonical=False)

@@ -1,0 +1,291 @@
+"""Synthetic dataset generator emitting the EXACT on-disk layout the
+reference datasets consume (annots.npy + params/ + vertices/ + lbs/ +
+images + masks — tpose_dataset.py:15-161, tpose_pdf_dataset.py:60-90),
+so the loaders, trainers and evaluators can be exercised end-to-end
+without the licensed ZJU-MoCap / Human3.6M data.
+
+The scene is an articulated blob-person: a 24-joint SMPL-topology
+skeleton, vertices skinned with exact LBS, and a world-space density
+field of Gaussian blobs anchored at skinned vertices with canonical
+colors — multi-view-consistent by construction, so PSNR/convergence
+tests are meaningful.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core.rays import get_rays_np, get_near_far_np
+from ..core.skeleton import rigid_transforms, big_poses_vec
+from .utils import get_bounds
+
+SMPL_PARENTS = np.array(
+    [0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18,
+     19, 20, 21]
+)
+
+# rough humanoid rest pose (SMPL joint ordering), ~1.7m tall, pelvis origin
+REST_JOINTS = np.array(
+    [
+        [0.00, 0.00, 0.00],   # 0 pelvis
+        [0.09, -0.08, 0.00],  # 1 L hip
+        [-0.09, -0.08, 0.00], # 2 R hip
+        [0.00, 0.12, 0.00],   # 3 spine1
+        [0.10, -0.45, 0.00],  # 4 L knee
+        [-0.10, -0.45, 0.00], # 5 R knee
+        [0.00, 0.25, 0.00],   # 6 spine2
+        [0.10, -0.85, 0.00],  # 7 L ankle
+        [-0.10, -0.85, 0.00], # 8 R ankle
+        [0.00, 0.32, 0.00],   # 9 spine3
+        [0.12, -0.92, 0.10],  # 10 L foot
+        [-0.12, -0.92, 0.10], # 11 R foot
+        [0.00, 0.45, 0.00],   # 12 neck
+        [0.07, 0.40, 0.00],   # 13 L collar
+        [-0.07, 0.40, 0.00],  # 14 R collar
+        [0.00, 0.58, 0.02],   # 15 head
+        [0.18, 0.42, 0.00],   # 16 L shoulder
+        [-0.18, 0.42, 0.00],  # 17 R shoulder
+        [0.42, 0.40, 0.00],   # 18 L elbow
+        [-0.42, 0.40, 0.00],  # 19 R elbow
+        [0.65, 0.40, 0.00],   # 20 L wrist
+        [-0.65, 0.40, 0.00],  # 21 R wrist
+        [0.72, 0.40, 0.00],   # 22 L hand
+        [-0.72, 0.40, 0.00],  # 23 R hand
+    ],
+    dtype=np.float32,
+)
+
+
+def _make_vertices(joints, parents, n_verts, rng):
+    """Vertices on limb segments with smooth joint-distance weights."""
+    segs = [(parents[i], i) for i in range(1, 24)]
+    per_seg = n_verts // len(segs)
+    pts = []
+    for a, b in segs:
+        t = rng.rand(per_seg, 1).astype(np.float32)
+        axis = joints[b] - joints[a]
+        base = joints[a] + t * axis
+        noise = rng.randn(per_seg, 3).astype(np.float32) * 0.035
+        pts.append(base + noise)
+    rest = n_verts - per_seg * len(segs)
+    if rest:
+        pts.append(
+            joints[0] + rng.randn(rest, 3).astype(np.float32) * 0.08
+        )
+    verts = np.concatenate(pts, axis=0).astype(np.float32)
+    d2 = ((verts[:, None, :] - joints[None]) ** 2).sum(-1)
+    w = np.exp(-d2 / (2 * 0.05**2))
+    w = w / w.sum(-1, keepdims=True)
+    return verts, w.astype(np.float32)
+
+
+def _lbs_forward(tverts, weights, A):
+    """Exact forward LBS in numpy: x' = sum_k w_k (R_k x + t_k)."""
+    M = weights @ A.reshape(24, 16)
+    M = M.reshape(-1, 4, 4)
+    out = np.einsum("nij,nj->ni", M[:, :3, :3], tverts) + M[:, :3, 3]
+    return out.astype(np.float32)
+
+
+def _look_at(eye, center, up=(0, 1, 0)):
+    """World->camera R (3,3), T (3,) with +z forward."""
+    eye = np.asarray(eye, np.float64)
+    center = np.asarray(center, np.float64)
+    f = center - eye
+    f = f / np.linalg.norm(f)
+    u = np.asarray(up, np.float64)
+    s = np.cross(f, u)
+    s = s / np.linalg.norm(s)
+    u2 = np.cross(s, f)
+    R = np.stack([s, -u2, f], axis=0)  # rows: right, down, forward
+    T = -R @ eye
+    return R.astype(np.float32), T.astype(np.float32)
+
+
+def _render_blob_image(H, W, K, R, T, centers, colors, wbounds, sigma=0.045,
+                       amp=240.0, n_samples=96):
+    """Analytic volume rendering of the Gaussian blob field (numpy)."""
+    ray_o, ray_d = get_rays_np(H, W, K, R, T)
+    ro = ray_o.reshape(-1, 3)
+    rd = ray_d.reshape(-1, 3)
+    near, far, mask = get_near_far_np(wbounds, ro, rd)
+    img = np.zeros((H * W, 3), np.float32)
+    acc_full = np.zeros((H * W,), np.float32)
+    if mask.sum() == 0:
+        return img.reshape(H, W, 3), acc_full.reshape(H, W)
+
+    ro, rd = ro[mask], rd[mask]
+    t = np.linspace(0, 1, n_samples, dtype=np.float32)
+    z = near[:, None] * (1 - t) + far[:, None] * t  # (n, S)
+    pts = ro[:, None] + rd[:, None] * z[..., None]  # (n, S, 3)
+    # evaluate blobs in chunks to bound memory
+    n_pts = pts.reshape(-1, 3)
+    dens = np.zeros(len(n_pts), np.float32)
+    col = np.zeros((len(n_pts), 3), np.float32)
+    for s in range(0, len(centers), 128):
+        c = centers[s : s + 128]
+        cc = colors[s : s + 128]
+        d2 = ((n_pts[:, None] - c[None]) ** 2).sum(-1)
+        w = np.exp(-d2 / (2 * sigma**2))
+        dens += w.sum(-1)
+        col += w @ cc
+    col = col / np.maximum(dens[:, None], 1e-8)
+    dens = amp * dens
+    dens = dens.reshape(-1, n_samples)
+    col = col.reshape(-1, n_samples, 3)
+    dists = np.diff(z, axis=-1)
+    dists = np.concatenate([dists, dists[:, -1:]], -1)
+    alpha = 1 - np.exp(-dens * dists)
+    trans = np.cumprod(
+        np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], -1), -1
+    )[:, :-1]
+    wgt = alpha * trans
+    rgb = (wgt[..., None] * col).sum(1)
+    acc = wgt.sum(1)
+    img[mask] = rgb
+    acc_full[mask] = acc
+    return img.reshape(H, W, 3), acc_full.reshape(H, W)
+
+
+def _bw_volume(pverts, weights, box_padding=0.05, voxel=0.025):
+    """Posed blend-weight volume in the reference's 25-channel layout
+    (24 weights + distance-to-surface; prepare_blend_weights.py:156-213),
+    nearest-vertex variant, grid aligned to get_bounds padding."""
+    from scipy.spatial import cKDTree
+
+    bounds = get_bounds(pverts, box_padding)
+    shape = np.maximum(
+        np.ceil((bounds[1] - bounds[0]) / voxel).astype(int) + 1, 2
+    )
+    axes = [np.linspace(bounds[0][i], bounds[1][i], shape[i]) for i in range(3)]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    tree = cKDTree(pverts)
+    dist, idx = tree.query(grid)
+    vol = np.concatenate(
+        [weights[idx], dist[:, None]], axis=-1
+    ).reshape(*shape, 25)
+    return vol.astype(np.float32), bounds
+
+
+def generate_synthetic_dataset(
+    root: str,
+    n_frames: int = 4,
+    n_views: int = 4,
+    image_size: int = 128,
+    n_verts: int = 1380,
+    n_blobs: int = 256,
+    seed: int = 0,
+):
+    """Write a complete reference-format dataset under `root`."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(root, exist_ok=True)
+    joints = REST_JOINTS.copy()
+    parents = SMPL_PARENTS
+    tverts, weights = _make_vertices(joints, parents, n_verts, rng)
+
+    # lbs metadata (prepare_lbs_meta.py outputs)
+    lbs = os.path.join(root, "lbs")
+    os.makedirs(os.path.join(lbs, "bweights"), exist_ok=True)
+    np.save(os.path.join(lbs, "joints.npy"), joints)
+    np.save(os.path.join(lbs, "parents.npy"), parents)
+    np.save(os.path.join(lbs, "weights.npy"), weights)
+    np.save(os.path.join(lbs, "tvertices.npy"), tverts)
+
+    # canonical big-pose template
+    big_A = np.asarray(
+        rigid_transforms(big_poses_vec().reshape(-1, 3), joints, parents)
+    )
+    bigpose_verts = _lbs_forward(tverts, weights, big_A)
+    np.save(os.path.join(lbs, "bigpose_vertices.npy"), bigpose_verts)
+    tbw, _tb = _bw_volume(tverts, weights)
+    np.save(os.path.join(lbs, "tbw.npy"), tbw)
+    bigpose_bw, _ = _bw_volume(bigpose_verts, weights)
+    np.save(os.path.join(lbs, "bigpose_bw.npy"), bigpose_bw)
+
+    # cameras on a circle
+    H = W = image_size
+    focal = image_size * 1.6
+    Ks, Rs, Ts, Ds = [], [], [], []
+    for v in range(n_views):
+        ang = 2 * np.pi * v / n_views
+        eye = np.array([2.6 * np.sin(ang), 0.1, 2.6 * np.cos(ang)])
+        R, T = _look_at(eye, [0, 0, 0])
+        Ks.append(
+            np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float64)
+        )
+        Rs.append(R.astype(np.float64))
+        Ts.append((T.astype(np.float64) * 1000.0).reshape(3, 1))  # loader divides by 1000
+        Ds.append(np.zeros((5, 1)))
+
+    os.makedirs(os.path.join(root, "params"), exist_ok=True)
+    os.makedirs(os.path.join(root, "new_params"), exist_ok=True)
+    os.makedirs(os.path.join(root, "vertices"), exist_ok=True)
+    os.makedirs(os.path.join(root, "new_vertices"), exist_ok=True)
+
+    blob_idx = rng.choice(len(tverts), size=min(n_blobs, len(tverts)), replace=False)
+    blob_colors = (0.5 + 0.5 * np.sin(tverts[blob_idx] * 9.0 + np.array([0, 2, 4]))).astype(
+        np.float32
+    )
+
+    ims_entries = []
+    training_joints = []
+    for f in range(n_frames):
+        # smooth wiggle pose
+        poses = np.zeros((24, 3), np.float32)
+        poses[1:] = 0.25 * np.sin(
+            f * 0.7 + np.arange(1, 24)[:, None] + np.array([0.0, 1.3, 2.1])
+        ) * rng.uniform(0.4, 1.0, (23, 1)).astype(np.float32)
+        Rh = np.array([0.0, 0.15 * f, 0.0], np.float32)
+        Th = np.array([[0.02 * f, 0.0, 0.0]], np.float32)
+
+        A, posed_joints = rigid_transforms(poses, joints, parents, return_joints=True)
+        A = np.asarray(A)
+        training_joints.append(np.asarray(posed_joints))
+        pverts = _lbs_forward(tverts, weights, A)
+        Rw = cv2.Rodrigues(Rh)[0].astype(np.float32)
+        wverts = pverts @ Rw.T + Th
+
+        np.save(os.path.join(root, "vertices", f"{f}.npy"), wverts)
+        np.save(os.path.join(root, "new_vertices", f"{f}.npy"), wverts)
+        prm = {"Rh": Rh.reshape(1, 3), "Th": Th, "poses": poses.reshape(1, -1)}
+        np.save(os.path.join(root, "params", f"{f}.npy"), prm)
+        np.save(os.path.join(root, "new_params", f"{f}.npy"), prm)
+
+        pbw, _pb = _bw_volume(pverts, weights)
+        np.save(os.path.join(lbs, "bweights", f"{f}.npy"), pbw)
+
+        wbounds = get_bounds(wverts)
+        centers = wverts[blob_idx]
+        frame_ims = []
+        for v in range(n_views):
+            img, acc = _render_blob_image(
+                H, W, Ks[v], Rs[v].astype(np.float32),
+                (Ts[v][:, 0] / 1000.0).astype(np.float32),
+                centers, blob_colors, wbounds,
+            )
+            msk = (acc > 0.3).astype(np.uint8)
+            img = img * msk[..., None]
+            rel = os.path.join(f"Camera_B{v}", f"{f:04d}.jpg")
+            os.makedirs(os.path.join(root, f"Camera_B{v}"), exist_ok=True)
+            cv2.imwrite(
+                os.path.join(root, rel),
+                (np.clip(img[..., ::-1], 0, 1) * 255).astype(np.uint8),
+            )
+            mdir = os.path.join(root, "mask_cihp", f"Camera_B{v}")
+            os.makedirs(mdir, exist_ok=True)
+            cv2.imwrite(os.path.join(mdir, f"{f:04d}.png"), msk * 255)
+            frame_ims.append(rel)
+        ims_entries.append({"ims": frame_ims})
+
+    np.save(os.path.join(lbs, "training_joints.npy"), np.stack(training_joints))
+
+    annots = {
+        "cams": {"K": Ks, "D": Ds, "R": Rs, "T": Ts},
+        "ims": ims_entries,
+    }
+    np.save(os.path.join(root, "annots.npy"), annots)
+    return root

@@ -80,31 +80,42 @@ class TPoseNeRF(nn.Module):
     xyz_res: int = 10
     view_res: int = 4
 
-    @nn.compact
+    def setup(self):
+        self.lins = [nn.Dense(256, name=f"lin{i}") for i in range(8)]
+        self.alpha_fc = nn.Dense(1, name="alpha_fc")
+        self.feature_fc = nn.Dense(256, name="feature_fc")
+        self.nf_latent = nn.Embed(self.num_latents, 128, name="nf_latent")
+        self.latent_fc = nn.Dense(256, name="latent_fc")
+        self.view_fc = nn.Dense(128, name="view_fc")
+        self.rgb_fc = nn.Dense(3, name="rgb_fc")
+
+    def _trunk(self, pts):
+        pe = positional_encoding(pts, self.xyz_res)
+        h = pe
+        for i, lin in enumerate(self.lins):
+            h = nn.relu(lin(h))
+            if i == 4:
+                h = jnp.concatenate([pe, h], axis=-1)
+        return h
+
+    def density(self, pts):
+        """Density-only path (tpose_nerf_network.py:241-250
+        `calculate_alpha`). pts (N, 3) -> sigma (N,)."""
+        return self.alpha_fc(self._trunk(pts))[..., 0]
+
     def __call__(self, pts, viewdir, latent_index):
         """pts (N, 3), viewdir (N, 3), latent_index scalar
         -> (sigma (N,), rgb_logits (N, 3))."""
-        pe = positional_encoding(pts, self.xyz_res)
-        inp = pe
-        h = pe
-        for i in range(8):
-            h = nn.Dense(256, name=f"lin{i}")(h)
-            h = nn.relu(h)
-            if i in (4,):
-                h = jnp.concatenate([inp, h], axis=-1)
-        sigma = nn.Dense(1, name="alpha_fc")(h)[..., 0]
+        h = self._trunk(pts)
+        sigma = self.alpha_fc(h)[..., 0]
 
-        feat = nn.Dense(256, name="feature_fc")(h)
-        latent = nn.Embed(self.num_latents, 128, name="nf_latent")(latent_index)
+        feat = self.feature_fc(h)
+        latent = self.nf_latent(latent_index)
         latent = jnp.broadcast_to(latent, (*feat.shape[:-1], 128))
-        feat = nn.Dense(256, name="latent_fc")(
-            jnp.concatenate([feat, latent], axis=-1)
-        )
+        feat = self.latent_fc(jnp.concatenate([feat, latent], axis=-1))
         vdir = positional_encoding(viewdir, self.view_res)
-        h2 = nn.relu(
-            nn.Dense(128, name="view_fc")(jnp.concatenate([feat, vdir], axis=-1))
-        )
-        rgb = nn.Dense(3, name="rgb_fc")(h2)
+        h2 = nn.relu(self.view_fc(jnp.concatenate([feat, vdir], axis=-1)))
+        rgb = self.rgb_fc(h2)
         return sigma, rgb
 
 

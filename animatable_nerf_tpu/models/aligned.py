@@ -1,0 +1,252 @@
+"""The extension's "aligned" re-implementations and ablations — all use
+KNN blend-weight lookups over SMPL vertices and the softplus canonical
+NeRF + no-normals color head:
+
+  * AlignedLBW    — learned blend-weight field (frame latent)
+                    (lib/networks/bw_deform/aligned_aninerf_lbw_network.py)
+  * AlignedPBW    — bw field conditioned on the pose vector
+                    (aligned_aninerf_pbw_network.py)
+  * AlignedSMPL   — raw SMPL weights, no learned deformation
+                    (aligned_aninerf_smpl_network.py)
+  * AlignedLBWPDF — learned blend weights AND displacement field
+                    (aligned_aninerf_lbw_pdf_network.py)
+
+Frame dict keys: R, Th, A, big_A, poses (72,), weights (6890,24),
+pvertices, tvertices (6890,3), tbounds, latent_index, bw_latent_index.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core import (
+    world_points_to_pose_points,
+    world_dirs_to_pose_dirs,
+    pose_points_to_tpose_points,
+    tpose_points_to_pose_points,
+    pose_dirs_to_tpose_dirs,
+    tpose_dirs_to_pose_dirs,
+    sample_blend_closest_points,
+)
+from ..core.encoding import positional_encoding
+from ..core.sampling import z_vals_to_dists
+from ..fields import (
+    BlendWeightField,
+    ResidualField,
+    GeometricFieldNetwork,
+    ColorNetwork,
+)
+from ..fields.mlp import SkipMLP
+from .common import keep_mask_with_argmin, inside_bounds, broadcast_viewdirs, raw_alpha_from_sigma
+
+
+class PoseCondBWField(nn.Module):
+    """Blend-weight field conditioned on the 72-d pose vector instead of a
+    frame latent (aligned_aninerf_pbw_network.py:45-60; input_ch = 135)."""
+
+    xyz_res: int = 10
+
+    @nn.compact
+    def __call__(self, pts, smpl_bw, pose_vec):
+        pe = positional_encoding(pts, self.xyz_res)
+        pose = jnp.broadcast_to(pose_vec, (*pe.shape[:-1], pose_vec.shape[-1]))
+        feat = jnp.concatenate([pe, pose], axis=-1)
+        logits = SkipMLP(depth=8, width=256, out_dim=24, name="mlp")(feat)
+        return jax.nn.softmax(jnp.log(smpl_bw + 1e-9) + logits, axis=-1)
+
+
+class _AlignedBase(nn.Module):
+    """Shared plumbing: KNN filter, canonical head, masked raw assembly."""
+
+    num_latents: int
+    num_eval_frames: int = 0
+    norm_th: float = 0.05
+    train_th: float = 0.0
+    tpose_viewdir: bool = True
+    xyz_res: int = 10
+
+    def _canonical_head(self):
+        self.nerf_network = GeometricFieldNetwork()
+        self.color_network = ColorNetwork(
+            num_latents=self.num_latents, use_normals=False
+        )
+
+    def _knn_bw(self, pts, ref, frame):
+        bw, dist = sample_blend_closest_points(pts, ref, frame["weights"])
+        return bw, dist[..., 0]
+
+    def _filter(self, pose_pts, frame, th):
+        _, pnorm = jax.lax.stop_gradient(
+            sample_blend_closest_points(pose_pts, frame["pvertices"], frame["weights"])
+        )
+        return keep_mask_with_argmin(pnorm[..., 0], th)
+
+    def _head(self, tpose, dirs, dists, frame):
+        """Softplus NeRF density + color (aligned_aninerf_pdf_network.py:
+        177-201)."""
+        out = self.nerf_network(tpose)
+        sigma, feat = out[..., 0], out[..., 1:]
+        alpha = raw_alpha_from_sigma(sigma, dists)
+        rgb = self.color_network(tpose, None, dirs, feat, frame["latent_index"])
+        return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
+    def density(self, wpts, frame):
+        """World -> canonical density for mesh extraction."""
+        pose_pts = world_points_to_pose_points(wpts, frame["R"], frame["Th"])
+        pind = self._filter(pose_pts, frame, 0.1)
+        tpose = self._deform(pose_pts, None, frame)[0]
+        sigma = self.nerf_network(tpose)[..., 0]
+        return jnp.where(pind, sigma, 0.0)
+
+    def _finish(self, raw, tpose, pind, frame, n_rays, n_samples):
+        inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+        raw = jnp.where((pind & inside)[:, None], raw, 0.0)
+        return raw.reshape(n_rays, n_samples, 4)
+
+    def _bw_mask(self, raw_flat, pind):
+        """Select points for the bw consistency loss from the FINAL alpha
+        (aligned_aninerf_lbw_network.py:137-144)."""
+        a_sel = jax.lax.stop_gradient(
+            jnp.where(pind, raw_flat[:, 3], -jnp.inf)
+        )
+        return (a_sel > self.train_th) | jax.nn.one_hot(
+            jnp.argmax(a_sel), a_sel.shape[-1], dtype=bool
+        )
+
+    def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
+                 novel_pose: bool = False):
+        n_rays, n_samples = z_vals.shape
+        pts = wpts.reshape(-1, 3)
+        vd = broadcast_viewdirs(viewdir, n_samples)
+        dists = z_vals_to_dists(z_vals).reshape(-1)
+
+        pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
+        pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
+        pind = self._filter(pose_pts, frame, self.norm_th)
+
+        tpose, tpose_dirs, extras = self._deform(
+            pose_pts, pose_dirs, frame, novel_pose=novel_pose
+        )
+        dirs = tpose_dirs if self.tpose_viewdir else vd
+
+        raw = self._head(tpose, dirs, dists, frame)
+        out = {"raw": self._finish(raw, tpose, pind, frame, n_rays, n_samples)}
+        raw_flat = out["raw"].reshape(-1, 4)
+
+        if "pbw" in extras:
+            # canonical-space neural bw consistency target
+            init_tbw, _ = self._knn_bw(tpose, frame["tvertices"], frame)
+            tbw = self._canonical_bw(tpose, init_tbw, frame)
+            out.update(
+                pbw=extras["pbw"], tbw=tbw, bw_mask=self._bw_mask(raw_flat, pind)
+            )
+        if "resd" in extras:
+            out.update(resd=extras["resd"], resd_mask=pind)
+        return out
+
+
+class AlignedLBW(_AlignedBase):
+    """Learned blend-weight field with frame latents + optional stage-2
+    novel-pose field."""
+
+    def setup(self):
+        self.bw_field = BlendWeightField(
+            num_latents=self.num_latents + 1, xyz_res=self.xyz_res
+        )
+        if self.num_eval_frames > 0:
+            self.novel_pose_bw = BlendWeightField(
+                num_latents=self.num_eval_frames, xyz_res=self.xyz_res
+            )
+        self._canonical_head()
+
+    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False):
+        init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
+        if novel_pose:
+            pbw = self.novel_pose_bw(pose_pts, init_pbw, frame["bw_latent_index"])
+        else:
+            pbw = self.bw_field(pose_pts, init_pbw, frame["latent_index"] + 1)
+        tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
+        tpose = tpose_points_to_pose_points(tpose, pbw, frame["big_A"])
+        dirs = self._warp_dirs(pose_dirs, pbw, frame)
+        return tpose, dirs, {"pbw": pbw}
+
+    def _canonical_bw(self, tpose, init_tbw, frame):
+        return self.bw_field(tpose, init_tbw, jnp.zeros_like(frame["latent_index"]))
+
+    def _warp_dirs(self, pose_dirs, pbw, frame):
+        if not self.tpose_viewdir or pose_dirs is None:
+            return None
+        d = pose_dirs_to_tpose_dirs(pose_dirs, pbw, frame["A"])
+        return tpose_dirs_to_pose_dirs(d, pbw, frame["big_A"])
+
+
+class AlignedPBW(AlignedLBW):
+    """Pose-vector-conditioned blend-weight field (ablation)."""
+
+    def setup(self):
+        self.bw_field = PoseCondBWField(xyz_res=self.xyz_res)
+        self._canonical_head()
+
+    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False):
+        init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
+        pbw = self.bw_field(pose_pts, init_pbw, frame["poses"])
+        tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
+        tpose = tpose_points_to_pose_points(tpose, pbw, frame["big_A"])
+        dirs = self._warp_dirs(pose_dirs, pbw, frame)
+        return tpose, dirs, {"pbw": pbw}
+
+    def _canonical_bw(self, tpose, init_tbw, frame):
+        return self.bw_field(tpose, init_tbw, jnp.zeros_like(frame["poses"]))
+
+
+class AlignedSMPL(_AlignedBase):
+    """Pure SMPL-weight warp, no learned deformation (ablation);
+    norm_th hard-coded to 0.1 (aligned_aninerf_smpl_network.py:71)."""
+
+    def setup(self):
+        self._canonical_head()
+
+    def _filter(self, pose_pts, frame, th):
+        return super()._filter(pose_pts, frame, 0.1)
+
+    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False):
+        pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
+        tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
+        tpose = tpose_points_to_pose_points(tpose, pbw, frame["big_A"])
+        if self.tpose_viewdir and pose_dirs is not None:
+            d = pose_dirs_to_tpose_dirs(pose_dirs, pbw, frame["A"])
+            dirs = tpose_dirs_to_pose_dirs(d, pbw, frame["big_A"])
+        else:
+            dirs = None
+        return tpose, dirs, {}
+
+
+class AlignedLBWPDF(AlignedLBW):
+    """Learned blend weights AND a residual displacement field (ablation,
+    aligned_aninerf_lbw_pdf_network.py:89-121)."""
+
+    def setup(self):
+        self.bw_field = BlendWeightField(
+            num_latents=self.num_latents + 1, xyz_res=self.xyz_res
+        )
+        if self.num_eval_frames > 0:
+            self.novel_pose_bw = BlendWeightField(
+                num_latents=self.num_eval_frames, xyz_res=self.xyz_res
+            )
+        self.resd_field = ResidualField(xyz_res=self.xyz_res)
+        self._canonical_head()
+
+    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False):
+        init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
+        if novel_pose:
+            pbw = self.novel_pose_bw(pose_pts, init_pbw, frame["bw_latent_index"])
+        else:
+            pbw = self.bw_field(pose_pts, init_pbw, frame["latent_index"] + 1)
+        init_tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
+        init_bigpose = tpose_points_to_pose_points(init_tpose, pbw, frame["big_A"])
+        resd = self.resd_field(init_bigpose, frame["poses"])
+        tpose = init_bigpose + resd
+        dirs = self._warp_dirs(pose_dirs, pbw, frame)
+        return tpose, dirs, {"pbw": pbw, "resd": resd}

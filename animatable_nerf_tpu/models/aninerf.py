@@ -1,0 +1,199 @@
+"""AniNeRF: neural blend-weight field + canonical NeRF (the original
+ICCV'21 model, grid-based blend-weight lookups).
+
+Capability parity with lib/networks/bw_deform/tpose_nerf_network.py,
+re-designed for TPU: one fused program over all (ray, sample) points,
+masked compute instead of boolean compaction, channels-last matmuls.
+
+Expected `frame` dict keys (produced by the data layer, matching
+tpose_dataset.py:236-277):
+  R (3,3), Th (1,3) or (3,) — SMPL->world rotation/translation
+  A (24,4,4) — per-bone rigid transforms of this frame's pose
+  pbw (D,H,W,25), pbounds (2,3) — posed blend-weight volume (+distance ch)
+  tbw (D',H',W',25), tbounds (2,3) — canonical (T-pose) volume
+  latent_index (), bw_latent_index () — int32 scalars
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core import (
+    world_points_to_pose_points,
+    pose_points_to_tpose_points,
+    tpose_points_to_pose_points,
+    pts_sample_blend_weights,
+)
+from ..core.sampling import z_vals_to_dists
+from ..fields import BlendWeightField, TPoseNeRF
+from .common import (
+    keep_mask_with_argmin,
+    inside_bounds,
+    broadcast_viewdirs,
+    raw_alpha_from_sigma,
+)
+
+
+class AniNeRF(nn.Module):
+    """Grid-based blend-weight AniNeRF.
+
+    num_train_frames: rows of the appearance latent table; the bw latent
+      table has num_train_frames + 1 rows (row 0 = canonical, row i+1 =
+      frame i — tpose_nerf_network.py:17,96,173).
+    num_eval_frames: rows of the stage-2 novel-pose bw latent table
+      (> 0 instantiates the `novel_pose_bw` field, :278-315).
+    """
+
+    num_train_frames: int
+    num_eval_frames: int = 0
+    norm_th: float = 0.05
+    train_th: float = 0.0
+    xyz_res: int = 10
+    view_res: int = 4
+
+    def setup(self):
+        self.bw_field = BlendWeightField(
+            num_latents=self.num_train_frames + 1, xyz_res=self.xyz_res
+        )
+        self.tpose_human = TPoseNeRF(
+            num_latents=self.num_train_frames,
+            xyz_res=self.xyz_res,
+            view_res=self.view_res,
+        )
+        if self.num_eval_frames > 0:
+            self.novel_pose_bw = BlendWeightField(
+                num_latents=self.num_eval_frames, xyz_res=self.xyz_res
+            )
+
+    def pose_to_canonical(self, pose_pts, init_pbw, frame, novel_pose: bool):
+        """Warp posed-SMPL points to canonical space with neural blend
+        weights (tpose_nerf_network.py:79-100)."""
+        if novel_pose:
+            pbw = self.novel_pose_bw(
+                pose_pts, init_pbw, frame["bw_latent_index"]
+            )
+        else:
+            pbw = self.bw_field(pose_pts, init_pbw, frame["latent_index"] + 1)
+        tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
+        return tpose, pbw
+
+    def density(self, wpts, frame, novel_pose: bool = False):
+        """Canonical density at world points (mesh extraction path,
+        tpose_nerf_network.py:105-137). wpts (N,3) -> sigma (N,)."""
+        pose_pts = world_points_to_pose_points(wpts, frame["R"], frame["Th"])
+        init_pbw = jax.lax.stop_gradient(
+            pts_sample_blend_weights(pose_pts, frame["pbw"], frame["pbounds"])
+        )
+        pnorm = init_pbw[..., 24]
+        # mesh path uses a fixed 0.1 threshold (:113-115)
+        mask = keep_mask_with_argmin(pnorm, 0.1)
+        tpose, _ = self.pose_to_canonical(
+            pose_pts, init_pbw[..., :24], frame, novel_pose
+        )
+        sigma = self.tpose_human.density(tpose)
+        return jnp.where(mask, sigma, 0.0)
+
+    # ------------------------------------------------------- stage 2
+    def _bw_consistency_select(self, sigma, keep):
+        """alpha > train_th selection with forced argmax
+        (aninerf_animation_trainer.py:85-90)."""
+        d = jax.lax.stop_gradient(jnp.where(keep, sigma, -jnp.inf))
+        return (d > self.train_th) | jax.nn.one_hot(
+            jnp.argmax(d), d.shape[-1], dtype=bool
+        )
+
+    def animation_from_pose(self, pose_pts, frame):
+        """Stage-2 consistency pair sampled in observation space
+        (aninerf_animation_trainer.py:58-93 `ppts_to_tpose`).
+
+        Returns (pbw, tbw, select_mask) for smooth-L1 consistency."""
+        pbw25 = pts_sample_blend_weights(pose_pts, frame["pbw"], frame["pbounds"])
+        init_pbw, pnorm = pbw25[..., :24], pbw25[..., 24]
+        pbw = self.novel_pose_bw(pose_pts, init_pbw, frame["bw_latent_index"])
+        tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
+        tbw25 = pts_sample_blend_weights(tpose, frame["tbw"], frame["tbounds"])
+        tbw = self.bw_field(
+            tpose, tbw25[..., :24], jnp.zeros_like(frame["bw_latent_index"])
+        )
+        sigma = self.tpose_human.density(tpose)
+        keep = inside_bounds(tpose, frame["tbounds"]) & (pnorm < self.norm_th)
+        sigma = jnp.where(keep, sigma, 0.0)
+        return pbw, tbw, self._bw_consistency_select(sigma, keep)
+
+    def animation_from_canonical(self, tpts, frame):
+        """Stage-2 pair sampled in canonical space
+        (aninerf_animation_trainer.py:96-122 `tpose_to_ppts`)."""
+        tbw25 = pts_sample_blend_weights(tpts, frame["tbw"], frame["tbounds"])
+        tbw = self.bw_field(
+            tpts, tbw25[..., :24], jnp.zeros_like(frame["bw_latent_index"])
+        )
+        sigma = self.tpose_human.density(tpts)
+        pose_pts = tpose_points_to_pose_points(tpts, tbw, frame["A"])
+        pbw25 = pts_sample_blend_weights(pose_pts, frame["pbw"], frame["pbounds"])
+        pbw = self.novel_pose_bw(
+            pose_pts, pbw25[..., :24], frame["bw_latent_index"]
+        )
+        keep = jnp.ones(sigma.shape, dtype=bool)
+        return pbw, tbw, self._bw_consistency_select(sigma, keep)
+
+    def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
+                 novel_pose: bool = False):
+        """wpts (R,S,3), viewdir (R,3), z_vals (R,S) -> dict.
+
+        Mirrors tpose_nerf_network.py:139-215 with masked compute:
+        filtered points produce raw == 0 exactly.
+        """
+        n_rays, n_samples = z_vals.shape
+        pts = wpts.reshape(-1, 3)
+        vd = broadcast_viewdirs(viewdir, n_samples)
+        dists = z_vals_to_dists(z_vals).reshape(-1)
+
+        # world -> posed SMPL space
+        pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
+
+        # point filter from the precomputed distance channel (:149-157)
+        init_pbw = jax.lax.stop_gradient(
+            pts_sample_blend_weights(pose_pts, frame["pbw"], frame["pbounds"])
+        )
+        pnorm = init_pbw[..., 24]
+        pind = keep_mask_with_argmin(pnorm, self.norm_th)
+
+        # neural blend weights + backward LBS warp (:164)
+        tpose, pbw = self.pose_to_canonical(
+            pose_pts, init_pbw[..., :24], frame, novel_pose
+        )
+
+        # canonical-space neural blend weights (consistency target, :169-174)
+        init_tbw = pts_sample_blend_weights(tpose, frame["tbw"], frame["tbounds"])
+        tbw = self.bw_field(
+            tpose, init_tbw[..., :24], jnp.zeros_like(frame["latent_index"])
+        )
+
+        # canonical NeRF (:179-181); world-space view dirs, per reference
+        sigma, rgb_logits = self.tpose_human(tpose, vd, frame["latent_index"])
+
+        # canonical bbox filter (:186-190)
+        inside = inside_bounds(tpose, frame["tbounds"])
+        sigma = jnp.where(inside, sigma, 0.0)
+
+        # blend-weight consistency selection (:192-196): density above
+        # train_th, with the global argmax forced on
+        d_sel = jax.lax.stop_gradient(jnp.where(pind, sigma, -jnp.inf))
+        bw_mask = (d_sel > self.train_th) | jax.nn.one_hot(
+            jnp.argmax(d_sel), d_sel.shape[-1], dtype=bool
+        )
+
+        # raw assembly (:201-212); masked points contribute exactly 0
+        alpha = raw_alpha_from_sigma(sigma, dists)
+        rgb = jax.nn.sigmoid(rgb_logits)
+        raw = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+        raw = jnp.where(pind[:, None], raw, 0.0)
+
+        return {
+            "raw": raw.reshape(n_rays, n_samples, 4),
+            "pbw": pbw,
+            "tbw": tbw,
+            "bw_mask": bw_mask,
+        }

@@ -1,0 +1,313 @@
+"""Pose-dependent displacement-field (PDF) model family:
+
+  * NeRFPDF — displacement field + softplus canonical NeRF
+    (lib/networks/bw_deform/aligned_aninerf_pdf_network.py)
+  * SDFPDF  — displacement field + VolSDF canonical surface
+    (lib/networks/bw_deform/anisdf_pdf_network.py) — the flagship
+    extension model
+  * NeuSPDF — NeuS-style opacity instead of VolSDF
+    (lib/networks/bw_deform/anisdf_neus_pdf_network.py)
+
+All share the warp: raw-SMPL-weight backward LBS (KNN over the 6890
+vertices) to T-pose, forward LBS to the canonical "big pose", then a
+learned residual displacement. SDF normals and eikonal terms use
+jax.grad instead of torch.autograd double-backward.
+
+Expected `frame` keys (tpose_pdf_dataset.py:280-292): R, Th, A, big_A,
+poses (72,), weights (6890,24), pvertices (6890,3), tbounds (2,3),
+latent_index, bw_latent_index.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core import (
+    world_points_to_pose_points,
+    world_dirs_to_pose_dirs,
+    pose_points_to_tpose_points,
+    tpose_points_to_pose_points,
+    pose_dirs_to_tpose_dirs,
+    tpose_dirs_to_pose_dirs,
+    sample_blend_closest_points,
+)
+from ..core.sampling import z_vals_to_dists
+from ..core.sdf import volsdf_sigma, sigma_to_alpha, neus_alpha
+from ..fields import (
+    ResidualField,
+    GeometricFieldNetwork,
+    ColorNetwork,
+    BetaNetwork,
+    SingleVarianceNetwork,
+)
+from .common import keep_mask_with_argmin, inside_bounds, broadcast_viewdirs, raw_alpha_from_sigma
+
+NORM_TH = 0.1  # hard-coded in the pdf models (anisdf_pdf_network.py:172)
+
+
+class _PDFBase(nn.Module):
+    """Shared displacement-field deformation."""
+
+    num_latents: int
+    tpose_viewdir: bool = True
+    xyz_res: int = 10
+
+    def _warp(self, pose_pts, pose_dirs, frame):
+        """posed SMPL -> canonical big pose (+ residual displacement).
+
+        Reference: aligned_aninerf_pdf_network.py:66-93 /
+        anisdf_pdf_network.py:75-107.
+        Returns (tpose, tpose_dirs, init_bigpose, resd).
+        """
+        pbw, _ = sample_blend_closest_points(
+            pose_pts, frame["pvertices"], frame["weights"]
+        )
+        init_tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
+        init_bigpose = tpose_points_to_pose_points(init_tpose, pbw, frame["big_A"])
+        resd = self.resd_field(init_bigpose, frame["poses"])
+        tpose = init_bigpose + resd
+
+        if self.tpose_viewdir and pose_dirs is not None:
+            init_tdirs = pose_dirs_to_tpose_dirs(pose_dirs, pbw, frame["A"])
+            tpose_dirs = tpose_dirs_to_pose_dirs(init_tdirs, pbw, frame["big_A"])
+        else:
+            tpose_dirs = None
+        return tpose, tpose_dirs, init_bigpose, resd
+
+    def _filter(self, pose_pts, frame):
+        """KNN distance filter (anisdf_pdf_network.py:168-177)."""
+        _, pnorm = jax.lax.stop_gradient(
+            sample_blend_closest_points(pose_pts, frame["pvertices"], frame["weights"])
+        )
+        return keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
+
+
+class NeRFPDF(_PDFBase):
+    """Displacement field + softplus canonical NeRF.
+
+    Canonical field: GeometricFieldNetwork (257ch out — density +
+    feature), color via the no-normals IDR net.
+    Reference: aligned_aninerf_pdf_network.py.
+    """
+
+    def setup(self):
+        self.resd_field = ResidualField(xyz_res=self.xyz_res)
+        self.nerf_network = GeometricFieldNetwork()
+        self.color_network = ColorNetwork(
+            num_latents=self.num_latents, use_normals=False
+        )
+
+    def density(self, wpts, frame):
+        """World points -> density (mesh path,
+        aligned_aninerf_pdf_network.py:141-175)."""
+        pose_pts = world_points_to_pose_points(wpts, frame["R"], frame["Th"])
+        pind = self._filter(pose_pts, frame)
+        tpose, _, _, _ = self._warp(pose_pts, None, frame)
+        sigma = self.nerf_network(tpose)[..., 0]
+        return jnp.where(pind, sigma, 0.0)
+
+    def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True):
+        n_rays, n_samples = z_vals.shape
+        pts = wpts.reshape(-1, 3)
+        vd = broadcast_viewdirs(viewdir, n_samples)
+        dists = z_vals_to_dists(z_vals).reshape(-1)
+
+        pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
+        pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
+        pind = self._filter(pose_pts, frame)
+
+        tpose, tpose_dirs, _, resd = self._warp(pose_pts, pose_dirs, frame)
+        dirs = tpose_dirs if self.tpose_viewdir else vd
+
+        out = self.nerf_network(tpose)
+        sigma, feat = out[..., 0], out[..., 1:]
+        alpha = raw_alpha_from_sigma(sigma, dists)
+        rgb = self.color_network(tpose, None, dirs, feat, frame["latent_index"])
+        raw = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
+        # expanded canonical bbox filter (+-0.05,
+        # aligned_aninerf_pdf_network.py:126-135)
+        inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+        raw = jnp.where((pind & inside)[:, None], raw, 0.0)
+
+        return {
+            "raw": raw.reshape(n_rays, n_samples, 4),
+            "resd": resd,
+            "resd_mask": pind,
+        }
+
+
+class SDFPDF(_PDFBase):
+    """Displacement field + VolSDF canonical surface (flagship extension).
+
+    Reference: anisdf_pdf_network.py. Normals/eikonal via jax.grad.
+    """
+
+    beta_init: float = 0.1
+    color_with_viewdir: bool = True
+
+    def setup(self):
+        self.resd_field = ResidualField(xyz_res=self.xyz_res)
+        self.sdf_network = GeometricFieldNetwork()
+        self.beta_network = BetaNetwork(init_val=self.beta_init)
+        self.color_network = ColorNetwork(
+            num_latents=self.num_latents,
+            use_normals=True,
+            use_viewdir=self.color_with_viewdir,
+        )
+
+    # ---------------------------------------------------------- sdf utils
+    def _sdf_and_grad(self, tpose):
+        """sdf, feature and d(sdf)/d(point) at canonical points.
+
+        Replaces torch.autograd.grad (anisdf_pdf_network.py:306-321) with
+        per-point reverse-mode AD under vmap — one batched fwd+bwd.
+        """
+        def sdf_scalar(p):
+            out = self.sdf_network(p[None])[0]
+            return out[0], out[1:]
+
+        grads, feats = jax.vmap(jax.grad(sdf_scalar, has_aux=True))(tpose)
+        sdf = self.sdf_network(tpose)[..., :1]
+        return sdf, feats, grads
+
+    def _observed_grad(self, init_bigpose, frame):
+        """d/dx [ sdf(x + resd(x)) ] — the eikonal term in observed space
+        (anisdf_pdf_network.py:140-154)."""
+        def deformed_sdf(p):
+            resd = self.resd_field(p[None], frame["poses"])[0]
+            return self.sdf_network((p + resd)[None])[0, 0]
+
+        return jax.vmap(jax.grad(deformed_sdf))(init_bigpose)
+
+    def sdf(self, wpts, frame):
+        """World points -> sdf, filled with +10 outside the filter
+        (anisdf_pdf_network.py:226-260)."""
+        pose_pts = world_points_to_pose_points(wpts, frame["R"], frame["Th"])
+        pind = self._filter(pose_pts, frame)
+        tpose, _, _, _ = self._warp(pose_pts, None, frame)
+        sdf = self.sdf_network(tpose)[..., 0]
+        return jnp.where(pind, sdf, 10.0)
+
+    def canonical_sdf(self, tpose):
+        """Canonical-space sdf (mesh extraction, sdf_mesh_renderer.py:51-81)."""
+        return self.sdf_network(tpose)[..., 0]
+
+    def canonical_resd(self, tpose, frame):
+        return self.resd_field(tpose, frame["poses"])
+
+    def canonical_normal(self, tpose):
+        def sdf_scalar(p):
+            return self.sdf_network(p[None])[0, 0]
+
+        return jax.vmap(jax.grad(sdf_scalar))(tpose)
+
+    def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True):
+        n_rays, n_samples = z_vals.shape
+        pts = wpts.reshape(-1, 3)
+        vd = broadcast_viewdirs(viewdir, n_samples)
+        dists = z_vals_to_dists(z_vals).reshape(-1)
+
+        pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
+        pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
+        pind = self._filter(pose_pts, frame)
+
+        tpose, tpose_dirs, init_bigpose, resd = self._warp(pose_pts, pose_dirs, frame)
+        dirs = tpose_dirs if self.tpose_viewdir else vd
+
+        # sdf + normals (anisdf_pdf_network.py:303-321)
+        sdf, feat, gradients = self._sdf_and_grad(tpose)
+
+        # VolSDF opacity (:324-331); the 0.005 step is the reference's
+        beta = self.beta_network()
+        sigma = volsdf_sigma(sdf[..., 0], beta)
+        alpha = sigma_to_alpha(sigma)
+
+        rgb = self.color_network(tpose, gradients, dirs, feat, frame["latent_index"])
+        raw = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
+        inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+        raw = jnp.where((pind & inside)[:, None], raw, 0.0)
+
+        ret = {
+            "raw": raw.reshape(n_rays, n_samples, 4),
+            # masked points carry sdf=+10 (anisdf_pdf_network.py:218-219)
+            "sdf": jnp.where(pind, sdf[..., 0], 10.0).reshape(n_rays, n_samples),
+            "resd": resd,
+            "resd_mask": pind,
+            "gradients": gradients,
+            "grad_mask": pind,
+        }
+
+        if train:
+            # observed-space eikonal at near-surface points (:194-199)
+            og_mask = pind & (
+                jnp.abs(jax.lax.stop_gradient(sdf[..., 0])) < 0.02
+            )
+            ret["observed_gradients"] = self._observed_grad(
+                jax.lax.stop_gradient(init_bigpose), frame
+            )
+            ret["observed_grad_mask"] = og_mask
+        return ret
+
+
+class NeuSPDF(SDFPDF):
+    """NeuS opacity variant (anisdf_neus_pdf_network.py): a learnable
+    single inverse-variance replaces the beta net; opacity from per-ray
+    sigmoid-CDF residuals."""
+
+    def setup(self):
+        self.resd_field = ResidualField(xyz_res=self.xyz_res)
+        self.sdf_network = GeometricFieldNetwork()
+        self.variance_network = SingleVarianceNetwork()
+        self.color_network = ColorNetwork(
+            num_latents=self.num_latents,
+            use_normals=True,
+            use_viewdir=self.color_with_viewdir,
+        )
+
+    def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True):
+        n_rays, n_samples = z_vals.shape
+        pts = wpts.reshape(-1, 3)
+        vd = broadcast_viewdirs(viewdir, n_samples)
+
+        pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
+        pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
+        pind = self._filter(pose_pts, frame)
+
+        tpose, tpose_dirs, init_bigpose, resd = self._warp(pose_pts, pose_dirs, frame)
+        dirs = tpose_dirs if self.tpose_viewdir else vd
+
+        sdf, feat, gradients = self._sdf_and_grad(tpose)
+
+        # NeuS opacity needs the ray-ordered sdf with masked points at +10
+        # (sdf_utils.py:40-61; the masked-fill reproduces full_cdf = 1)
+        sdf_full = jnp.where(pind, sdf[..., 0], 10.0).reshape(n_rays, n_samples)
+        inv_var = self.variance_network()
+        alpha = neus_alpha(sdf_full, inv_var).reshape(-1)
+
+        rgb = self.color_network(tpose, gradients, dirs, feat, frame["latent_index"])
+        raw = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
+        inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+        raw = jnp.where((pind & inside)[:, None], raw, 0.0)
+
+        ret = {
+            "raw": raw.reshape(n_rays, n_samples, 4),
+            "sdf": sdf_full,
+            "resd": resd,
+            "resd_mask": pind,
+            "gradients": gradients,
+            "grad_mask": pind,
+        }
+        if train:
+            og_mask = pind & (
+                jnp.abs(jax.lax.stop_gradient(sdf[..., 0])) < 0.02
+            )
+            ret["observed_gradients"] = self._observed_grad(
+                jax.lax.stop_gradient(init_bigpose), frame
+            )
+            ret["observed_grad_mask"] = og_mask
+        return ret

@@ -1,0 +1,61 @@
+"""Name -> model-class registry. Replaces the reference's
+`imp.load_source` dynamic-import factories (lib/networks/make_network.py)
+with an explicit registry keyed by the same module names so existing
+yaml configs resolve unchanged."""
+
+from __future__ import annotations
+
+from .aninerf import AniNeRF
+from .pdf import NeRFPDF, SDFPDF, NeuSPDF
+from .aligned import AlignedLBW, AlignedPBW, AlignedSMPL, AlignedLBWPDF
+
+MODELS = {
+    # canonical names
+    "aninerf": AniNeRF,
+    "aligned_lbw": AlignedLBW,
+    "aligned_pbw": AlignedPBW,
+    "aligned_smpl": AlignedSMPL,
+    "aligned_lbw_pdf": AlignedLBWPDF,
+    "nerf_pdf": NeRFPDF,
+    "sdf_pdf": SDFPDF,
+    "neus_pdf": NeuSPDF,
+    # reference network_module paths (configs/*.yaml compatibility)
+    "lib.networks.bw_deform.tpose_nerf_network": AniNeRF,
+    "lib.networks.bw_deform.aligned_aninerf_lbw_network": AlignedLBW,
+    "lib.networks.bw_deform.aligned_aninerf_pbw_network": AlignedPBW,
+    "lib.networks.bw_deform.aligned_aninerf_smpl_network": AlignedSMPL,
+    "lib.networks.bw_deform.aligned_aninerf_lbw_pdf_network": AlignedLBWPDF,
+    "lib.networks.bw_deform.aligned_aninerf_pdf_network": NeRFPDF,
+    "lib.networks.bw_deform.anisdf_pdf_network": SDFPDF,
+    "lib.networks.bw_deform.anisdf_neus_pdf_network": NeuSPDF,
+}
+
+
+def make_model(cfg):
+    """Instantiate a model from a config object (see config/)."""
+    cls = MODELS[cfg.network_module]
+    kwargs = dict(num_eval_frames=cfg.num_eval_frame if cfg.aninerf_animation or cfg.test_novel_pose else 0)
+    if cls is AniNeRF:
+        return AniNeRF(
+            num_train_frames=cfg.num_train_frame,
+            norm_th=cfg.norm_th,
+            train_th=cfg.train_th,
+            xyz_res=cfg.xyz_res,
+            view_res=cfg.view_res,
+            **kwargs,
+        )
+    if cls in (NeRFPDF, SDFPDF, NeuSPDF):
+        return cls(
+            num_latents=cfg.num_latent_code,
+            tpose_viewdir=cfg.tpose_viewdir,
+            xyz_res=cfg.xyz_res,
+        )
+    # aligned family
+    return cls(
+        num_latents=cfg.num_train_frame,
+        norm_th=cfg.norm_th,
+        train_th=cfg.train_th,
+        tpose_viewdir=cfg.tpose_viewdir,
+        xyz_res=cfg.xyz_res,
+        **kwargs,
+    )

@@ -1,0 +1,179 @@
+"""Volume renderers.
+
+The reference renders in a serial Python loop of 2048-ray chunks
+(lib/networks/renderer/tpose_renderer.py:159-186) — the #1 structural
+perf loss it has. Here:
+
+  * `render_rays` — one fused program over a ray batch (training path:
+    sample -> warp -> field -> composite in a single XLA computation).
+  * `render_image` — whole-image eval as `lax.map` over fixed-size ray
+    tiles inside ONE jitted program: bounded memory, no per-chunk
+    dispatch, shapes static for the compiler.
+
+Rays are padded to the tile size with a validity mask; padded rays
+produce zeros and are dropped on the host side.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.sampling import stratified_z_vals, z_vals_to_pts, z_vals_to_dists
+from ..core.composite import raw2outputs, get_intersection_mask
+
+
+class RenderSettings(NamedTuple):
+    """Static (hashable) rendering options — jit-safe."""
+
+    n_samples: int = 64
+    perturb: bool = True
+    white_bkgd: bool = False
+    eval_tile: int = 4096
+
+
+def pad_rays(rays: dict, multiple: int):
+    """Pad every per-ray array to the next multiple; returns (rays, n_valid).
+
+    Adds/extends a boolean 'mask' entry so downstream losses and image
+    scatter ignore padding.
+    """
+    n = rays["ray_o"].shape[0]
+    import numpy as np
+
+    padded_n = int(np.ceil(n / multiple) * multiple)
+    pad = padded_n - n
+    out = {}
+    for k, v in rays.items():
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+            v = np.pad(np.asarray(v), widths)
+        out[k] = v
+    mask = np.zeros(padded_n, dtype=bool)
+    mask[:n] = rays.get("mask", np.ones(n, dtype=bool))
+    out["mask"] = mask
+    return out, n
+
+
+def render_rays(
+    model,
+    params,
+    rays: dict,
+    frame: dict,
+    settings: RenderSettings,
+    key=None,
+    train: bool = True,
+    novel_pose: bool = False,
+    inside_fn=None,
+):
+    """Render one ray batch. rays: ray_o/ray_d (R,3), near/far (R,),
+    optional mask (R,), occupancy (R,).
+
+    Returns the model dict plus rgb_map/acc_map/depth_map/weights and —
+    for SDF models — the mask-loss tensors (min_sdf, sdf_free_mask,
+    sdf_in_mask reproducing tpose_renderer.py:134-152 under masking).
+    """
+    ray_o, ray_d = rays["ray_o"], rays["ray_d"]
+    near, far = rays["near"], rays["far"]
+
+    z_vals = stratified_z_vals(
+        near, far, settings.n_samples, key=key, perturb=settings.perturb and train
+    )
+    wpts = z_vals_to_pts(ray_o, ray_d, z_vals)
+
+    kwargs = {}
+    if novel_pose:
+        kwargs["novel_pose"] = True
+    ret = model.apply(params, wpts, ray_d, z_vals, frame, train=train, **kwargs)
+
+    raw = ret["raw"]
+    if inside_fn is not None:
+        # visibility carving (tpose_renderer_mmsk.py:14-57): zero samples
+        # not seen by every training view
+        vis = inside_fn(wpts.reshape(-1, 3)).reshape(raw.shape[:2])
+        raw = raw * vis[..., None]
+        ret["raw"] = raw
+
+    rgb_map, disp_map, acc_map, weights, depth_map = raw2outputs(
+        raw, z_vals, settings.white_bkgd
+    )
+
+    if "mask" in rays:
+        m = rays["mask"]
+        rgb_map = jnp.where(m[:, None], rgb_map, 0.0)
+        acc_map = jnp.where(m, acc_map, 0.0)
+        depth_map = jnp.where(m, depth_map, 0.0)
+
+    ret.update(
+        rgb_map=rgb_map,
+        acc_map=acc_map,
+        depth_map=depth_map,
+        weights=weights,
+        z_vals=z_vals,
+    )
+
+    if "sdf" in ret and "occupancy" in rays:
+        # SDF silhouette supervision tensors (tpose_renderer.py:134-152):
+        # rays outside the mask push min_sdf positive (label 0); rays
+        # inside the mask with no sign change pull it negative (label 1).
+        sdf = ret["sdf"]
+        min_sdf = jnp.min(sdf, axis=-1)
+        inter, _ = get_intersection_mask(sdf, z_vals)
+        occ = rays["occupancy"]
+        valid = rays.get("mask", jnp.ones_like(occ, dtype=bool))
+        ret.update(
+            msk_sdf=min_sdf,
+            msk_free=(occ == 0) & valid,
+            msk_in=(~inter) & (occ == 1) & valid,
+        )
+    return ret
+
+
+# keys that are per-ray and must be tiled in the eval sweep
+_RAY_KEYS = ("ray_o", "ray_d", "near", "far", "mask", "occupancy")
+# per-ray outputs worth returning from an eval sweep
+_IMAGE_OUTPUTS = ("rgb_map", "acc_map", "depth_map")
+
+
+def render_image(
+    model,
+    params,
+    rays: dict,
+    frame: dict,
+    settings: RenderSettings,
+    novel_pose: bool = False,
+    inside_fn=None,
+):
+    """Whole-image rendering: lax.map over fixed-size ray tiles inside one
+    program. `rays` must already be padded to a multiple of
+    settings.eval_tile (see pad_rays).
+    """
+    tile = settings.eval_tile
+    n = rays["ray_o"].shape[0]
+    n_tiles = n // tile
+    assert n_tiles * tile == n, "pad rays to a multiple of eval_tile first"
+
+    tiled = {
+        k: rays[k].reshape(n_tiles, tile, *rays[k].shape[1:])
+        for k in _RAY_KEYS
+        if k in rays
+    }
+
+    def body(chunk):
+        out = render_rays(
+            model,
+            params,
+            chunk,
+            frame,
+            settings,
+            key=None,
+            train=False,
+            novel_pose=novel_pose,
+            inside_fn=inside_fn,
+        )
+        return {k: out[k] for k in _IMAGE_OUTPUTS}
+
+    out = jax.lax.map(body, tiled)
+    return {k: v.reshape(n, *v.shape[2:]) for k, v in out.items()}

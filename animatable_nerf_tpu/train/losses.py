@@ -1,0 +1,106 @@
+"""Composite training losses.
+
+Reference: lib/train/trainers/tpose_trainer.py:21-73 and
+lib/train/trainers/crit.py. Every selection the reference performs by
+boolean indexing is a masked mean here — numerically identical when the
+mask matches the reference's selected set.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_mean(x, mask):
+    """Mean of x over mask==True elements (0 if mask is empty).
+
+    Broadcasting: if x has trailing dims beyond mask's, the mask selects
+    rows and the mean runs over all elements of the selected rows —
+    matching e.g. `smooth_l1_loss(pbw[sel], tbw[sel])`.
+    """
+    mask = mask.astype(x.dtype)
+    while mask.ndim < x.ndim:
+        mask = mask[..., None]
+    count = jnp.sum(jnp.broadcast_to(mask, x.shape))
+    return jnp.sum(x * mask) / jnp.maximum(count, 1.0)
+
+
+def smooth_l1(x, y):
+    """Elementwise smooth-L1 (torch default beta=1)."""
+    d = jnp.abs(x - y)
+    return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+
+
+def bce_with_logits(logits, labels):
+    """Numerically stable binary cross entropy with logits."""
+    return (
+        jnp.maximum(logits, 0.0)
+        - logits * labels
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def sdf_mask_alpha(iter_step):
+    """The doubling alpha schedule (crit.py:5-16): 50 * 2^(#milestones
+    passed at 10k/20k/30k/40k/50k)."""
+    milestones = jnp.asarray([10000, 20000, 30000, 40000, 50000])
+    n = jnp.sum(iter_step > milestones)
+    return 50.0 * (2.0**n)
+
+
+def compute_losses(ret: dict, batch: dict, iter_step):
+    """Composite loss. Consumes the renderer output `ret` and the ray
+    batch (rgb, mask_at_box, plus the renderer's msk_* tensors).
+
+    Returns (loss, scalar_stats).
+    """
+    stats = {}
+    loss = 0.0
+
+    if "resd" in ret:
+        # 0.01 * mean ||resd|| over evaluated points (tpose_trainer.py:26-29)
+        resd_norm = jnp.linalg.norm(ret["resd"], axis=-1)
+        offset_loss = masked_mean(resd_norm, ret["resd_mask"])
+        stats["offset_loss"] = offset_loss
+        loss += 0.01 * offset_loss
+
+    if "gradients" in ret:
+        gnorm = jnp.linalg.norm(ret["gradients"], axis=-1)
+        grad_loss = masked_mean((gnorm - 1.0) ** 2, ret["grad_mask"])
+        stats["grad_loss"] = grad_loss
+        loss += 0.01 * grad_loss
+
+    if "observed_gradients" in ret:
+        ognorm = jnp.linalg.norm(ret["observed_gradients"], axis=-1)
+        ograd_loss = masked_mean((ognorm - 1.0) ** 2, ret["observed_grad_mask"])
+        stats["ograd_loss"] = ograd_loss
+        loss += 0.01 * ograd_loss
+
+    if "pbw" in ret and "tbw" in ret:
+        bw = smooth_l1(ret["pbw"], ret["tbw"])
+        bw_loss = masked_mean(bw, ret["bw_mask"])
+        stats["bw_loss"] = bw_loss
+        loss += bw_loss
+
+    if "msk_sdf" in ret:
+        # silhouette BCE with the alpha schedule (crit.py:5-19)
+        alpha = sdf_mask_alpha(iter_step)
+        logits = -alpha * ret["msk_sdf"]
+        labels = ret["msk_in"].astype(logits.dtype)  # 1 inside, 0 free
+        sel = ret["msk_free"] | ret["msk_in"]
+        mask_loss = masked_mean(bce_with_logits(logits, labels), sel) / alpha
+        stats["mask_loss"] = mask_loss
+        loss += mask_loss
+
+    # image MSE on mask_at_box rays (tpose_trainer.py:60-63)
+    sel = batch["mask_at_box"]
+    if "mask" in batch:
+        sel = sel & batch["mask"]
+    err = (ret["rgb_map"] - batch["rgb"]) ** 2
+    img_loss = masked_mean(err, sel)
+    stats["img_loss"] = img_loss
+    loss += img_loss
+
+    stats["loss"] = loss
+    return loss, stats

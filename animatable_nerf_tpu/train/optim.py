@@ -1,0 +1,65 @@
+"""Optimizers and LR schedules.
+
+Reference: lib/train/optimizer.py (Adam/RAdam/SGD factory, gradient value
+clip 40 in trainer.py:67) and lib/utils/optimizer/lr_scheduler.py
+(ExponentialLR gamma^(epoch/decay_epochs), MultiStepLR).
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def exponential_lr(base_lr: float, gamma: float, decay_epochs: int, ep_iter: int):
+    """lr(step) = base_lr * gamma^(epoch / decay_epochs), epoch stepped
+    per ep_iter iterations (lr_scheduler.py:66-77 applied per epoch)."""
+
+    def sched(step):
+        epoch = step // ep_iter
+        return base_lr * gamma ** (epoch / decay_epochs)
+
+    return sched
+
+
+def make_multi_step_lr(base_lr: float, milestones, gamma: float, ep_iter: int):
+    """MultiStepLR (lr_scheduler.py:52-63)."""
+
+    def sched(step):
+        epoch = step // ep_iter
+        lr = base_lr
+        factor = 1.0
+        for m in sorted(milestones):
+            factor = factor * (gamma ** (epoch >= m))
+        return lr * factor
+
+    return sched
+
+
+def make_schedule(cfg):
+    s = cfg.train.scheduler
+    ep_iter = max(cfg.ep_iter, 1)
+    if s["type"] == "exponential":
+        return exponential_lr(cfg.train.lr, s["gamma"], s["decay_epochs"], ep_iter)
+    return make_multi_step_lr(cfg.train.lr, s["milestones"], s["gamma"], ep_iter)
+
+
+def make_optimizer(cfg, trainable_mask=None):
+    """optax chain: value-clip 40 -> adam with the config schedule.
+
+    trainable_mask: optional pytree of bools (stage-2 freezes everything
+    but novel_pose_bw — aninerf_animation_trainer.py:27-31).
+    """
+    sched = make_schedule(cfg)
+    opt_name = cfg.train.get("optim", "adam")
+    wd = cfg.train.get("weight_decay", 0.0)
+    if opt_name in ("adam", "radam"):
+        if wd > 0:
+            base = optax.adamw(learning_rate=sched, weight_decay=wd)
+        else:
+            base = optax.adam(learning_rate=sched)
+    else:
+        base = optax.sgd(learning_rate=sched, momentum=0.9)
+    tx = optax.chain(optax.clip(40.0), base)
+    if trainable_mask is not None:
+        tx = optax.masked(tx, trainable_mask)
+    return tx, sched

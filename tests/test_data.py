@@ -1,0 +1,136 @@
+"""Data-layer tests: synthetic generator -> dataset loaders -> collation."""
+
+import os
+
+import numpy as np
+import pytest
+
+from animatable_nerf_tpu.config import default_config
+from animatable_nerf_tpu.data import (
+    TPoseDataset,
+    TPosePDFDataset,
+    generate_synthetic_dataset,
+    Loader,
+    FrameSampler,
+)
+from animatable_nerf_tpu.data.utils import pad_volume_to
+from animatable_nerf_tpu.train.trainer import collate_rays, stack_batch
+
+
+@pytest.fixture(scope="module")
+def droot(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth") / "human")
+    generate_synthetic_dataset(root, n_frames=3, n_views=3, image_size=64,
+                               n_verts=400, n_blobs=64)
+    return root
+
+
+def make_cfg(droot, **kw):
+    cfg = default_config()
+    cfg.train_dataset.update(data_root=droot, human="synth", ann_file=os.path.join(droot, "annots.npy"))
+    cfg.test_dataset.update(data_root=droot, human="synth", ann_file=os.path.join(droot, "annots.npy"))
+    cfg.training_view = [0, 1]
+    cfg.num_train_frame = 3
+    cfg.N_rand = 128
+    cfg.ratio = 1.0
+    cfg.merge_from_list([k for pair in kw.items() for k in (pair[0], repr(pair[1]))]) if False else None
+    for k, v in kw.items():
+        cfg[k] = v
+    return cfg
+
+
+def test_generator_layout(droot):
+    for p in [
+        "annots.npy", "lbs/joints.npy", "lbs/parents.npy", "lbs/weights.npy",
+        "lbs/tvertices.npy", "lbs/tbw.npy", "lbs/bweights/0.npy",
+        "lbs/bigpose_vertices.npy", "params/0.npy", "vertices/0.npy",
+        "Camera_B0/0000.jpg", "mask_cihp/Camera_B0/0000.png",
+    ]:
+        assert os.path.exists(os.path.join(droot, p)), p
+
+
+def test_tpose_dataset_train_item(droot):
+    cfg = make_cfg(droot)
+    ds = TPoseDataset(cfg, "train")
+    assert len(ds) == 6  # 3 frames x 2 views
+    item = ds[0]
+    assert item["ray_o"].shape[0] >= cfg.N_rand
+    assert item["pbw"].shape == (*ds.max_pbw_shape, 25)
+    assert item["A"].shape == (24, 4, 4)
+    assert item["rgb"].dtype == np.float32
+    # rays hit the box by construction
+    assert item["near"].shape == item["far"].shape
+    assert (item["far"] >= item["near"]).all()
+
+
+def test_tpose_dataset_test_item(droot):
+    cfg = make_cfg(droot)
+    ds = TPoseDataset(cfg, "test")
+    item = ds[0]
+    # test split: all rays in box, mask_at_box is the full-image mask
+    assert item["mask_at_box"].shape[0] == item["H"] * item["W"]
+    assert item["ray_o"].shape[0] == item["mask_at_box"].sum()
+
+
+def test_pdf_dataset_item(droot):
+    cfg = make_cfg(droot, use_bigpose=True)
+    ds = TPosePDFDataset(cfg, "train")
+    item = ds[0]
+    assert item["weights"].shape[1] == 24
+    assert item["pvertices"].shape == item["weights"].shape[:1] + (3,)
+    assert item["poses"].shape == (72,)
+
+
+def test_pad_volume_preserves_sampling(droot):
+    import jax.numpy as jnp
+
+    from animatable_nerf_tpu.core import pts_sample_blend_weights
+
+    rng = np.random.RandomState(0)
+    vol = rng.rand(9, 7, 8, 25).astype(np.float32)
+    bounds = np.array([[0, 0, 0], [1.0, 2.0, 1.5]], np.float32)
+    vol2, bounds2 = pad_volume_to(vol, bounds, (12, 9, 11))
+    pts = rng.uniform(-0.2, 2.2, (50, 3)).astype(np.float32)
+    a = pts_sample_blend_weights(jnp.asarray(pts), jnp.asarray(vol), jnp.asarray(bounds))
+    b = pts_sample_blend_weights(jnp.asarray(pts), jnp.asarray(vol2), jnp.asarray(bounds2))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_collate_and_stack(droot):
+    cfg = make_cfg(droot)
+    ds = TPoseDataset(cfg, "train")
+    items = [collate_rays(ds[i], cfg.N_rand) for i in range(2)]
+    batch = stack_batch(items)
+    assert batch["ray_o"].shape == (2, cfg.N_rand, 3)
+    assert batch["pbw"].shape[0] == 2
+    assert batch["mask"].dtype == bool
+
+
+def test_loader_iteration_and_sharding(droot):
+    cfg = make_cfg(droot)
+    ds = TPoseDataset(cfg, "train")
+    loader = Loader(ds, shuffle=True, max_iter=5)
+    items = list(loader)
+    assert len(items) == 5
+    # shards partition the index set
+    l0 = Loader(ds, shuffle=False, num_shards=2, shard_id=0)
+    l1 = Loader(ds, shuffle=False, num_shards=2, shard_id=1)
+    assert len(l0) + len(l1) == len(ds)
+
+
+def test_frame_sampler(droot):
+    cfg = make_cfg(droot)
+    ds = TPoseDataset(cfg, "test")
+    fs = FrameSampler(ds, interval=2)
+    inds = list(fs)
+    assert len(inds) == 2 * ds.num_cams  # frames 0 and 2
+
+
+def test_loader_deterministic_order(droot):
+    cfg = make_cfg(droot)
+    ds = TPoseDataset(cfg, "train")
+    l1 = Loader(ds, shuffle=True, seed=7, max_iter=4)
+    l2 = Loader(ds, shuffle=True, seed=7, max_iter=4)
+    a = [it["frame_index"] for it in l1]
+    b = [it["frame_index"] for it in l2]
+    assert a == b

@@ -1,0 +1,206 @@
+"""Smoke + invariant tests for all model families on synthetic frames."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from animatable_nerf_tpu import models
+from animatable_nerf_tpu.core import rigid_transforms, big_pose_A
+
+R_RAYS, S = 6, 8
+N_VERTS = 80
+
+
+def make_frame(rng, grid=True):
+    parents = np.array(
+        [0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18,
+         19, 20, 21]
+    )
+    joints = (rng.randn(24, 3) * 0.2).astype(np.float32)
+    poses = (rng.randn(24, 3) * 0.1).astype(np.float32)
+    A = rigid_transforms(poses, joints, parents)
+    big_A = big_pose_A(jnp.asarray(joints), parents)
+    verts = (rng.randn(N_VERTS, 3) * 0.3).astype(np.float32)
+    w = rng.rand(N_VERTS, 24).astype(np.float32)
+    w = w / w.sum(-1, keepdims=True)
+    frame = {
+        "R": jnp.eye(3),
+        "Th": jnp.zeros((1, 3)),
+        "A": A,
+        "big_A": big_A,
+        "poses": jnp.asarray(poses.reshape(-1)),
+        "weights": jnp.asarray(w),
+        "pvertices": jnp.asarray(verts),
+        "tvertices": jnp.asarray(verts),
+        "tbounds": jnp.asarray(
+            np.stack([verts.min(0) - 0.1, verts.max(0) + 0.1])
+        ),
+        "latent_index": jnp.asarray(0, jnp.int32),
+        "bw_latent_index": jnp.asarray(0, jnp.int32),
+    }
+    if grid:
+        frame["pbw"] = jnp.asarray(rng.rand(8, 8, 8, 25).astype(np.float32))
+        frame["pbounds"] = frame["tbounds"]
+        frame["tbw"] = jnp.asarray(rng.rand(8, 8, 8, 25).astype(np.float32))
+    return frame
+
+
+def make_rays(rng):
+    wpts = (rng.randn(R_RAYS, S, 3) * 0.3).astype(np.float32)
+    viewdir = rng.randn(R_RAYS, 3).astype(np.float32)
+    viewdir = viewdir / np.linalg.norm(viewdir, axis=-1, keepdims=True)
+    z_vals = np.sort(rng.rand(R_RAYS, S).astype(np.float32) + 1.0, axis=-1)
+    return jnp.asarray(wpts), jnp.asarray(viewdir), jnp.asarray(z_vals)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.RandomState(3)
+    return make_frame(rng), make_rays(rng)
+
+
+def _init_and_run(model, data, train=True):
+    # jit everything: compiles route through a slow remote relay in this
+    # environment, and jitted programs hit the persistent cache
+    frame, (wpts, vd, z) = data
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), wpts, vd, z, frame, train=train)
+    )()
+    out = jax.jit(
+        lambda p: model.apply(p, wpts, vd, z, frame, train=train)
+    )(params)
+    return params, out
+
+
+def test_aninerf_shapes_and_masking(data):
+    m = models.AniNeRF(num_train_frames=3)
+    params, out = _init_and_run(m, data)
+    assert out["raw"].shape == (R_RAYS, S, 4)
+    assert bool(jnp.isfinite(out["raw"]).all())
+    assert out["pbw"].shape == (R_RAYS * S, 24)
+    assert out["tbw"].shape == (R_RAYS * S, 24)
+    assert out["bw_mask"].dtype == bool
+    # blend weights are distributions
+    np.testing.assert_allclose(np.asarray(out["pbw"].sum(-1)), 1.0, atol=1e-4)
+
+
+def test_aninerf_filtered_points_zero(data):
+    """Points whose distance channel exceeds norm_th must contribute raw==0
+    (masked-compute parity with the reference's compaction)."""
+    frame, (wpts, vd, z) = data
+    # distance channel = 1 everywhere -> all filtered except forced argmin
+    far_frame = dict(frame)
+    far_frame["pbw"] = frame["pbw"].at[..., 24].set(1.0)
+    m = models.AniNeRF(num_train_frames=3)
+    params = jax.jit(lambda: m.init(jax.random.PRNGKey(0), wpts, vd, z, far_frame))()
+    out = jax.jit(lambda p: m.apply(p, wpts, vd, z, far_frame))(params)
+    raw = np.asarray(out["raw"]).reshape(-1, 4)
+    nonzero_rows = (np.abs(raw).sum(-1) > 0).sum()
+    assert nonzero_rows <= 1  # only the forced argmin point may survive
+
+
+def test_aninerf_grad_flows(data):
+    frame, (wpts, vd, z) = data
+    m = models.AniNeRF(num_train_frames=3)
+    params = jax.jit(lambda: m.init(jax.random.PRNGKey(0), wpts, vd, z, frame))()
+
+    def loss(p):
+        out = m.apply(p, wpts, vd, z, frame)
+        return jnp.mean(out["raw"] ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    total = jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
+    assert float(total) > 0
+
+
+def test_aninerf_novel_pose_field(data):
+    frame, (wpts, vd, z) = data
+    m = models.AniNeRF(num_train_frames=3, num_eval_frames=2)
+    params = jax.jit(lambda: m.init(
+        jax.random.PRNGKey(0), wpts, vd, z, frame, train=False, novel_pose=True
+    ))()
+    assert "novel_pose_bw" in params["params"]
+    out = jax.jit(lambda p: m.apply(
+        p, wpts, vd, z, frame, train=False, novel_pose=True))(params)
+    assert bool(jnp.isfinite(out["raw"]).all())
+
+
+def test_nerf_pdf(data):
+    m = models.NeRFPDF(num_latents=3)
+    params, out = _init_and_run(m, data)
+    assert out["raw"].shape == (R_RAYS, S, 4)
+    assert out["resd"].shape == (R_RAYS * S, 3)
+    assert float(jnp.abs(out["resd"]).max()) <= 0.05
+    assert bool(jnp.isfinite(out["raw"]).all())
+
+
+def test_sdf_pdf_full_outputs(data):
+    m = models.SDFPDF(num_latents=3)
+    params, out = _init_and_run(m, data)
+    assert out["raw"].shape == (R_RAYS, S, 4)
+    assert out["sdf"].shape == (R_RAYS, S)
+    assert out["gradients"].shape == (R_RAYS * S, 3)
+    assert out["observed_gradients"].shape == (R_RAYS * S, 3)
+    assert bool(jnp.isfinite(out["raw"]).all())
+    # normals are finite and non-degenerate where valid
+    gnorm = np.asarray(jnp.linalg.norm(out["gradients"], axis=-1))
+    mask = np.asarray(out["grad_mask"])
+    if mask.any():
+        assert np.isfinite(gnorm[mask]).all() and (gnorm[mask] > 1e-3).all()
+
+
+def test_sdf_pdf_eikonal_double_grad(data):
+    """grad-of-grad (eikonal loss through jax.grad normals) must work."""
+    frame, (wpts, vd, z) = data
+    m = models.SDFPDF(num_latents=3)
+    params = jax.jit(lambda: m.init(jax.random.PRNGKey(0), wpts, vd, z, frame))()
+
+    def loss(p):
+        out = m.apply(p, wpts, vd, z, frame)
+        g = out["gradients"]
+        eik = (jnp.linalg.norm(g, axis=-1) - 1.0) ** 2
+        return jnp.mean(eik) + jnp.mean(out["raw"] ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    total = jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
+    assert bool(jnp.isfinite(total)) and float(total) > 0
+
+
+def test_neus_pdf(data):
+    m = models.NeuSPDF(num_latents=3)
+    params, out = _init_and_run(m, data)
+    assert out["raw"].shape == (R_RAYS, S, 4)
+    alpha = np.asarray(out["raw"][..., 3])
+    assert (alpha >= 0).all() and (alpha <= 1).all()
+
+
+@pytest.mark.parametrize(
+    "cls", [models.AlignedLBW, models.AlignedPBW, models.AlignedSMPL,
+            models.AlignedLBWPDF]
+)
+def test_aligned_variants(cls, data):
+    m = cls(num_latents=3)
+    params, out = _init_and_run(m, data)
+    assert out["raw"].shape == (R_RAYS, S, 4)
+    assert bool(jnp.isfinite(out["raw"]).all())
+    if cls is not models.AlignedSMPL:
+        assert out["pbw"].shape == (R_RAYS * S, 24)
+    if cls is models.AlignedLBWPDF:
+        assert out["resd"].shape == (R_RAYS * S, 3)
+
+
+def test_density_paths(data):
+    """Mesh-extraction density/sdf entry points."""
+    frame, (wpts, vd, z) = data
+    pts = wpts.reshape(-1, 3)
+
+    m = models.AniNeRF(num_train_frames=3)
+    params = jax.jit(lambda: m.init(jax.random.PRNGKey(0), wpts, vd, z, frame))()
+    d = jax.jit(lambda p: m.apply(p, pts, frame, method=m.density))(params)
+    assert d.shape == (R_RAYS * S,)
+
+    m2 = models.SDFPDF(num_latents=3)
+    params2 = jax.jit(lambda: m2.init(jax.random.PRNGKey(0), wpts, vd, z, frame))()
+    s = jax.jit(lambda p: m2.apply(p, pts, frame, method=m2.sdf))(params2)
+    assert s.shape == (R_RAYS * S,)

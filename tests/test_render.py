@@ -1,0 +1,114 @@
+"""Renderer tests: fused ray batches, tiled image sweeps, visibility
+carving and isosurface extraction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from animatable_nerf_tpu import models
+from animatable_nerf_tpu.render import (
+    RenderSettings,
+    render_rays,
+    render_image,
+    pad_rays,
+    prepare_inside_mask,
+    marching_cubes,
+)
+from animatable_nerf_tpu.render.mesh import density_grid_sweep, largest_component
+
+from test_models import make_frame
+
+
+def make_ray_batch(rng, n):
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return {
+        "ray_o": jnp.asarray(np.tile([[0, 0, -2.0]], (n, 1)).astype(np.float32)),
+        "ray_d": jnp.asarray(d),
+        "near": jnp.full((n,), 1.0),
+        "far": jnp.full((n,), 3.0),
+        "mask": jnp.ones((n,), bool),
+        "occupancy": jnp.asarray(rng.randint(0, 2, n)),
+    }
+
+
+def test_render_rays_train_and_losses_tensors():
+    rng = np.random.RandomState(0)
+    frame = make_frame(rng)
+    rays = make_ray_batch(rng, 16)
+    m = models.SDFPDF(num_latents=3)
+    s = RenderSettings(n_samples=8)
+    wpts = jnp.zeros((16, 8, 3))
+    params = jax.jit(lambda: m.init(
+        jax.random.PRNGKey(0), wpts, rays["ray_d"], jnp.ones((16, 8)), frame
+    ))()
+    out = jax.jit(
+        lambda p: render_rays(m, p, rays, frame, s, key=jax.random.PRNGKey(1))
+    )(params)
+    assert out["rgb_map"].shape == (16, 3)
+    assert out["msk_sdf"].shape == (16,)
+    assert out["msk_free"].dtype == bool
+    assert bool(jnp.isfinite(out["rgb_map"]).all())
+
+
+def test_render_image_tiled_matches_render_rays():
+    rng = np.random.RandomState(1)
+    frame = make_frame(rng)
+    rays = make_ray_batch(rng, 24)
+    m = models.AniNeRF(num_train_frames=3)
+    s = RenderSettings(n_samples=8, perturb=False, eval_tile=8)
+    wpts = jnp.zeros((24, 8, 3))
+    params = jax.jit(lambda: m.init(
+        jax.random.PRNGKey(0), wpts, rays["ray_d"], jnp.ones((24, 8)), frame
+    ))()
+    full = jax.jit(lambda p: render_rays(m, p, rays, frame, s, train=False))(params)
+    np_rays = {k: np.asarray(v) for k, v in rays.items()}
+    padded, n = pad_rays(np_rays, s.eval_tile)
+    padded = {k: jnp.asarray(v) for k, v in padded.items()}
+    tiled = jax.jit(lambda p: render_image(m, p, padded, frame, s))(params)
+    np.testing.assert_allclose(
+        np.asarray(tiled["rgb_map"])[:n],
+        np.asarray(full["rgb_map"]),
+        atol=1e-5,
+    )
+
+
+def test_pad_rays_multiple():
+    rng = np.random.RandomState(2)
+    rays = {k: np.asarray(v) for k, v in make_ray_batch(rng, 10).items()}
+    padded, n = pad_rays(rays, 8)
+    assert n == 10
+    assert padded["ray_o"].shape[0] == 16
+    assert padded["mask"][:10].all() and not padded["mask"][10:].any()
+
+
+def test_visibility_carving():
+    # one camera looking down -z at the origin; mask fully on
+    K = jnp.asarray([[[100.0, 0, 32], [0, 100, 32], [0, 0, 1]]])
+    RT = jnp.asarray([np.concatenate([np.eye(3), [[0], [0], [2.0]]], 1)])
+    masks = jnp.ones((1, 64, 64))
+    pts = jnp.asarray([[0.0, 0, 0], [10.0, 0, 0]])  # center vs off-frustum
+    inside = prepare_inside_mask(pts, K, RT, masks)
+    assert bool(inside[0]) and not bool(inside[1])
+
+
+def test_marching_cubes_sphere():
+    n = 24
+    g = np.linspace(-1, 1, n)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    vol = 0.6 - np.sqrt(x**2 + y**2 + z**2)  # inside>0 sphere r=0.6
+    sp = 2.0 / (n - 1)
+    verts, faces = marching_cubes(vol, 0.0, spacing=(sp, sp, sp), origin=(-1, -1, -1))
+    assert len(verts) > 100 and len(faces) > 100
+    r = np.linalg.norm(verts, axis=1)
+    np.testing.assert_allclose(r.mean(), 0.6, atol=0.02)
+    assert faces.max() < len(verts)
+    v2, f2 = largest_component(verts, faces)
+    assert len(f2) <= len(faces)
+
+
+def test_density_grid_sweep_pads():
+    f = lambda p: jnp.sum(p, axis=-1)
+    pts = jnp.asarray(np.random.RandomState(0).randn(1000, 3).astype(np.float32))
+    out = density_grid_sweep(f, pts, tile=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pts).sum(-1), atol=1e-5)
