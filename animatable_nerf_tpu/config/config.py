@@ -236,6 +236,11 @@ def _load_yaml_with_parents(path: str, seen=None) -> Config:
 def load_config(cfg_file: str, opts=(), run_type: str = "") -> Config:
     """Full config assembly (lib/config/config.py:156-180)."""
     cfg = default_config()
+    if run_type:
+        # pre-yaml default only: an explicit `task:` in the yaml wins
+        # (reference sets cfg.task = "run" before make_cfg — run.py-era
+        # config.py:192-193)
+        cfg.task = "run"
     cfg.merge(_load_yaml_with_parents(cfg_file))
     cfg.merge_from_list(list(opts))
 
@@ -251,8 +256,6 @@ def load_config(cfg_file: str, opts=(), run_type: str = "") -> Config:
     cfg.merge_from_list(list(opts))  # opts win over overlays, like the reference
 
     # derived fields (config.py:140-153)
-    if run_type:
-        cfg.task = "run" if run_type else cfg.task
     if cfg.num_latent_code < 0:
         cfg.num_latent_code = cfg.num_train_frame
     cfg.trained_model_dir = os.path.join(cfg["trained_model_dir"], cfg.task, cfg.exp_name)

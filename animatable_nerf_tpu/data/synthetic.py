@@ -104,9 +104,39 @@ def _look_at(eye, center, up=(0, 1, 0)):
     return R.astype(np.float32), T.astype(np.float32)
 
 
+def _blob_render_jax(pts, z, centers, colors, sigma, amp):
+    """Jitted blob-field integration: pts (n, S, 3), z (n, S)."""
+    import jax
+    import jax.numpy as jnp
+
+    flat = pts.reshape(-1, 3)
+    d2 = (
+        jnp.sum(flat * flat, -1, keepdims=True)
+        - 2 * flat @ centers.T
+        + jnp.sum(centers * centers, -1)
+    )
+    w = jnp.exp(-d2 / (2 * sigma**2))  # (N, B)
+    dens = jnp.sum(w, -1)
+    col = (w @ colors) / jnp.maximum(dens[:, None], 1e-8)
+    S = z.shape[-1]
+    dens = (amp * dens).reshape(-1, S)
+    col = col.reshape(-1, S, 3)
+    dists = jnp.diff(z, axis=-1)
+    dists = jnp.concatenate([dists, dists[:, -1:]], -1)
+    alpha = 1 - jnp.exp(-dens * dists)
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], -1), -1
+    )[:, :-1]
+    wgt = alpha * trans
+    return jnp.sum(wgt[..., None] * col, 1), jnp.sum(wgt, 1)
+
+
 def _render_blob_image(H, W, K, R, T, centers, colors, wbounds, sigma=0.045,
                        amp=240.0, n_samples=96):
-    """Analytic volume rendering of the Gaussian blob field (numpy)."""
+    """Analytic volume rendering of the Gaussian blob field (jitted)."""
+    import jax
+    import jax.numpy as jnp
+
     ray_o, ray_d = get_rays_np(H, W, K, R, T)
     ro = ray_o.reshape(-1, 3)
     rd = ray_d.reshape(-1, 3)
@@ -120,32 +150,17 @@ def _render_blob_image(H, W, K, R, T, centers, colors, wbounds, sigma=0.045,
     t = np.linspace(0, 1, n_samples, dtype=np.float32)
     z = near[:, None] * (1 - t) + far[:, None] * t  # (n, S)
     pts = ro[:, None] + rd[:, None] * z[..., None]  # (n, S, 3)
-    # evaluate blobs in chunks to bound memory
-    n_pts = pts.reshape(-1, 3)
-    dens = np.zeros(len(n_pts), np.float32)
-    col = np.zeros((len(n_pts), 3), np.float32)
-    for s in range(0, len(centers), 128):
-        c = centers[s : s + 128]
-        cc = colors[s : s + 128]
-        d2 = ((n_pts[:, None] - c[None]) ** 2).sum(-1)
-        w = np.exp(-d2 / (2 * sigma**2))
-        dens += w.sum(-1)
-        col += w @ cc
-    col = col / np.maximum(dens[:, None], 1e-8)
-    dens = amp * dens
-    dens = dens.reshape(-1, n_samples)
-    col = col.reshape(-1, n_samples, 3)
-    dists = np.diff(z, axis=-1)
-    dists = np.concatenate([dists, dists[:, -1:]], -1)
-    alpha = 1 - np.exp(-dens * dists)
-    trans = np.cumprod(
-        np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], -1), -1
-    )[:, :-1]
-    wgt = alpha * trans
-    rgb = (wgt[..., None] * col).sum(1)
-    acc = wgt.sum(1)
-    img[mask] = rgb
-    acc_full[mask] = acc
+    # pad the ray count to a bucket so the jit program is reused
+    n = len(z)
+    target = 1 << (n - 1).bit_length()
+    padz = np.pad(z, [(0, target - n), (0, 0)], mode="edge")
+    padp = np.pad(pts, [(0, target - n), (0, 0), (0, 0)], mode="edge")
+    rgb, acc = jax.jit(_blob_render_jax, static_argnums=(4, 5))(
+        jnp.asarray(padp), jnp.asarray(padz), jnp.asarray(centers),
+        jnp.asarray(colors), float(sigma), float(amp),
+    )
+    img[mask] = np.asarray(rgb)[:n]
+    acc_full[mask] = np.asarray(acc)[:n]
     return img.reshape(H, W, 3), acc_full.reshape(H, W)
 
 

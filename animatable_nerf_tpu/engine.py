@@ -1,0 +1,514 @@
+"""Engine: wires config -> dataset/model/trainer/evaluator/visualizer and
+implements the run types of the reference CLI.
+
+Reference counterparts: train_net.py (epoch loop, checkpoints, periodic
+val), run.py (run_dataset / run_network / run_evaluate / run_visualize),
+and the make_* factories (lib/*/make_*.py) — replaced by explicit
+registries keyed by the same module names so reference yaml configs
+resolve unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import Config
+from .models import make_model
+from .models.pdf import SDFPDF, NeuSPDF, NeRFPDF
+from .models.aninerf import AniNeRF
+from .data import (
+    TPoseDataset,
+    TPosePDFDataset,
+    Loader,
+    FrameSampler,
+)
+from .data.novel_view import (
+    NovelViewDataset,
+    NovelViewPDFDataset,
+    PoseSequenceDataset,
+    PoseSequencePDFDataset,
+)
+from .data.mesh_dataset import MeshDataset, SDFMeshDataset, PDFMeshDataset
+from .render import (
+    RenderSettings,
+    render_image,
+    pad_rays,
+    prepare_inside_mask,
+)
+from .render.mesh import density_grid_sweep, marching_cubes, largest_component
+from .train import (
+    Trainer,
+    Recorder,
+    save_checkpoint,
+    load_checkpoint,
+)
+from .train.trainer import collate_rays, stack_batch, RAY_KEYS, FRAME_KEYS
+from .evaluators import ImageEvaluator, MeshEvaluator
+from .visualizers import (
+    ImageVisualizer,
+    NovelViewVisualizer,
+    PoseSequenceVisualizer,
+    MeshVisualizer,
+)
+from .core import sample_blend_closest_points
+from .core.lbs import (
+    pose_points_to_tpose_points,
+    tpose_points_to_pose_points,
+    pose_points_to_world_points,
+)
+
+DATASETS = {
+    "lib.datasets.tpose_dataset": TPoseDataset,
+    "lib.datasets.tpose_pdf_dataset": TPosePDFDataset,
+    "lib.datasets.tpose_novel_view_dataset": NovelViewDataset,
+    "lib.datasets.tpose_pdf_novel_view_dataset": NovelViewPDFDataset,
+    "lib.datasets.tpose_pose_sequence_dataset": PoseSequenceDataset,
+    "lib.datasets.tpose_pdf_pose_sequence_dataset": PoseSequencePDFDataset,
+    "lib.datasets.aninerf_mesh_dataset": MeshDataset,
+    "lib.datasets.anisdf_mesh_dataset": SDFMeshDataset,
+    "lib.datasets.aninerf_pdf_mesh_dataset": PDFMeshDataset,
+    "tpose": TPoseDataset,
+    "tpose_pdf": TPosePDFDataset,
+}
+
+
+def make_dataset(cfg: Config, split: str):
+    name = cfg.train_dataset_module if split == "train" else cfg.test_dataset_module
+    return DATASETS[name](cfg, split)
+
+
+def make_test_loader(cfg: Config, dataset):
+    sampler = None
+    if cfg.test.get("sampler") == "FrameSampler":
+        sampler = FrameSampler(
+            dataset,
+            interval=cfg.test.frame_sampler_interval,
+            begin=cfg.test.get("begin_sampler_ind", 0),
+            count=cfg.test.get("num_sampler_ind", -1),
+        )
+    return Loader(dataset, shuffle=False, sampler=sampler, num_threads=2)
+
+
+def render_settings(cfg: Config) -> RenderSettings:
+    return RenderSettings(
+        n_samples=cfg.N_samples,
+        perturb=cfg.perturb > 0,
+        white_bkgd=cfg.white_bkgd,
+        eval_tile=cfg.get("eval_tile", 8192),
+    )
+
+
+def frame_arrays(item: dict):
+    """Extract the jnp frame dict from a dataset item."""
+    out = {}
+    for k in FRAME_KEYS:
+        if k in item:
+            out[k] = jnp.asarray(item[k])
+    for k in ("latent_index", "bw_latent_index"):
+        if k in out:
+            out[k] = jnp.asarray(np.asarray(item[k]), jnp.int32)
+    return out
+
+
+def _bucket_pad(n: int, tile: int) -> int:
+    """Pad ray counts to tile * next power-of-two tile-count so eval
+    shapes form a tiny set of compiled programs."""
+    tiles = max(1, int(np.ceil(n / tile)))
+    return tile * (1 << (tiles - 1).bit_length())
+
+
+def eval_rays(item: dict, tile: int):
+    """Pad an eval item's rays into jit-stable shapes."""
+    rays = {k: np.asarray(item[k]) for k in RAY_KEYS if k in item}
+    if "occupancy" in rays:
+        rays["occupancy"] = rays["occupancy"].astype(np.int32)
+    n = len(rays["ray_o"])
+    target = _bucket_pad(n, tile)
+    padded, n_valid = pad_rays(rays, target)
+    # pad_rays pads to a multiple; extend to the bucket target exactly
+    return {k: jnp.asarray(v) for k, v in padded.items()}, n_valid
+
+
+class Engine:
+    """One experiment: model + params + jitted render/eval programs."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.model = make_model(cfg)
+        self.settings = render_settings(cfg)
+        self.novel_pose = bool(cfg.test_novel_pose)
+        self._render_image_jit = jax.jit(
+            lambda params, rays, frame: render_image(
+                self.model, params, rays, frame, self.settings,
+                novel_pose=self.novel_pose,
+            )
+        )
+        self._render_image_vis_jit = jax.jit(
+            lambda params, rays, frame, Ks, RT, msks: render_image(
+                self.model, params, rays, frame, self.settings,
+                novel_pose=self.novel_pose,
+                inside_fn=lambda pts: prepare_inside_mask(pts, Ks, RT, msks),
+            )
+        )
+
+    # --------------------------------------------------------- params
+    def init_params(self, key, dataset=None):
+        n = 8
+        z = jnp.ones((n, self.cfg.N_samples))
+        wpts = jnp.zeros((*z.shape, 3))
+        rd = jnp.ones((n, 3))
+        if dataset is None:
+            dataset = make_dataset(self.cfg, "test")
+        frame = frame_arrays(dataset[0])
+        kwargs = {"novel_pose": True} if self.novel_pose else {}
+        return jax.jit(
+            lambda: self.model.init(key, wpts, rd, z, frame, train=False, **kwargs)
+        )()
+
+    def load_params(self, template):
+        out = load_checkpoint(self.cfg.trained_model_dir, template)
+        if out is None:
+            raise FileNotFoundError(
+                f"no checkpoint in {self.cfg.trained_model_dir}"
+            )
+        return out[0]
+
+    # --------------------------------------------------------- render
+    def render_item(self, params, item, visibility: bool = False):
+        rays, n_valid = eval_rays(item, self.settings.eval_tile)
+        frame = frame_arrays(item)
+        if visibility and "msks" in item:
+            out = self._render_image_vis_jit(
+                params,
+                rays,
+                frame,
+                jnp.asarray(item["Ks"]),
+                jnp.asarray(item["RT"]),
+                jnp.asarray(item["msks"]),
+            )
+        else:
+            out = self._render_image_jit(params, rays, frame)
+        return {k: np.asarray(v)[:n_valid] for k, v in out.items()}, n_valid
+
+    # --------------------------------------------------------- mesh
+    def extract_mesh(self, params, item):
+        """Marching cubes over the field sweep.
+
+        aninerf path (aninerf_mesh_renderer.py:26-64): world-space density
+        grid carved by multi-view visibility, mc at cfg.mesh_th.
+        sdf path (sdf_mesh_renderer.py:51-111): canonical sdf grid, mc at
+        0, largest component, inverse-displacement correction, re-pose.
+        """
+        cfg = self.cfg
+        pts = np.asarray(item["pts"])
+        sh = pts.shape[:3]
+        flat = jnp.asarray(pts.reshape(-1, 3))
+        frame = frame_arrays(item)
+        voxel = float(np.asarray(item["voxel_size"]).ravel()[0])
+
+        if isinstance(self.model, (SDFPDF, NeuSPDF)):
+            # canonical-space SDF sweep; KNN filter baked into model.sdf?
+            # model.sdf works in world space — here the grid is canonical,
+            # so sweep the raw sdf network with the KNN filter
+            tverts = frame["tvertices"]
+            weights = frame["weights"]
+
+            def sweep(p):
+                _, tnorm = sample_blend_closest_points(p, tverts, weights)
+                sdf = self.model.apply(
+                    params, p, method=self.model.canonical_sdf
+                )
+                return jnp.where(tnorm[..., 0] < 0.1, sdf, 10.0)
+
+            sdf = np.asarray(density_grid_sweep(jax.jit(sweep), flat))
+            cube = (-sdf).reshape(sh)
+            cube = np.pad(cube, 10, mode="constant", constant_values=-10)
+            verts, tris = marching_cubes(cube, 0.0)
+            verts, tris = largest_component(verts, tris)
+            if len(verts) == 0:
+                return {"vertex": verts, "posed_vertex": verts, "triangle": tris}
+            verts = (verts - 10) * voxel + np.asarray(item["tbounds"])[0]
+
+            # re-pose the canonical mesh (sdf_mesh_renderer.py:83-102)
+            v = jnp.asarray(verts.astype(np.float32))
+            tbw, _ = sample_blend_closest_points(v, tverts, weights)
+
+            # inverse-displacement correction: resd = -normal * sdf with
+            # normal = d/dx sdf(x + resd(x)) (sdf_mesh_renderer.py:90-96)
+            def og(p):
+                return self.model.apply(
+                    params, p, frame, method=self.model._observed_grad
+                )
+
+            def sdf_at(p):
+                resd = self.model.apply(
+                    params, p, frame, method=self.model.canonical_resd
+                )
+                return self.model.apply(
+                    params, p + resd, method=self.model.canonical_sdf
+                )
+
+            normal = np.asarray(jax.jit(og)(v))
+            sdf_v = np.asarray(jax.jit(sdf_at)(v))
+            deformed = v + jnp.asarray(-normal * sdf_v[:, None])
+
+            tpose_pts = pose_points_to_tpose_points(deformed, tbw, frame["big_A"])
+            pose_pts = tpose_points_to_pose_points(tpose_pts, tbw, frame["A"])
+            world = pose_points_to_world_points(pose_pts, frame["R"], frame["Th"])
+            return {
+                "vertex": verts,
+                "posed_vertex": np.asarray(world),
+                "triangle": tris,
+            }
+
+        # density path (aninerf / aligned / nerf-pdf): world-space grid
+        field = lambda p: self.model.apply(
+            params, p, frame, method=self.model.density
+        )
+        sigma = np.asarray(density_grid_sweep(jax.jit(field), flat))
+        if "msks" in item:
+            vis = np.asarray(
+                prepare_inside_mask(
+                    flat,
+                    jnp.asarray(item["Ks"]),
+                    jnp.asarray(item["RT"]),
+                    jnp.asarray(item["msks"]),
+                )
+            )
+            sigma = np.where(vis, sigma, 0.0)
+        cube = sigma.reshape(sh)
+        cube = np.pad(cube, 10, mode="constant")
+        verts, tris = marching_cubes(cube, float(cfg.mesh_th))
+        if len(verts):
+            verts = (verts - 10) * voxel + np.asarray(item["wbounds"])[0]
+        return {"vertex": verts, "posed_vertex": verts, "triangle": tris}
+
+
+# ======================================================================
+# run types (run.py:4-144)
+# ======================================================================
+
+def run_dataset(cfg: Config, max_items: int = 20):
+    """Dataloader smoke test (run.py:4-11)."""
+    ds = make_dataset(cfg, "train")
+    loader = Loader(ds, shuffle=True, max_iter=max_items)
+    t0 = time.time()
+    n = 0
+    for _ in loader:
+        n += 1
+    dt = time.time() - t0
+    print(f"iterated {n} items in {dt:.2f}s ({n / max(dt, 1e-9):.1f} it/s)")
+    return n
+
+
+def run_network(cfg: Config, n_iters: int = 10):
+    """Forward latency benchmark (run.py:14-38)."""
+    eng = Engine(cfg)
+    ds = make_dataset(cfg, "test")
+    loader = make_test_loader(cfg, ds)
+    params = eng.load_params(eng.init_params(jax.random.PRNGKey(0), ds))
+    times = []
+    for i, item in enumerate(loader):
+        if i >= n_iters:
+            break
+        t0 = time.time()
+        out, _ = eng.render_item(params, item)
+        times.append(time.time() - t0)
+    mean = float(np.mean(times[1:])) if len(times) > 1 else float(np.mean(times))
+    print(f"mean forward: {mean:.4f}s over {len(times)} frames")
+    return mean
+
+
+def run_evaluate(cfg: Config, params=None, max_items: int = -1,
+                 save_images: bool = True):
+    """PSNR/SSIM evaluation (run.py:41-70)."""
+    cfg.eval = True
+    eng = Engine(cfg)
+    ds = make_dataset(cfg, "test")
+    loader = make_test_loader(cfg, ds)
+    if params is None:
+        params = eng.load_params(eng.init_params(jax.random.PRNGKey(0), ds))
+    evaluator = ImageEvaluator(cfg.result_dir)
+    for i, item in enumerate(loader):
+        if max_items >= 0 and i >= max_items:
+            break
+        out, n_valid = eng.render_item(params, item)
+        evaluator.evaluate(
+            out["rgb_map"],
+            np.asarray(item["rgb"]),
+            np.asarray(item["mask_at_box"]),
+            int(item["H"]),
+            int(item["W"]),
+            frame_index=int(item["frame_index"]),
+            view_index=int(item.get("cam_ind", 0)),
+            save_images=save_images,
+        )
+    return evaluator.summarize()
+
+
+def run_visualize(cfg: Config, params=None, max_items: int = -1):
+    """Novel view / pose sequence / mesh visualization (run.py:73-102)."""
+    eng = Engine(cfg)
+    ds = make_dataset(cfg, "test")
+    loader = Loader(ds, shuffle=False, num_threads=2)
+    if params is None:
+        params = eng.load_params(eng.init_params(jax.random.PRNGKey(0), ds))
+
+    if cfg.vis_posed_mesh or cfg.vis_tpose_mesh:
+        vis = MeshVisualizer(cfg.exp_name)
+        evaluator = MeshEvaluator(
+            cfg.result_dir,
+            data_root=cfg.test_dataset["data_root"],
+            human=cfg.test_dataset["human"],
+            exp_name=cfg.exp_name,
+        )
+        results = []
+        for i, item in enumerate(loader):
+            if max_items >= 0 and i >= max_items:
+                break
+            mesh = eng.extract_mesh(params, item)
+            vis.visualize(
+                mesh["posed_vertex"], mesh["triangle"],
+                int(item["frame_index"]), posed=cfg.vis_posed_mesh,
+            )
+            m = evaluator.evaluate(
+                mesh["posed_vertex"], mesh["triangle"], int(item["frame_index"])
+            )
+            results.append(m)
+        if evaluator.chamfers:
+            evaluator.summarize()
+        return results
+
+    if cfg.vis_novel_view:
+        vis = NovelViewVisualizer(cfg.exp_name)
+    else:
+        vis = PoseSequenceVisualizer(cfg.exp_name)
+    for i, item in enumerate(loader):
+        if max_items >= 0 and i >= max_items:
+            break
+        out, n_valid = eng.render_item(params, item, visibility=True)
+        vis.visualize(
+            out["rgb_map"],
+            np.asarray(item["mask_at_box"]),
+            int(item["H"]),
+            int(item["W"]),
+            int(item["frame_index"]),
+            int(item.get("view_index", 0)),
+        )
+    return True
+
+
+# ======================================================================
+# training driver (train_net.py:18-63)
+# ======================================================================
+
+def run_train(cfg: Config, epochs: int | None = None, mesh=None):
+    from .train.animation import AnimationTrainer
+
+    model = make_model(cfg)
+    if cfg.aninerf_animation:
+        trainer = AnimationTrainer(cfg, model)
+    else:
+        trainer = Trainer(cfg, model)
+
+    ds = make_dataset(cfg, "train")
+    is_main = jax.process_index() == 0
+    recorder = Recorder(cfg.record_dir, resume=cfg.resume, is_main=is_main)
+
+    n_epochs = epochs if epochs is not None else cfg.train.epoch
+    max_iter = n_epochs * max(cfg.ep_iter, 1)
+
+    loader = Loader(
+        ds,
+        shuffle=True,
+        max_iter=cfg.ep_iter if cfg.ep_iter > 0 else -1,
+        num_shards=jax.process_count(),
+        shard_id=jax.process_index(),
+        num_threads=cfg.train.get("num_workers", 8) // 2 or 1,
+    )
+
+    # init / resume
+    probe = [collate_rays(ds[0], cfg.N_rand)]
+    key = jax.random.PRNGKey(0 if not cfg.fix_random else 0)
+    state = trainer.init_state(jax.random.PRNGKey(42), stack_batch(probe))
+
+    # stage-2 init from the stage-1 checkpoint (tpose_nerf_network.py:34-38)
+    if cfg.aninerf_animation and cfg.init_aninerf != "no_pretrain":
+        from .train.checkpoints import load_params_partial
+
+        init_dir = os.path.join("data/trained_model/deform", cfg.init_aninerf)
+        if os.path.isdir(init_dir):
+            params = load_params_partial(init_dir, state.params, strict=False)
+            state = state._replace(params=params)
+    if cfg.get("init_sdf"):
+        from .train.checkpoints import load_params_partial
+
+        init_dir = os.path.join("data/trained_model", cfg.task, cfg.init_sdf)
+        if os.path.isdir(init_dir):
+            params = load_params_partial(
+                init_dir, state.params,
+                only=["params/tpose_human/sdf_network", "params/sdf_network"],
+                strict=False,
+            )
+            state = state._replace(params=params)
+
+    begin_epoch = 0
+    if cfg.resume:
+        out = load_checkpoint(
+            cfg.trained_model_dir, state.params,
+            state.opt_state,
+        )
+        if out is not None:
+            params, opt_state, epoch0, step, rec = out
+            state = state._replace(
+                params=params, opt_state=opt_state, step=jnp.asarray(step)
+            )
+            begin_epoch = epoch0 + 1
+            recorder.load_state_dict(rec)
+    elif os.path.isdir(cfg.trained_model_dir):
+        import shutil
+
+        shutil.rmtree(cfg.trained_model_dir, ignore_errors=True)
+
+    for epoch in range(begin_epoch, n_epochs):
+        state, key = trainer.train_epoch(
+            state, loader, recorder, key, epoch, max_iter, mesh=mesh,
+            log_interval=cfg.log_interval, record_interval=cfg.record_interval,
+        ) if not cfg.aninerf_animation else _anim_epoch(
+            trainer, state, loader, recorder, key, epoch, cfg
+        )
+        if is_main:
+            if (epoch + 1) % cfg.save_ep == 0:
+                save_checkpoint(
+                    cfg.trained_model_dir, state.params, state.opt_state,
+                    epoch, int(state.step), recorder.state_dict(),
+                )
+            if (epoch + 1) % cfg.save_latest_ep == 0 or epoch == n_epochs - 1:
+                save_checkpoint(
+                    cfg.trained_model_dir, state.params, state.opt_state,
+                    epoch, int(state.step), recorder.state_dict(), latest=True,
+                )
+        if (epoch + 1) % cfg.eval_ep == 0 and not cfg.skip_eval:
+            run_evaluate(cfg.clone(), params=state.params, max_items=2,
+                         save_images=False)
+    return state
+
+
+def _anim_epoch(trainer, state, loader, recorder, key, epoch, cfg):
+    """Stage-2 epoch: only frame metadata is consumed."""
+    loader.set_epoch(epoch)
+    recorder.epoch = epoch
+    for item in loader:
+        batch = stack_batch([collate_rays(item, cfg.N_rand)])
+        key, sub = jax.random.split(key)
+        state, stats = trainer.train_step(state, batch, sub)
+        recorder.step += 1
+        recorder.update_stats({k: float(v) for k, v in stats.items()})
+        if recorder.step % cfg.log_interval == 0:
+            print(recorder.log_line(0, float(trainer.sched(int(state.step)))))
+    return state, key

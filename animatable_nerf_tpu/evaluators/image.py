@@ -108,11 +108,11 @@ class ImageEvaluator:
             os.makedirs(comp, exist_ok=True)
             cv2.imwrite(
                 f"{comp}/frame{frame_index:04d}_view{view_index:04d}.png",
-                (img_pred[..., ::-1] * 255),
+                np.clip(img_pred[..., ::-1] * 255, 0, 255).astype(np.uint8),
             )
             cv2.imwrite(
                 f"{comp}/frame{frame_index:04d}_view{view_index:04d}_gt.png",
-                (img_gt[..., ::-1] * 255),
+                np.clip(img_gt[..., ::-1] * 255, 0, 255).astype(np.uint8),
             )
 
         # bbox crop before SSIM (if_nerf.py:51-56)

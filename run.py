@@ -1,0 +1,59 @@
+"""Eval/vis/bench CLI.
+
+Usage mirrors the reference (run.py):
+    python run.py --type evaluate --cfg_file configs/aninerf_313.yaml exp_name aninerf_313
+    python run.py --type visualize --cfg_file ... vis_novel_view True
+    python run.py --type visualize --cfg_file ... vis_posed_mesh True
+    python run.py --type dataset --cfg_file ...
+    python run.py --type network --cfg_file ...
+Dispatch is `run_<type>` by --type (reference run.py:143-144).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from animatable_nerf_tpu import jaxenv
+from animatable_nerf_tpu.config import parse_cli
+
+jaxenv.setup()
+
+
+def run_dataset(cfg):
+    from animatable_nerf_tpu.engine import run_dataset as f
+
+    f(cfg)
+
+
+def run_network(cfg):
+    from animatable_nerf_tpu.engine import run_network as f
+
+    f(cfg)
+
+
+def run_evaluate(cfg):
+    from animatable_nerf_tpu.engine import run_evaluate as f
+
+    f(cfg)
+
+
+def run_visualize(cfg):
+    from animatable_nerf_tpu.engine import run_visualize as f
+
+    f(cfg)
+
+
+def main():
+    args, cfg = parse_cli()
+    fn = globals().get("run_" + args.type)
+    if fn is None:
+        raise SystemExit(
+            f"unknown --type {args.type!r}; available: dataset, network, "
+            "evaluate, visualize"
+        )
+    fn(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: helps if any compile is slow/remote
-jax.config.update("jax_compilation_cache_dir", "/tmp/anvtpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/anvtpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
