@@ -1,0 +1,114 @@
+"""Benchmark: eval-render throughput (rays/sec/chip) on the flagship
+AniNeRF model.
+
+Protocol: one fused XLA program renders 65536 rays x 64 samples
+(4.19M point queries; each point runs the blend-weight MLP, LBS warp,
+canonical-bw MLP and the NeRF trunk + heads — the same work the
+reference does per point in tpose_nerf_network.py:139-215, minus its
+2048-ray Python chunk loop). Steady-state median over repeated
+executions after a warmup.
+
+Baseline: the reference has no checked-in numbers (BASELINE.md); the
+driver-set target is >= 3x an A100 running the PyTorch reference.
+REFERENCE_A100_RAYS_PER_SEC below is an engineering estimate for the
+reference's chunked eval loop on A100 (2048-ray launches, unfused
+Conv1d stacks, ~0.1s/chunk); vs_baseline is measured rays/sec divided
+by 3x that estimate, i.e. vs_baseline >= 1.0 means the 3x-A100 target
+is met. Replace with a measured number when the licensed datasets and
+an A100 are available.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_A100_RAYS_PER_SEC = 20_000.0
+TARGET_FACTOR = 3.0
+N_RAYS = 65536
+N_SAMPLES = 64
+WARMUP = 2
+REPS = 10
+
+
+def main():
+    from animatable_nerf_tpu import jaxenv
+
+    jax = jaxenv.setup()
+    import jax.numpy as jnp
+
+    from animatable_nerf_tpu.models import AniNeRF
+    from animatable_nerf_tpu.render import RenderSettings, render_rays
+    import __graft_entry__ as ge
+
+    rng = np.random.RandomState(0)
+    frame = {
+        k: jnp.asarray(v)
+        for k, v in ge._synthetic_frame(rng, grid_shape=(64, 64, 24)).items()
+    }
+    rays = {k: jnp.asarray(v) for k, v in ge._rays(rng, N_RAYS).items()}
+
+    model = AniNeRF(num_train_frames=60)
+    settings = RenderSettings(n_samples=N_SAMPLES, perturb=False)
+    z = jnp.ones((N_RAYS, N_SAMPLES))
+    params = jax.jit(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((*z.shape, 3)), rays["ray_d"], z,
+            frame, train=False,
+        )
+    )()
+
+    @jax.jit
+    def render(params, rays):
+        out = render_rays(model, params, rays, frame, settings, train=False)
+        return out["rgb_map"], out["acc_map"]
+
+    # warmup (compile + first executions)
+    for _ in range(WARMUP):
+        out = render(params, rays)
+        jax.block_until_ready(out[0])
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = render(params, rays)
+        jax.block_until_ready(out[0])
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
+    rays_per_sec = N_RAYS / dt
+    # seconds to render a full 1024x1024 frame (all pixels in-box)
+    sec_per_frame = 1024 * 1024 / rays_per_sec
+    baseline = TARGET_FACTOR * REFERENCE_A100_RAYS_PER_SEC
+
+    print(
+        json.dumps(
+            {
+                "metric": "eval_render_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / baseline, 3),
+                "detail": {
+                    "n_rays": N_RAYS,
+                    "n_samples": N_SAMPLES,
+                    "median_ms": round(dt * 1e3, 2),
+                    "sec_per_1024sq_frame": round(sec_per_frame, 3),
+                    "device": str(jax.devices()[0]),
+                    "baseline_rays_per_sec": baseline,
+                    "baseline_basis": "3x estimated A100 reference throughput",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
