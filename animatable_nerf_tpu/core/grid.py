@@ -62,6 +62,40 @@ def grid_trilerp(vol: jnp.ndarray, pts01: jnp.ndarray) -> jnp.ndarray:
     return c0 * (1 - fx) + c1 * fx
 
 
+def grid_bilerp(img: jnp.ndarray, uv01: jnp.ndarray) -> jnp.ndarray:
+    """Sample `img` (H, W, C) at normalized points (..., 2) in [0, 1].
+
+    2-D analogue of grid_trilerp with the same align_corners=True /
+    border-clamp semantics (used by the NT texture pyramid, which the
+    reference samples with F.grid_sample — lib/networks/nt/texture.py).
+    uv01[..., 0] indexes the W axis (u), [..., 1] the H axis (v).
+    """
+    H, W, C = img.shape
+    u = jnp.clip(uv01[..., 0], 0.0, 1.0) * (W - 1)
+    v = jnp.clip(uv01[..., 1], 0.0, 1.0) * (H - 1)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    u0 = u0.astype(jnp.int32)
+    v0 = v0.astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, W - 1)
+    v1 = jnp.minimum(v0 + 1, H - 1)
+
+    flat = img.reshape(-1, C)
+
+    def take(vi, ui):
+        return jnp.take(flat, vi * W + ui, axis=0)
+
+    c00 = take(v0, u0)
+    c01 = take(v0, u1)
+    c10 = take(v1, u0)
+    c11 = take(v1, u1)
+    c0 = c00 * (1 - fu) + c01 * fu
+    c1 = c10 * (1 - fu) + c11 * fu
+    return c0 * (1 - fv) + c1 * fv
+
+
 def pts_sample_blend_weights(pts, vol, bounds):
     """Interpolate per-point blend weights from a voxel volume.
 

@@ -1,0 +1,157 @@
+"""Fused KNN blend-weight sampling as a Pallas TPU kernel.
+
+Replaces the reference's pytorch3d CUDA path (`knn_points` +
+inverse-distance gather, lib/utils/sample_utils.py:309-348) and fuses
+what the pure-XLA twin (core/knn.py) does in several HBM-separated ops:
+
+    pairwise d2 (matmul) -> top-k -> sqrt/IDW weights -> gather -> reduce
+
+into ONE kernel per query tile. The (TILE, M) distance matrix never
+leaves VMEM; the gather is expressed as a one-hot (TILE, M) x (M, C)
+matmul so it runs on the MXU instead of as a scatter/gather.
+
+Selection strategy: k iterations of (min, tie-broken-argmin-as-onehot,
+mask-out) over the VMEM-resident distance matrix — no sort, no
+lax.top_k, and every step is a VPU reduction or an MXU matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.knn import sample_blend_closest_points as _xla_reference
+
+_BIG = 3.0e38
+_FAR_COORD = 1.0e6  # padded reference vertices live here: never selected
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _knn_kernel(src_ref, ref_ref, values_ref, vals_out_ref,
+                dist_out_ref, *, k: int, eps: float):
+    """One query tile: src (T,3) vs all reference vertices (M,3)."""
+    src = src_ref[:]                      # (T, 3)
+    refT = ref_ref[:]                     # (3, M)
+    values = values_ref[:]                # (M, C)
+
+    # exact f32 distances on the VPU: the matmul form |s|^2 - 2 s.r + |r|^2
+    # suffers cancellation through the MXU's reduced-precision passes and
+    # can flip neighbor selection (IDW then amplifies the flip).
+    dx = src[:, 0:1] - refT[0:1, :]                          # (T, M)
+    dy = src[:, 1:2] - refT[1:2, :]
+    dz = src[:, 2:3] - refT[2:3, :]
+    d2 = dx * dx + dy * dy + dz * dz                         # (T, M)
+
+    T, M = d2.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
+
+    acc_vals = jnp.zeros((T, values.shape[1]), jnp.float32)
+    acc_disp = jnp.zeros((T, 1), jnp.float32)
+    acc_wd = jnp.zeros((T, 1), jnp.float32)
+    cur = d2
+    for _ in range(k):
+        dmin = jnp.min(cur, axis=1, keepdims=True)           # (T, 1)
+        # tie-break to the lowest column index, like a sequential scan
+        is_min = cur <= dmin
+        idx_min = jnp.min(jnp.where(is_min, col, M), axis=1, keepdims=True)
+        onehot = (col == idx_min).astype(jnp.float32)        # (T, M)
+        d = jnp.sqrt(dmin)
+        disp = 1.0 / (d + eps)
+        acc_vals += disp * jnp.dot(
+            onehot, values, preferred_element_type=jnp.float32
+        )
+        acc_disp += disp
+        acc_wd += disp * d
+        cur = jnp.where(onehot > 0, _BIG, cur)
+
+    vals_out_ref[:] = acc_vals / acc_disp
+    dist_out_ref[:] = acc_wd / acc_disp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "eps", "tile", "interpret")
+)
+def knn_blend_pallas(src, ref, values, k: int = 5, eps: float = 1e-8,
+                     tile: int = 256, interpret: bool = False):
+    """Fused IDW blend-weight sampling.
+
+    Args:
+      src: (N, 3) query points. ref: (M, 3) vertices. values: (M, C).
+    Returns:
+      (sampled (N, C), wdist (N, 1)) — same contract as
+      core.knn.sample_blend_closest_points.
+    """
+    N, _ = src.shape
+    M, C = values.shape
+    Np = _round_up(max(N, tile), tile)
+    Mp = _round_up(M, 128)
+
+    src_p = jnp.zeros((Np, 3), jnp.float32).at[:N].set(src.astype(jnp.float32))
+    # padded vertices are pushed far away so they are never a neighbor
+    ref_p = jnp.full((Mp, 3), _FAR_COORD, jnp.float32).at[:M].set(
+        ref.astype(jnp.float32)
+    )
+    vals_p = jnp.zeros((Mp, C), jnp.float32).at[:M].set(
+        values.astype(jnp.float32)
+    )
+    refT = ref_p.T                                   # (3, Mp)
+
+    grid = (Np // tile,)
+    kernel = functools.partial(_knn_kernel, k=k, eps=eps)
+    sampled, wdist = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Mp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, C), jnp.float32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * Mp * (3 + k * C) + 5 * Np * Mp * k,
+            bytes_accessed=4 * (Np * 3 + Mp * (3 + C) + Np * (C + 1)),
+            transcendentals=Np * k,
+        ),
+        interpret=interpret,
+    )(src_p, refT, vals_p)
+    return sampled[:N], wdist[:N]
+
+
+def sample_blend_closest_points_fused(src, ref, values, k: int = 5,
+                                      eps: float = 1e-8):
+    """Dispatch: Pallas kernel on TPU, XLA twin elsewhere.
+
+    Accepts the same leading batch dims as the XLA twin.
+    """
+    if jax.default_backend() != "tpu":
+        return _xla_reference(src, ref, values, k=k, exp=eps)
+    batch_shape = src.shape[:-2]
+    if batch_shape:
+        flat = jax.vmap(
+            lambda s, r, v: knn_blend_pallas(s, r, v, k=k, eps=eps)
+        )
+        return flat(
+            src.reshape(-1, *src.shape[-2:]),
+            ref.reshape(-1, *ref.shape[-2:]),
+            values.reshape(-1, *values.shape[-2:]),
+        )
+    return knn_blend_pallas(src, ref, values, k=k, eps=eps)

@@ -5,8 +5,10 @@ Reference: lib/networks/renderer/aninerf_mesh_renderer.py (density
 marching cubes at cfg.mesh_th) and sdf_mesh_renderer.py (canonical SDF at
 level 0, then re-posing). The reference calls PyMCubes; this module ships
 a dependency-free vectorized marching-tetrahedra extractor (same
-isosurface, denser tessellation) — a C++ marching-cubes extension is the
-planned fast path (animatable_nerf_tpu/csrc).
+isosurface, denser tessellation). The fast path is the in-tree C++
+implementation of the same algorithm (csrc/mesh_native.cpp, loaded via
+animatable_nerf_tpu/native.py) — `marching_cubes` dispatches to it
+automatically and falls back to the numpy twin.
 """
 
 from __future__ import annotations
@@ -74,13 +76,21 @@ for case in range(1, 15):
 
 
 def marching_cubes(volume: np.ndarray, level: float, spacing=(1.0, 1.0, 1.0),
-                   origin=(0.0, 0.0, 0.0)):
+                   origin=(0.0, 0.0, 0.0), native: bool = True):
     """Extract the isosurface {volume == level} from a (D, H, W) scalar
     grid. Returns (vertices (V, 3) float32, faces (F, 3) int64).
 
-    Vectorized marching tetrahedra: all cubes processed with numpy
-    broadcasting; vertices are deduplicated on quantized edge keys.
+    Dispatches to the C++ extractor (csrc/mesh_native.cpp) when built;
+    otherwise runs the vectorized numpy marching tetrahedra below
+    (all cubes processed with broadcasting; vertices deduplicated on
+    quantized edge keys).
     """
+    if native:
+        from ..native import marching_cubes_native
+
+        out = marching_cubes_native(volume, level, spacing, origin)
+        if out is not None:
+            return out
     vol = np.asarray(volume, dtype=np.float64)
     D, H, W = vol.shape
     if min(D, H, W) < 2:

@@ -1,0 +1,217 @@
+"""Tests for the ops layer: Pallas kernels (interpret mode on CPU) vs
+their pure-XLA twins, and pointnet2 / rasterizer semantics vs naive
+numpy oracles mirroring the reference CUDA kernels."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from animatable_nerf_tpu.core.knn import sample_blend_closest_points
+from animatable_nerf_tpu.ops.knn_pallas import knn_blend_pallas
+from animatable_nerf_tpu.ops.mlp_pallas import (
+    fused_skip_mlp,
+    make_fused_skip_mlp,
+    _ref_forward,
+    flax_skipmlp_layers,
+)
+from animatable_nerf_tpu.ops import pointnet2 as pn2
+from animatable_nerf_tpu.ops.rasterize import rasterize_points
+
+
+class TestKNNPallas:
+    def test_matches_xla_twin(self, rng):
+        src = rng.randn(300, 3).astype(np.float32)
+        ref = rng.randn(500, 3).astype(np.float32)
+        vals = rng.rand(500, 24).astype(np.float32)
+        want_s, want_d = sample_blend_closest_points(
+            jnp.asarray(src), jnp.asarray(ref), jnp.asarray(vals)
+        )
+        got_s, got_d = knn_blend_pallas(
+            jnp.asarray(src), jnp.asarray(ref), jnp.asarray(vals),
+            tile=128, interpret=True,
+        )
+        np.testing.assert_allclose(got_s, want_s, rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(got_d, want_d, rtol=2e-4, atol=2e-5)
+
+    def test_padding_is_exact(self, rng):
+        # N not a tile multiple, M not a lane multiple
+        src = rng.randn(57, 3).astype(np.float32)
+        ref = rng.randn(131, 3).astype(np.float32)
+        vals = rng.rand(131, 24).astype(np.float32)
+        want_s, _ = sample_blend_closest_points(
+            jnp.asarray(src), jnp.asarray(ref), jnp.asarray(vals)
+        )
+        got_s, _ = knn_blend_pallas(
+            jnp.asarray(src), jnp.asarray(ref), jnp.asarray(vals),
+            tile=128, interpret=True,
+        )
+        np.testing.assert_allclose(got_s, want_s, rtol=2e-4, atol=2e-5)
+
+
+class TestFusedMLP:
+    def _layers(self, rng, dims, key=0):
+        out = []
+        for din, dout in zip(dims[:-1], dims[1:]):
+            w = (rng.randn(din, dout) * 0.2).astype(np.float32)
+            b = (rng.randn(dout) * 0.1).astype(np.float32)
+            out.append((jnp.asarray(w), jnp.asarray(b)))
+        return out
+
+    def test_plain_stack(self, rng):
+        layers = self._layers(rng, [63, 256, 256, 24])
+        x = jnp.asarray(rng.randn(100, 63).astype(np.float32))
+        want = _ref_forward(x, layers, (), "relu")
+        got = fused_skip_mlp(x, layers, tile=128, interpret=True)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_skip_stack_matches_flax(self, rng):
+        from animatable_nerf_tpu.fields.mlp import SkipMLP
+
+        mlp = SkipMLP(depth=4, width=64, out_dim=16, skips=(2,))
+        x = jnp.asarray(rng.randn(40, 39).astype(np.float32))
+        params = mlp.init(jax.random.PRNGKey(0), x)["params"]
+        want = mlp.apply({"params": params}, x)
+        layers = flax_skipmlp_layers(params, depth=4)
+        got = fused_skip_mlp(
+            x, layers, skips=(2,), tile=128, interpret=True
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_softplus_act(self, rng):
+        layers = self._layers(rng, [30, 64, 64, 8])
+        x = jnp.asarray(rng.randn(20, 30).astype(np.float32))
+        want = _ref_forward(x, layers, (), "softplus")
+        got = fused_skip_mlp(
+            x, layers, act="softplus", tile=128, interpret=True
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_custom_vjp_backward(self, rng):
+        layers = self._layers(rng, [16, 32, 32, 4])
+        x = jnp.asarray(rng.randn(24, 16).astype(np.float32))
+        f = make_fused_skip_mlp(skips=(), act="relu")
+        want_g = jax.grad(
+            lambda xx: jnp.sum(_ref_forward(xx, layers, (), "relu") ** 2)
+        )(x)
+        got_g = jax.grad(lambda xx: jnp.sum(f(xx, layers) ** 2))(x)
+        np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-5)
+
+
+class TestPointnet2:
+    def test_fps_maxmin_property(self, rng):
+        xyz = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        idx = pn2.furthest_point_sample(xyz, 8)
+        assert idx.shape == (2, 8)
+        # seed point is index 0; no duplicates
+        assert int(idx[0, 0]) == 0
+        for b in range(2):
+            assert len(set(np.asarray(idx[b]).tolist())) == 8
+
+    def test_fps_matches_naive(self, rng):
+        xyz = rng.randn(1, 40, 3).astype(np.float32)
+        got = np.asarray(pn2.furthest_point_sample(jnp.asarray(xyz), 6))[0]
+        # naive greedy
+        pts = xyz[0]
+        chosen = [0]
+        mind = np.full(40, np.inf)
+        for _ in range(5):
+            d = np.sum((pts - pts[chosen[-1]]) ** 2, -1)
+            mind = np.minimum(mind, d)
+            chosen.append(int(np.argmax(mind)))
+        assert got.tolist() == chosen
+
+    def test_ball_query_semantics(self, rng):
+        xyz = rng.randn(1, 50, 3).astype(np.float32)
+        new_xyz = xyz[:, :4]
+        radius, nsample = 0.8, 6
+        got = np.asarray(
+            pn2.ball_query(radius, nsample, jnp.asarray(xyz),
+                           jnp.asarray(new_xyz))
+        )[0]
+        for s in range(4):
+            d2 = np.sum((xyz[0] - new_xyz[0, s]) ** 2, -1)
+            inball = np.where(d2 < radius**2)[0]
+            want = inball[:nsample].tolist()
+            if len(want) == 0:
+                want = [0] * nsample
+            while len(want) < nsample:
+                want.append(want[0])
+            assert got[s].tolist() == want
+
+    def test_three_interpolate(self, rng):
+        unknown = jnp.asarray(rng.randn(1, 10, 3).astype(np.float32))
+        known = jnp.asarray(rng.randn(1, 7, 3).astype(np.float32))
+        feats = jnp.asarray(rng.randn(1, 7, 5).astype(np.float32))
+        dist, idx = pn2.three_nn(unknown, known)
+        w = pn2.interpolation_weights(dist)
+        out = pn2.three_interpolate(feats, idx, w)
+        assert out.shape == (1, 10, 5)
+        # exact-hit query interpolates to (approx) the known feature
+        unknown2 = known[:, :1]
+        d2, i2 = pn2.three_nn(unknown2, known)
+        w2 = pn2.interpolation_weights(d2)
+        out2 = pn2.three_interpolate(feats, i2, w2)
+        np.testing.assert_allclose(out2[0, 0], feats[0, 0], atol=1e-4)
+
+    def test_group_and_gather(self, rng):
+        pts = jnp.asarray(rng.randn(2, 9, 4).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 9, (2, 3, 5)).astype(np.int32))
+        grouped = pn2.group_points(pts, idx)
+        assert grouped.shape == (2, 3, 5, 4)
+        np.testing.assert_allclose(
+            grouped[1, 2, 3], pts[1, int(idx[1, 2, 3])]
+        )
+
+
+class TestRasterize:
+    def _cam(self, H, W):
+        K = np.array([[W, 0, W / 2], [0, W, H / 2], [0, 0, 1]], np.float32)
+        R = np.eye(3, dtype=np.float32)
+        T = np.zeros((3, 1), np.float32)
+        return K, R, T
+
+    def test_depth_test_picks_nearest(self):
+        H = W = 16
+        K, R, T = self._cam(H, W)
+        # two points projecting to the same pixel, different depths
+        pts = np.array([[0.0, 0.0, 2.0], [0.0, 0.0, 1.0]], np.float32)
+        feats = np.array([[10.0], [20.0]], np.float32)
+        out = rasterize_points(
+            jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(K),
+            jnp.asarray(R), jnp.asarray(T), H, W,
+        )
+        cy, cx = H // 2, W // 2
+        assert float(out["depth"][cy, cx]) == pytest.approx(1.0)
+        assert int(out["index"][cy, cx]) == 1
+        assert float(out["feature_map"][cy, cx, 0]) == pytest.approx(20.0)
+
+    def test_offscreen_and_empty(self):
+        H = W = 8
+        K, R, T = self._cam(H, W)
+        pts = np.array([[100.0, 100.0, 1.0], [0.0, 0.0, -1.0]], np.float32)
+        feats = np.ones((2, 3), np.float32)
+        out = rasterize_points(
+            jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(K),
+            jnp.asarray(R), jnp.asarray(T), H, W,
+        )
+        assert not bool(out["mask"].any())
+        assert float(jnp.abs(out["feature_map"]).sum()) == 0.0
+
+    def test_feature_gradients_flow(self):
+        H = W = 8
+        K, R, T = self._cam(H, W)
+        pts = jnp.asarray(
+            np.array([[0.0, 0.0, 1.0]], np.float32)
+        )
+        feats = jnp.asarray(np.array([[3.0]], np.float32))
+
+        def loss(f):
+            out = rasterize_points(
+                pts, f, jnp.asarray(K), jnp.asarray(R), jnp.asarray(T),
+                H, W,
+            )
+            return jnp.sum(out["feature_map"] ** 2)
+
+        g = jax.grad(loss)(feats)
+        assert float(g[0, 0]) == pytest.approx(6.0)
