@@ -1,0 +1,163 @@
+"""Convert reference PyTorch checkpoints to this framework's flax params.
+
+The reference saves {'net': state_dict, 'optim', 'scheduler', 'recorder',
+'epoch'} (lib/utils/net_utils.py:325-338). The layer-name maps below
+follow the architecture tables of SURVEY.md §2.3:
+
+  AniNeRF (tpose_nerf_network.py):
+    bw_latent.weight                 -> bw_field/latent/embedding
+    bw_linears.{i}.{weight,bias}     -> bw_field/mlp/lin{i}   (Conv1d k=1)
+    bw_fc.{weight,bias}              -> bw_field/mlp/out
+    tpose_human.pts_linears.{i}      -> tpose_human/lin{i}
+    tpose_human.{alpha,feature,latent,view,rgb}_fc -> same names
+    tpose_human.nf_latent.weight     -> tpose_human/nf_latent/embedding
+    novel_pose_bw.*                  -> novel_pose_bw/* (same as bw_field)
+
+  SDF-PDF (anisdf_pdf_network.py):
+    resd_linears.{i} / resd_fc       -> resd_field/mlp/lin{i} | out
+    tpose_human.sdf_network.lin{l}.{weight_v,weight_g,bias}
+                                     -> sdf_network/layers[l] {v,g,b}
+    tpose_human.beta_network.beta    -> beta_network/beta
+    tpose_human.color_network.lin{l} -> color_network/lin{l}/wn
+    tpose_human.color_network.color_latent.weight
+                                     -> color_network/color_latent/embedding
+
+Tensor conventions: torch Conv1d(k=1) weight is (out, in, 1) and Linear
+is (out, in); flax Dense kernels are (in, out) — `conv1d_to_dense` /
+`linear_to_dense` transpose accordingly. torch weight_norm stores
+weight_g (out, 1) + weight_v (out, in) with dim=0 norms; our WN layers
+store {v (in, out), g (out,), b (out,)} (fields/mlp.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_torch_state_dict(path):
+    """Load a reference .pth checkpoint -> (state_dict of numpy arrays,
+    epoch). Uses torch only for deserialization."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt["net"] if "net" in ckpt else ckpt
+    out = {k: v.detach().cpu().numpy() for k, v in state.items()}
+    return out, int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0
+
+
+def conv1d_to_dense(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d(k=1) weight (out, in, 1) -> flax Dense kernel (in, out)."""
+    return np.ascontiguousarray(w[:, :, 0].T)
+
+
+def linear_to_dense(w: np.ndarray) -> np.ndarray:
+    """torch Linear weight (out, in) -> flax Dense kernel (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def weight_norm_to_wn(weight_v: np.ndarray, weight_g: np.ndarray,
+                      bias: np.ndarray) -> dict:
+    """torch nn.utils.weight_norm(Linear) params -> our {v, g, b}."""
+    return {
+        "v": linear_to_dense(weight_v),
+        "g": np.ascontiguousarray(weight_g.reshape(-1)),
+        "b": np.ascontiguousarray(bias),
+    }
+
+
+def _skip_mlp(state, prefix_linears, prefix_fc, depth=8):
+    """Conv1d stack + out head -> SkipMLP param dict."""
+    p = {}
+    for i in range(depth):
+        p[f"lin{i}"] = {
+            "kernel": conv1d_to_dense(state[f"{prefix_linears}.{i}.weight"]),
+            "bias": np.ascontiguousarray(state[f"{prefix_linears}.{i}.bias"]),
+        }
+    p["out"] = {
+        "kernel": conv1d_to_dense(state[f"{prefix_fc}.weight"]),
+        "bias": np.ascontiguousarray(state[f"{prefix_fc}.bias"]),
+    }
+    return p
+
+
+def _bw_field(state, prefix=""):
+    return {
+        "latent": {"embedding": state[f"{prefix}bw_latent.weight"]},
+        "mlp": _skip_mlp(state, f"{prefix}bw_linears", f"{prefix}bw_fc"),
+    }
+
+
+def convert_aninerf(state: dict) -> dict:
+    """Reference tpose_nerf_network state dict -> AniNeRF params
+    (models/aninerf.py). Returns the {'params': ...} tree."""
+    th = "tpose_human."
+    tpose = {
+        "alpha_fc": {
+            "kernel": conv1d_to_dense(state[th + "alpha_fc.weight"]),
+            "bias": state[th + "alpha_fc.bias"],
+        },
+        "feature_fc": {
+            "kernel": conv1d_to_dense(state[th + "feature_fc.weight"]),
+            "bias": state[th + "feature_fc.bias"],
+        },
+        "latent_fc": {
+            "kernel": conv1d_to_dense(state[th + "latent_fc.weight"]),
+            "bias": state[th + "latent_fc.bias"],
+        },
+        "view_fc": {
+            "kernel": conv1d_to_dense(state[th + "view_fc.weight"]),
+            "bias": state[th + "view_fc.bias"],
+        },
+        "rgb_fc": {
+            "kernel": conv1d_to_dense(state[th + "rgb_fc.weight"]),
+            "bias": state[th + "rgb_fc.bias"],
+        },
+        "nf_latent": {"embedding": state[th + "nf_latent.weight"]},
+    }
+    for i in range(8):
+        tpose[f"lin{i}"] = {
+            "kernel": conv1d_to_dense(state[f"{th}pts_linears.{i}.weight"]),
+            "bias": state[f"{th}pts_linears.{i}.bias"],
+        }
+    params = {
+        "bw_field": _bw_field(state),
+        "tpose_human": tpose,
+    }
+    if any(k.startswith("novel_pose_bw.") for k in state):
+        params["novel_pose_bw"] = _bw_field(state, "novel_pose_bw.")
+    return {"params": params}
+
+
+def convert_sdf_pdf(state: dict, n_sdf_layers: int = 9) -> dict:
+    """Reference anisdf_pdf_network state dict -> SDFPDF params
+    (models/pdf.py). Returns the {'params': ...} tree."""
+    th = "tpose_human."
+    layers = []
+    for l in range(n_sdf_layers):
+        pre = f"{th}sdf_network.lin{l}."
+        layers.append(
+            weight_norm_to_wn(
+                state[pre + "weight_v"], state[pre + "weight_g"],
+                state[pre + "bias"],
+            )
+        )
+    color = {
+        "color_latent": {
+            "embedding": state[th + "color_network.color_latent.weight"]
+        },
+    }
+    for l in range(5):
+        pre = f"{th}color_network.lin{l}."
+        color[f"lin{l}"] = {
+            "wn": weight_norm_to_wn(
+                state[pre + "weight_v"], state[pre + "weight_g"],
+                state[pre + "bias"],
+            )
+        }
+    params = {
+        "resd_field": {"mlp": _skip_mlp(state, "resd_linears", "resd_fc")},
+        "sdf_network": {"layers": layers},
+        "beta_network": {"beta": np.asarray(state[th + "beta_network.beta"]).reshape(())},
+        "color_network": color,
+    }
+    return {"params": params}

@@ -1,0 +1,163 @@
+"""SMPL body model math (numpy host-side; LBS chain shared with core/).
+
+The reference reads raw SMPL pickles and re-derives everything per tool
+run (prepare_lbs_meta.py:107-134: shape blend shapes, J_regressor
+joints, kinematic-chain transforms). This module packages that as a
+model class. Pose blend shapes (posedirs) are supported but OFF by
+default — the reference's prep path never applies them (vertices come
+precomputed from EasyMocap), and `get_transform_params` ignores them.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+from ..core.skeleton import batch_rodrigues, rigid_transforms, big_poses_vec
+
+N_BONES = 24
+
+
+def _to_np(x):
+    """Convert chumpy arrays / scipy sparse / lists to plain numpy."""
+    if hasattr(x, "toarray"):  # scipy sparse (J_regressor)
+        return np.asarray(x.toarray())
+    if hasattr(x, "r"):  # chumpy
+        return np.asarray(x.r)
+    return np.asarray(x)
+
+
+def load_smpl(path: str) -> dict:
+    """Read a raw SMPL pickle (or .npz) into plain numpy arrays.
+
+    Returns keys: v_template (V,3), shapedirs (V,3,S), posedirs
+    (V,3,207) if present, J_regressor (24,V), weights (V,24),
+    kintree_table (2,24+), f (faces).
+    (prepare_lbs_meta.py:17-38 `read_pickle`/`read_smpl_file`.)
+    """
+    if path.endswith(".npz") or path.endswith(".npy"):
+        raw = dict(np.load(path, allow_pickle=True))
+    else:
+        with open(path, "rb") as f:
+            u = pickle._Unpickler(f)
+            u.encoding = "latin1"
+            raw = u.load()
+    out = {}
+    for k in ("v_template", "shapedirs", "posedirs", "J_regressor",
+              "weights", "kintree_table", "f"):
+        if k in raw:
+            out[k] = _to_np(raw[k])
+    return out
+
+
+def big_pose_vector(n_joints: int = N_BONES, angle_deg: float = 30.0):
+    """The canonical 'big pose': legs spread 30 degrees
+    (prepare_lbs_meta.py:211-216, tpose_dataset.py:80-90)."""
+    return big_poses_vec(angle_deg).reshape(-1)[: n_joints * 3].reshape(
+        n_joints, 3
+    )
+
+
+def barycentric_interpolation(val: np.ndarray, coords: np.ndarray):
+    """val (N, 3, C) per-corner values, coords (N, 3) barycentric ->
+    (N, C) (prepare_lbs_meta.py:41-49)."""
+    t = val * coords[..., np.newaxis]
+    return t.sum(axis=1)
+
+
+class SMPLModel:
+    """Host-side SMPL: shapes -> joints -> rigid transforms -> LBS.
+
+    All arrays numpy; the rigid-transform chain reuses
+    core.skeleton.rigid_transforms (identical to the runtime path used
+    inside jitted programs).
+    """
+
+    def __init__(self, smpl: dict, n_bones: int = N_BONES):
+        self.v_template = np.asarray(smpl["v_template"], np.float64)
+        self.shapedirs = np.asarray(smpl["shapedirs"], np.float64)
+        self.J_regressor = np.asarray(smpl["J_regressor"], np.float64)
+        w = np.asarray(smpl["weights"], np.float64)[:, :n_bones]
+        self.weights = w / w.sum(axis=-1, keepdims=True)
+        self.parents = np.asarray(smpl["kintree_table"])[0][:n_bones]
+        self.parents = self.parents.copy()
+        self.parents[0] = 0
+        self.faces = np.asarray(smpl.get("f")) if "f" in smpl else None
+        self.posedirs = (
+            np.asarray(smpl["posedirs"], np.float64)
+            if "posedirs" in smpl else None
+        )
+        self.n_bones = n_bones
+
+    def shaped_vertices(self, betas: np.ndarray) -> np.ndarray:
+        """v_template + shape blend shapes (prepare_lbs_meta.py:110-116)."""
+        betas = np.asarray(betas, np.float64).reshape(-1)
+        S = min(betas.shape[0], self.shapedirs.shape[-1])
+        return self.v_template + np.einsum(
+            "vcs,s->vc", self.shapedirs[..., :S], betas[:S]
+        )
+
+    def joints(self, v_shaped: np.ndarray) -> np.ndarray:
+        """(24, 3) rest joints from the regressor
+        (prepare_lbs_meta.py:121-122)."""
+        return self.J_regressor.dot(v_shaped)[: self.n_bones]
+
+    def transforms(self, poses: np.ndarray, joints: np.ndarray):
+        """(24, 4, 4) bone transforms for axis-angle poses (24, 3)."""
+        A = rigid_transforms(
+            np.asarray(poses, np.float32).reshape(self.n_bones, 3),
+            np.asarray(joints, np.float32),
+            self.parents,
+        )
+        return np.asarray(A)
+
+    def transform_params(self, params: dict):
+        """EasyMocap-style params dict {poses (72,), shapes, Rh, Th} ->
+        (A, R, Th, joints, parents, v_shaped)
+        (prepare_lbs_meta.py:107-134)."""
+        v_shaped = self.shaped_vertices(params["shapes"])
+        joints = self.joints(v_shaped)
+        poses = np.asarray(params["poses"], np.float64).reshape(-1, 3)
+        A = self.transforms(poses[: self.n_bones], joints)
+        Rh = np.asarray(params["Rh"]).reshape(-1)[:3]
+        R = np.asarray(batch_rodrigues(Rh[None].astype(np.float32)))[0]
+        Th = np.asarray(params["Th"]).reshape(1, 3)
+        return A, R, Th, joints, self.parents, v_shaped
+
+    def lbs(self, poses, betas=None, pose_blend: bool = False):
+        """Forward LBS: posed vertices in SMPL coordinates.
+
+        poses: (24, 3) axis-angle (root row included but global Rh/Th are
+        applied separately, matching ZJU-MoCap conventions).
+        """
+        v = (
+            self.shaped_vertices(betas)
+            if betas is not None else self.v_template.copy()
+        )
+        joints = self.joints(v)
+        if pose_blend and self.posedirs is not None:
+            rot = np.asarray(
+                batch_rodrigues(
+                    np.asarray(poses, np.float32).reshape(-1, 3)[1:]
+                )
+            )
+            feat = (rot - np.eye(3)).reshape(-1)
+            v = v + np.einsum(
+                "vcp,p->vc", self.posedirs[..., : feat.shape[0]], feat
+            )
+        A = self.transforms(poses, joints)
+        blended = np.einsum("vb,bij->vij", self.weights, A)
+        posed = (
+            np.einsum("vij,vj->vi", blended[:, :3, :3], v)
+            + blended[:, :3, 3]
+        )
+        return posed.astype(np.float32), joints, A
+
+    def inverse_lbs(self, pverts: np.ndarray, A: np.ndarray):
+        """Posed SMPL-space vertices -> canonical (T-pose), the tool's
+        R_inv form (prepare_lbs_meta.py:165-169)."""
+        blended = np.einsum("vb,bij->vij", self.weights, np.asarray(A, np.float64))
+        can = pverts - blended[:, :3, 3]
+        R_inv = np.linalg.inv(blended[:, :3, :3])
+        return np.einsum("vij,vj->vi", R_inv, can).astype(np.float32)

@@ -1,0 +1,219 @@
+"""SMPL body model, point-mesh queries, and the dataset-prep tools
+(SURVEY.md §2.10)."""
+
+import os
+import sys
+import pickle
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
+
+from animatable_nerf_tpu.smpl import (
+    SMPLModel,
+    load_smpl,
+    big_pose_vector,
+    barycentric_interpolation,
+    closest_point_on_mesh,
+)
+
+
+def _fake_smpl(rng, V=40, S=10):
+    """A tiny random 'SMPL' dict with the real keys/shapes (scaled V)."""
+    tmpl = rng.randn(V, 3).astype(np.float64) * 0.3
+    J = np.zeros((24, V))
+    for j in range(24):
+        J[j, rng.randint(0, V, 3)] = 1.0 / 3.0
+    w = rng.rand(V, 24) ** 4
+    w /= w.sum(-1, keepdims=True)
+    kt = np.zeros((2, 24), np.int64)
+    kt[0] = np.array(
+        [0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17,
+         18, 19, 20, 21]
+    )
+    # simple faces: a strip over vertex triples
+    faces = np.stack(
+        [np.arange(V - 2), np.arange(1, V - 1), np.arange(2, V)], axis=1
+    )
+    return {
+        "v_template": tmpl,
+        "shapedirs": rng.randn(V, 3, S) * 0.01,
+        "J_regressor": J,
+        "weights": w,
+        "kintree_table": kt,
+        "f": faces,
+    }
+
+
+class TestSMPLModel:
+    def test_load_pickle_roundtrip(self, rng, tmp_path):
+        smpl = _fake_smpl(rng)
+        p = tmp_path / "smpl.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(smpl, f)
+        loaded = load_smpl(str(p))
+        np.testing.assert_allclose(loaded["v_template"], smpl["v_template"])
+        model = SMPLModel(loaded)
+        assert model.weights.shape == (40, 24)
+        np.testing.assert_allclose(model.weights.sum(-1), 1.0, atol=1e-6)
+
+    def test_zero_pose_is_identity(self, rng):
+        model = SMPLModel(_fake_smpl(rng))
+        posed, joints, A = model.lbs(np.zeros((24, 3)))
+        np.testing.assert_allclose(posed, model.v_template, atol=1e-5)
+        # all bone transforms are identity at rest
+        np.testing.assert_allclose(
+            A, np.tile(np.eye(4), (24, 1, 1)), atol=1e-5
+        )
+
+    def test_lbs_inverse_roundtrip(self, rng):
+        model = SMPLModel(_fake_smpl(rng))
+        poses = (rng.randn(24, 3) * 0.2).astype(np.float32)
+        posed, _, A = model.lbs(poses)
+        recovered = model.inverse_lbs(posed, A)
+        np.testing.assert_allclose(
+            recovered, model.v_template, atol=1e-4
+        )
+
+    def test_shape_blendshapes(self, rng):
+        model = SMPLModel(_fake_smpl(rng))
+        betas = rng.randn(10)
+        v = model.shaped_vertices(betas)
+        assert not np.allclose(v, model.v_template)
+        np.testing.assert_allclose(
+            v - model.v_template,
+            np.einsum("vcs,s->vc", model.shapedirs, betas),
+        )
+
+    def test_big_pose_vector(self):
+        bp = big_pose_vector()
+        assert bp.shape == (24, 3)
+        assert bp[1, 2] == pytest.approx(np.deg2rad(30))
+        assert bp[2, 2] == pytest.approx(-np.deg2rad(30))
+        assert np.count_nonzero(bp) == 2
+
+
+class TestPointMesh:
+    def test_matches_naive_brute_force(self, rng):
+        verts = rng.randn(20, 3).astype(np.float32)
+        faces = rng.randint(0, 20, (30, 3))
+        faces = faces[
+            (faces[:, 0] != faces[:, 1])
+            & (faces[:, 1] != faces[:, 2])
+            & (faces[:, 0] != faces[:, 2])
+        ]
+        pts = rng.randn(50, 3).astype(np.float32)
+        res = closest_point_on_mesh(pts, verts, faces, chunk=16)
+        got_d = np.asarray(res["dist"])
+
+        # naive: dense sampling of each triangle
+        u = np.linspace(0, 1, 60)
+        uu, vv = np.meshgrid(u, u)
+        keep = uu + vv <= 1.0
+        bu, bv = uu[keep], vv[keep]
+        bw = 1.0 - bu - bv
+        tri = verts[faces]  # (F, 3, 3)
+        samples = (
+            bw[None, :, None] * tri[:, None, 0]
+            + bu[None, :, None] * tri[:, None, 1]
+            + bv[None, :, None] * tri[:, None, 2]
+        ).reshape(-1, 3)
+        naive_d = np.sqrt(
+            ((pts[:, None] - samples[None]) ** 2).sum(-1)
+        ).min(1)
+        np.testing.assert_allclose(got_d, naive_d, atol=2e-2)
+        assert (got_d <= naive_d + 1e-5).all()  # exact <= sampled
+
+    def test_barycentric_consistency(self, rng):
+        verts = rng.randn(9, 3).astype(np.float32)
+        faces = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]])
+        pts = rng.randn(20, 3).astype(np.float32)
+        res = closest_point_on_mesh(pts, verts, faces, chunk=8)
+        bary = np.asarray(res["bary"])
+        fidx = np.asarray(res["face"])
+        np.testing.assert_allclose(bary.sum(-1), 1.0, atol=1e-5)
+        assert (bary >= -1e-5).all()
+        recon = np.einsum("nk,nkc->nc", bary, verts[faces[fidx]])
+        np.testing.assert_allclose(
+            recon, np.asarray(res["point"]), atol=1e-5
+        )
+
+    def test_point_on_surface_zero_dist(self, rng):
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32
+        )
+        faces = np.array([[0, 1, 2]])
+        pts = np.array([[0.2, 0.2, 0.0], [0.2, 0.2, 0.5]], np.float32)
+        res = closest_point_on_mesh(pts, verts, faces, chunk=8)
+        d = np.asarray(res["dist"])
+        assert d[0] == pytest.approx(0.0, abs=1e-6)
+        assert d[1] == pytest.approx(0.5, abs=1e-6)
+
+
+class TestPrepTools:
+    @pytest.fixture
+    def data_root(self, rng, tmp_path):
+        smpl = _fake_smpl(rng)
+        smpl_path = tmp_path / "smpl.pkl"
+        with open(smpl_path, "wb") as f:
+            pickle.dump(smpl, f)
+        model = SMPLModel(smpl)
+        human = tmp_path / "data" / "H1"
+        (human / "params").mkdir(parents=True)
+        (human / "vertices").mkdir(parents=True)
+        for i in range(3):
+            poses = (rng.randn(24, 3) * 0.1).astype(np.float64)
+            Rh = rng.randn(3) * 0.1
+            Th = rng.randn(1, 3) * 0.1
+            params = {
+                "poses": poses.reshape(1, 72),
+                "shapes": rng.randn(1, 10) * 0.03,
+                "Rh": Rh.reshape(1, 3),
+                "Th": Th,
+            }
+            np.save(human / "params" / f"{i}.npy", params)
+            A, R, T, _, _, vs = model.transform_params(params)
+            tv = model.inverse_lbs(vs, np.tile(np.eye(4), (24, 1, 1)))
+            posed, _, A2 = model.lbs(poses, params["shapes"])
+            world = posed @ R.T + T
+            np.save(human / "vertices" / f"{i}.npy", world.astype(np.float32))
+        return str(tmp_path / "data"), str(smpl_path)
+
+    def test_prepare_lbs_meta(self, data_root):
+        import prepare_lbs_meta
+
+        root, smpl_path = data_root
+        out = prepare_lbs_meta.prepare_human(root, "H1", smpl_path)
+        for name, shape in [
+            ("parents.npy", (24,)),
+            ("joints.npy", (24, 3)),
+            ("weights.npy", (40, 24)),
+            ("tvertices.npy", (40, 3)),
+            ("bigpose_vertices.npy", (40, 3)),
+            ("training_joints.npy", (3, 24, 3)),
+        ]:
+            arr = np.load(os.path.join(out, name))
+            assert arr.shape == shape, name
+            assert np.isfinite(arr).all(), name
+
+    def test_prepare_blend_weights(self, data_root):
+        import prepare_blend_weights
+
+        root, smpl_path = data_root
+        out = prepare_blend_weights.prepare_human(
+            root, "H1", smpl_path, frame_interval=2
+        )
+        tbw = np.load(os.path.join(out, "tbw.npy"))
+        assert tbw.ndim == 4 and tbw.shape[-1] == 25
+        # weight channels are a convex combination
+        np.testing.assert_allclose(
+            tbw[..., :24].sum(-1), 1.0, atol=1e-4
+        )
+        assert (tbw[..., 24] >= 0).all()
+        for i in (0, 2):
+            bw = np.load(os.path.join(out, "bweights", f"{i}.npy"))
+            assert bw.ndim == 4 and bw.shape[-1] == 25
