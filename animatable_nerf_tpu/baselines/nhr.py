@@ -55,7 +55,6 @@ class NHR(nn.Module):
     H: int
     W: int
     feature_dim: int = 18
-    n_verts: int = 6890
     splat_radius: int = 2
     pointnet_kwargs: dict = None
     unet_widths: tuple = (64, 128, 256, 512, 512, 256, 128, 64, 32)
@@ -78,10 +77,12 @@ class NHR(nn.Module):
         point_feats = PointNet2MSG(
             out_dim=self.feature_dim, name="pointnet", **pn_kwargs
         )(pverts[None])[0]  # (V, fdim)
+        # learned per-vertex default features (PCPRParameters equivalent),
+        # sized from the input cloud
         default_feats = self.param(
             "default_features",
             nn.initializers.normal(0.02),
-            (self.n_verts, self.feature_dim),
+            (tverts.shape[0], self.feature_dim),
         )
         feats = jnp.concatenate([point_feats, default_feats], axis=-1)
 

@@ -26,6 +26,14 @@ from flax import linen as nn
 from ..ops import pointnet2 as pn2
 
 
+def _num_groups(channels: int) -> int:
+    """Largest divisor of `channels` that is <= 8 (GroupNorm constraint)."""
+    for g in (8, 4, 2):
+        if channels % g == 0:
+            return g
+    return 1
+
+
 class _PointMLP(nn.Module):
     """Dense + GroupNorm + ReLU stack over the trailing channel axis."""
 
@@ -35,7 +43,7 @@ class _PointMLP(nn.Module):
     def __call__(self, x):
         for i, w in enumerate(self.widths):
             x = nn.Dense(w, name=f"lin{i}")(x)
-            x = nn.GroupNorm(num_groups=1 if w < 8 else 8, name=f"gn{i}")(x)
+            x = nn.GroupNorm(num_groups=_num_groups(w), name=f"gn{i}")(x)
             x = nn.relu(x)
         return x
 

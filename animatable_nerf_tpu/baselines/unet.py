@@ -45,9 +45,10 @@ class DoubleConv(nn.Module):
     def __call__(self, x):
         for i in range(2):
             x = GatedConv(self.features, name=f"gc{i}")(x)
-            x = nn.GroupNorm(
-                num_groups=min(8, self.features), name=f"gn{i}"
-            )(x)
+            groups = next(
+                g for g in (8, 4, 2, 1) if self.features % g == 0
+            )
+            x = nn.GroupNorm(num_groups=groups, name=f"gn{i}")(x)
             x = nn.relu(x)
         return x
 

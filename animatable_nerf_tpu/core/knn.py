@@ -61,5 +61,7 @@ def sample_blend_closest_points(src, ref, values, k: int = 5, exp: float = 1e-8)
     weights = disp / jnp.sum(disp, axis=-1, keepdims=True)
     wdist = jnp.sum(dists * weights, axis=-1, keepdims=True)  # (N, 1)
     gathered = jnp.take(values, idx, axis=0)  # (N, k, C)
-    sampled = jnp.einsum("nkc,nk->nc", gathered, weights)
+    # broadcast-reduce, not einsum: per-point (5, C) matvecs would pad
+    # onto 128x128 MXU tiles
+    sampled = jnp.sum(gathered * weights[..., None], axis=-2)
     return sampled, wdist

@@ -293,6 +293,22 @@ def generate_synthetic_dataset(
             mdir = os.path.join(root, "mask_cihp", f"Camera_B{v}")
             os.makedirs(mdir, exist_ok=True)
             cv2.imwrite(os.path.join(mdir, f"{f:04d}.png"), msk * 255)
+
+            # UV render for the NT baseline (stand-in for the reference's
+            # pytorch3d UV prerender, tools/render_h36m_uvmaps_pytorch3d.py):
+            # splat per-vertex canonical uv into the view
+            from ..ops.rasterize import rasterize_points
+
+            mn, mx = tverts.min(0), tverts.max(0)
+            vert_uv = (tverts[:, :2] - mn[:2]) / (mx[:2] - mn[:2] + 1e-8)
+            ras = rasterize_points(
+                wverts.astype(np.float32), vert_uv.astype(np.float32),
+                Ks[v].astype(np.float32), Rs[v].astype(np.float32),
+                (Ts[v] / 1000.0).astype(np.float32), H, W, splat_radius=3,
+            )
+            uv_map = np.asarray(ras["feature_map"], np.float32)
+            os.makedirs(os.path.join(root, "uv"), exist_ok=True)
+            np.save(os.path.join(root, "uv", f"{f}_{v}.npy"), uv_map)
             frame_ims.append(rel)
         ims_entries.append({"ims": frame_ims})
 

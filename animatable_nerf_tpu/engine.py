@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from .config import Config
 from .models import make_model
+from .models.registry import is_image_space
 from .models.pdf import SDFPDF, NeuSPDF, NeRFPDF
 from .models.aninerf import AniNeRF
 from .data import (
@@ -77,8 +78,19 @@ DATASETS = {
 }
 
 
+def _register_baseline_datasets():
+    from .data.baselines import NHRDataset, NTDataset
+
+    DATASETS.setdefault("lib.datasets.h36m.nhr", NHRDataset)
+    DATASETS.setdefault("nhr", NHRDataset)
+    DATASETS.setdefault("lib.datasets.h36m.nt", NTDataset)
+    DATASETS.setdefault("nt", NTDataset)
+
+
 def make_dataset(cfg: Config, split: str):
     name = cfg.train_dataset_module if split == "train" else cfg.test_dataset_module
+    if name not in DATASETS:
+        _register_baseline_datasets()
     return DATASETS[name](cfg, split)
 
 
@@ -328,6 +340,8 @@ def run_evaluate(cfg: Config, params=None, max_items: int = -1,
                  save_images: bool = True):
     """PSNR/SSIM evaluation (run.py:41-70)."""
     cfg.eval = True
+    if is_image_space(cfg):
+        return _run_evaluate_baseline(cfg, params, max_items, save_images)
     eng = Engine(cfg)
     ds = make_dataset(cfg, "test")
     loader = make_test_loader(cfg, ds)
@@ -410,6 +424,8 @@ def run_visualize(cfg: Config, params=None, max_items: int = -1):
 def run_train(cfg: Config, epochs: int | None = None, mesh=None):
     from .train.animation import AnimationTrainer
 
+    if is_image_space(cfg):
+        return _run_train_baseline(cfg, epochs)
     model = make_model(cfg)
     if cfg.aninerf_animation:
         trainer = AnimationTrainer(cfg, model)
@@ -497,6 +513,96 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
             run_evaluate(cfg.clone(), params=state.params, max_items=2,
                          save_images=False)
     return state
+
+
+def _run_train_baseline(cfg: Config, epochs: int | None = None):
+    """Full-image training loop for NHR/NT (lib/train/trainers/nhr.py)."""
+    from .train.baseline import BaselineTrainer
+
+    model = make_model(cfg)
+    trainer = BaselineTrainer(cfg, model)
+    ds = make_dataset(cfg, "train")
+    is_main = jax.process_index() == 0
+    recorder = Recorder(cfg.record_dir, resume=cfg.resume, is_main=is_main)
+    n_epochs = epochs if epochs is not None else cfg.train.epoch
+
+    loader = Loader(
+        ds, shuffle=True,
+        max_iter=cfg.ep_iter if cfg.ep_iter > 0 else -1,
+        num_shards=jax.process_count(), shard_id=jax.process_index(),
+        num_threads=2,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(42), ds[0])
+
+    begin_epoch = 0
+    if cfg.resume:
+        out = load_checkpoint(
+            cfg.trained_model_dir, state.params, state.opt_state
+        )
+        if out is not None:
+            params, opt_state, epoch0, step, rec = out
+            state = state._replace(
+                params=params, opt_state=opt_state, step=jnp.asarray(step)
+            )
+            begin_epoch = epoch0 + 1
+            recorder.load_state_dict(rec)
+
+    for epoch in range(begin_epoch, n_epochs):
+        loader.set_epoch(epoch)
+        recorder.epoch = epoch
+        for item in loader:
+            state, stats = trainer.train_step(state, item)
+            recorder.step += 1
+            recorder.update_stats({k: float(v) for k, v in stats.items()})
+            if recorder.step % cfg.log_interval == 0:
+                print(
+                    recorder.log_line(0, float(trainer.sched(int(state.step))))
+                )
+        if is_main and (
+            (epoch + 1) % cfg.save_latest_ep == 0 or epoch == n_epochs - 1
+        ):
+            save_checkpoint(
+                cfg.trained_model_dir, state.params, state.opt_state,
+                epoch, int(state.step), recorder.state_dict(), latest=True,
+            )
+    return state
+
+
+def _run_evaluate_baseline(cfg: Config, params=None, max_items: int = -1,
+                           save_images: bool = True):
+    """Full-image PSNR/SSIM for NHR/NT (lib/evaluators/nhr.py, nt.py)."""
+    from .train.baseline import BaselineTrainer
+
+    model = make_model(cfg)
+    trainer = BaselineTrainer(cfg, model)
+    ds = make_dataset(cfg, "test")
+    loader = make_test_loader(cfg, ds)
+    if params is None:
+        state = trainer.init_state(jax.random.PRNGKey(0), ds[0])
+        out = load_checkpoint(cfg.trained_model_dir, state.params)
+        if out is None:
+            raise FileNotFoundError(
+                f"no checkpoint in {cfg.trained_model_dir}"
+            )
+        params = out[0]
+    evaluator = ImageEvaluator(cfg.result_dir)
+    apply_jit = jax.jit(lambda p, f: model.apply(p, f, train=False))
+    for i, item in enumerate(loader):
+        if max_items >= 0 and i >= max_items:
+            break
+        frame = trainer._frame(item)
+        out = apply_jit(params, frame)
+        pred = np.asarray(out["rgb_map"])
+        gt = np.asarray(item["img"])
+        mab = np.asarray(item["mask_at_box"]).reshape(-1)
+        H, W = gt.shape[:2]
+        evaluator.evaluate(
+            pred.reshape(-1, 3)[mab], gt.reshape(-1, 3)[mab], mab, H, W,
+            frame_index=int(item["frame_index"]),
+            view_index=int(item.get("cam_ind", 0)),
+            save_images=save_images,
+        )
+    return evaluator.summarize()
 
 
 def _anim_epoch(trainer, state, loader, recorder, key, epoch, cfg):

@@ -6,7 +6,7 @@ All modules are point-batched: inputs are (N, C) channels-last matrices
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +29,8 @@ class BlendWeightField(nn.Module):
     num_latents: int
     xyz_res: int = 10
     latent_dim: int = 128
+    dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, pts, smpl_bw, latent_index):
@@ -39,7 +41,10 @@ class BlendWeightField(nn.Module):
         )
         latent = jnp.broadcast_to(latent, (*pe.shape[:-1], self.latent_dim))
         feat = jnp.concatenate([pe, latent], axis=-1)
-        logits = SkipMLP(depth=8, width=256, out_dim=24, name="mlp")(feat)
+        logits = SkipMLP(
+            depth=8, width=256, out_dim=24, name="mlp", dtype=self.dtype,
+            fused=self.fused,
+        )(feat)
         return jax.nn.softmax(jnp.log(smpl_bw + 1e-9) + logits, axis=-1)
 
 
@@ -79,21 +84,43 @@ class TPoseNeRF(nn.Module):
     num_latents: int
     xyz_res: int = 10
     view_res: int = 4
+    dtype: Any = jnp.float32
+    fused: bool = False
 
     def setup(self):
-        self.lins = [nn.Dense(256, name=f"lin{i}") for i in range(8)]
-        self.alpha_fc = nn.Dense(1, name="alpha_fc")
-        self.feature_fc = nn.Dense(256, name="feature_fc")
+        from .mlp import dense_param_init
+
+        dt = self.dtype
+        pe_dim = encoding_dim(self.xyz_res, 3)
+        trunk = []
+        d_in = pe_dim
+        for i in range(8):
+            trunk.append(self.param(f"lin{i}", dense_param_init(d_in, 256)))
+            d_in = 256 + (pe_dim if i == 4 else 0)
+        self.trunk_layers = trunk
+        self.alpha_fc = nn.Dense(1, name="alpha_fc", dtype=dt)
+        self.feature_fc = nn.Dense(256, name="feature_fc", dtype=dt)
         self.nf_latent = nn.Embed(self.num_latents, 128, name="nf_latent")
-        self.latent_fc = nn.Dense(256, name="latent_fc")
-        self.view_fc = nn.Dense(128, name="view_fc")
-        self.rgb_fc = nn.Dense(3, name="rgb_fc")
+        self.latent_fc = nn.Dense(256, name="latent_fc", dtype=dt)
+        self.view_fc = nn.Dense(128, name="view_fc", dtype=dt)
+        self.rgb_fc = nn.Dense(3, name="rgb_fc", dtype=dt)
 
     def _trunk(self, pts):
         pe = positional_encoding(pts, self.xyz_res)
+        layers = [(p["kernel"], p["bias"]) for p in self.trunk_layers]
+
+        if self.fused and jax.default_backend() == "tpu":
+            from ..ops.mlp_pallas import make_fused_skip_mlp
+
+            # 8 activated layers, skip re-concat after layer 4; act_last
+            # because the trunk output feeds the heads post-ReLU
+            f = make_fused_skip_mlp(skips=(4,), act="relu", act_last=True)
+            return f(pe.astype(jnp.float32), layers)
+
+        pe = pe.astype(self.dtype)
         h = pe
-        for i, lin in enumerate(self.lins):
-            h = nn.relu(lin(h))
+        for i, (w, b) in enumerate(layers):
+            h = nn.relu(h @ w.astype(self.dtype) + b.astype(self.dtype))
             if i == 4:
                 h = jnp.concatenate([pe, h], axis=-1)
         return h
@@ -101,21 +128,21 @@ class TPoseNeRF(nn.Module):
     def density(self, pts):
         """Density-only path (tpose_nerf_network.py:241-250
         `calculate_alpha`). pts (N, 3) -> sigma (N,)."""
-        return self.alpha_fc(self._trunk(pts))[..., 0]
+        return self.alpha_fc(self._trunk(pts))[..., 0].astype(jnp.float32)
 
     def __call__(self, pts, viewdir, latent_index):
         """pts (N, 3), viewdir (N, 3), latent_index scalar
         -> (sigma (N,), rgb_logits (N, 3))."""
         h = self._trunk(pts)
-        sigma = self.alpha_fc(h)[..., 0]
+        sigma = self.alpha_fc(h)[..., 0].astype(jnp.float32)
 
         feat = self.feature_fc(h)
-        latent = self.nf_latent(latent_index)
+        latent = self.nf_latent(latent_index).astype(self.dtype)
         latent = jnp.broadcast_to(latent, (*feat.shape[:-1], 128))
         feat = self.latent_fc(jnp.concatenate([feat, latent], axis=-1))
-        vdir = positional_encoding(viewdir, self.view_res)
+        vdir = positional_encoding(viewdir, self.view_res).astype(self.dtype)
         h2 = nn.relu(self.view_fc(jnp.concatenate([feat, vdir], axis=-1)))
-        rgb = self.rgb_fc(h2)
+        rgb = self.rgb_fc(h2).astype(jnp.float32)
         return sigma, rgb
 
 

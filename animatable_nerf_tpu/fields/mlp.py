@@ -9,12 +9,28 @@ which maps straight onto the MXU — so everything here is `Dense`.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+
+def dense_param_init(in_dim: int, out_dim: int,
+                     kernel_init: Callable = None):
+    """Init fn for a {kernel, bias} param matching nn.Dense defaults
+    (lecun_normal kernel, zero bias) — keeps the param tree identical
+    to an nn.Dense child of the same name."""
+    kinit = kernel_init or nn.initializers.lecun_normal()
+
+    def init(key):
+        return {
+            "kernel": kinit(key, (in_dim, out_dim)),
+            "bias": jnp.zeros((out_dim,), jnp.float32),
+        }
+
+    return init
 
 
 class SkipMLP(nn.Module):
@@ -24,23 +40,56 @@ class SkipMLP(nn.Module):
     after the skip layer's activation, widening the NEXT layer's input).
 
     Output head is a final linear with `out_dim` units (no activation).
+
+    Execution: on TPU (`fused=True`) the entire stack runs as ONE Pallas
+    kernel with VMEM-resident weights (ops/mlp_pallas.py) — inter-layer
+    activations never touch HBM, the hot path's bandwidth bound.
+    Otherwise a plain XLA loop in `dtype` compute precision (params are
+    always float32; output float32). Param tree: lin0..lin{D-1} + out,
+    each {kernel, bias} — identical either way.
     """
 
     depth: int = 8
     width: int = 256
     out_dim: int = 24
     skips: Sequence[int] = (4,)
+    dtype: Any = jnp.float32
+    # fused=True routes through the Pallas kernel (ops/mlp_pallas.py).
+    # Default False: measured end-to-end on v5e the XLA loop wins (229ms
+    # vs 359ms per 65k-ray render) — the pad/slice round-trips and lost
+    # cross-op fusion outweigh VMEM weight residency at 256-wide trunks.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
-        inp = x
-        h = x
+        din = x.shape[-1]
+        layers = []
+        d_in = din
         for i in range(self.depth):
-            h = nn.Dense(self.width, name=f"lin{i}")(h)
-            h = nn.relu(h)
-            if i in self.skips:
-                h = jnp.concatenate([inp, h], axis=-1)
-        return nn.Dense(self.out_dim, name="out")(h)
+            p = self.param(f"lin{i}", dense_param_init(d_in, self.width))
+            layers.append((p["kernel"], p["bias"]))
+            d_in = self.width + (din if i in self.skips else 0)
+        p = self.param("out", dense_param_init(d_in, self.out_dim))
+        layers.append((p["kernel"], p["bias"]))
+
+        # on TPU: the whole stack as one Pallas kernel, VMEM-resident
+        # weights, no inter-layer HBM traffic (ops/mlp_pallas.py)
+        if self.fused and jax.default_backend() == "tpu":
+            from ..ops.mlp_pallas import make_fused_skip_mlp
+
+            f = make_fused_skip_mlp(skips=tuple(self.skips), act="relu")
+            return f(x.astype(jnp.float32), layers)
+
+        inp = x.astype(self.dtype)
+        h = inp
+        n = len(layers)
+        for i, (w, b) in enumerate(layers):
+            h = h @ w.astype(self.dtype) + b.astype(self.dtype)
+            if i < n - 1:
+                h = nn.relu(h)
+                if i in self.skips:
+                    h = jnp.concatenate([inp, h], axis=-1)
+        return h.astype(jnp.float32)
 
 
 def _wn_init(v_init: Callable, in_dim: int, out_dim: int):

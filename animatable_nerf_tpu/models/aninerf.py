@@ -16,6 +16,8 @@ tpose_dataset.py:236-277):
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -26,6 +28,7 @@ from ..core import (
     tpose_points_to_pose_points,
     pts_sample_blend_weights,
 )
+from ..core.grid import pack_corner_volume, pts_sample_blend_weights_packed
 from ..core.sampling import z_vals_to_dists
 from ..fields import BlendWeightField, TPoseNeRF
 from .common import (
@@ -52,19 +55,27 @@ class AniNeRF(nn.Module):
     train_th: float = 0.0
     xyz_res: int = 10
     view_res: int = 4
+    # compute dtype of the MLP trunks (params stay f32; geometric math,
+    # filtering and compositing stay f32), used by the XLA fallback path;
+    # `fused` routes the trunks through the Pallas kernel on TPU.
+    dtype: Any = jnp.float32
+    fused: bool = False
 
     def setup(self):
         self.bw_field = BlendWeightField(
-            num_latents=self.num_train_frames + 1, xyz_res=self.xyz_res
+            num_latents=self.num_train_frames + 1, xyz_res=self.xyz_res,
+            dtype=self.dtype, fused=self.fused,
         )
         self.tpose_human = TPoseNeRF(
             num_latents=self.num_train_frames,
             xyz_res=self.xyz_res,
             view_res=self.view_res,
+            dtype=self.dtype, fused=self.fused,
         )
         if self.num_eval_frames > 0:
             self.novel_pose_bw = BlendWeightField(
-                num_latents=self.num_eval_frames, xyz_res=self.xyz_res
+                num_latents=self.num_eval_frames, xyz_res=self.xyz_res,
+                dtype=self.dtype, fused=self.fused,
             )
 
     def pose_to_canonical(self, pose_pts, init_pbw, frame, novel_pose: bool):
@@ -84,7 +95,10 @@ class AniNeRF(nn.Module):
         tpose_nerf_network.py:105-137). wpts (N,3) -> sigma (N,)."""
         pose_pts = world_points_to_pose_points(wpts, frame["R"], frame["Th"])
         init_pbw = jax.lax.stop_gradient(
-            pts_sample_blend_weights(pose_pts, frame["pbw"], frame["pbounds"])
+            pts_sample_blend_weights_packed(
+                pose_pts, pack_corner_volume(frame["pbw"]),
+                frame["pbounds"], n_channels=frame["pbw"].shape[-1],
+            )
         )
         pnorm = init_pbw[..., 24]
         # mesh path uses a fixed 0.1 threshold (:113-115)
@@ -153,9 +167,16 @@ class AniNeRF(nn.Module):
         # world -> posed SMPL space
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
 
-        # point filter from the precomputed distance channel (:149-157)
+        # point filter from the precomputed distance channel (:149-157).
+        # The grid lookup runs over the corner-packed layout: one gather
+        # row per point instead of 8 (the gather is the #1 cost of the
+        # whole render step on TPU — see core/grid.py).
+        pbw_packed = pack_corner_volume(frame["pbw"])
         init_pbw = jax.lax.stop_gradient(
-            pts_sample_blend_weights(pose_pts, frame["pbw"], frame["pbounds"])
+            pts_sample_blend_weights_packed(
+                pose_pts, pbw_packed, frame["pbounds"],
+                n_channels=frame["pbw"].shape[-1],
+            )
         )
         pnorm = init_pbw[..., 24]
         pind = keep_mask_with_argmin(pnorm, self.norm_th)
@@ -165,11 +186,18 @@ class AniNeRF(nn.Module):
             pose_pts, init_pbw[..., :24], frame, novel_pose
         )
 
-        # canonical-space neural blend weights (consistency target, :169-174)
-        init_tbw = pts_sample_blend_weights(tpose, frame["tbw"], frame["tbounds"])
-        tbw = self.bw_field(
-            tpose, init_tbw[..., :24], jnp.zeros_like(frame["latent_index"])
-        )
+        # canonical-space neural blend weights (consistency target,
+        # :169-174). Only the TRAINING loss consumes tbw/bw_mask
+        # (tpose_trainer.py:50-53) — the eval render skips the second
+        # trilerp + second bw-MLP pass entirely.
+        if train:
+            init_tbw = pts_sample_blend_weights_packed(
+                tpose, pack_corner_volume(frame["tbw"]), frame["tbounds"],
+                n_channels=frame["tbw"].shape[-1],
+            )
+            tbw = self.bw_field(
+                tpose, init_tbw[..., :24], jnp.zeros_like(frame["latent_index"])
+            )
 
         # canonical NeRF (:179-181); world-space view dirs, per reference
         sigma, rgb_logits = self.tpose_human(tpose, vd, frame["latent_index"])
@@ -178,22 +206,19 @@ class AniNeRF(nn.Module):
         inside = inside_bounds(tpose, frame["tbounds"])
         sigma = jnp.where(inside, sigma, 0.0)
 
-        # blend-weight consistency selection (:192-196): density above
-        # train_th, with the global argmax forced on
-        d_sel = jax.lax.stop_gradient(jnp.where(pind, sigma, -jnp.inf))
-        bw_mask = (d_sel > self.train_th) | jax.nn.one_hot(
-            jnp.argmax(d_sel), d_sel.shape[-1], dtype=bool
-        )
-
         # raw assembly (:201-212); masked points contribute exactly 0
         alpha = raw_alpha_from_sigma(sigma, dists)
         rgb = jax.nn.sigmoid(rgb_logits)
         raw = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
         raw = jnp.where(pind[:, None], raw, 0.0)
 
-        return {
-            "raw": raw.reshape(n_rays, n_samples, 4),
-            "pbw": pbw,
-            "tbw": tbw,
-            "bw_mask": bw_mask,
-        }
+        out = {"raw": raw.reshape(n_rays, n_samples, 4)}
+        if train:
+            # blend-weight consistency selection (:192-196): density above
+            # train_th, with the global argmax forced on
+            d_sel = jax.lax.stop_gradient(jnp.where(pind, sigma, -jnp.inf))
+            bw_mask = (d_sel > self.train_th) | jax.nn.one_hot(
+                jnp.argmax(d_sel), d_sel.shape[-1], dtype=bool
+            )
+            out.update({"pbw": pbw, "tbw": tbw, "bw_mask": bw_mask})
+        return out

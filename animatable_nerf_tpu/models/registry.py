@@ -31,8 +31,35 @@ MODELS = {
 }
 
 
+def _baseline_classes():
+    # imported lazily: the baselines pull in conv/UNet modules that the
+    # NeRF families never need
+    from ..baselines import NHR, NT
+
+    return {"nhr": NHR, "lib.networks.nhr.nhr": NHR,
+            "nt": NT, "lib.networks.nt.nt": NT}
+
+
+def is_image_space(cfg) -> bool:
+    """True when the config names an image-space baseline (NHR/NT),
+    whose forward is full-image rather than ray-batched."""
+    return cfg.network_module in (
+        "nhr", "nt", "lib.networks.nhr.nhr", "lib.networks.nt.nt"
+    )
+
+
 def make_model(cfg):
     """Instantiate a model from a config object (see config/)."""
+    if is_image_space(cfg):
+        from ..baselines import NHR, NT
+
+        cls = _baseline_classes()[cfg.network_module]
+        if cls is NHR:
+            return NHR(
+                H=int(cfg.H * cfg.ratio), W=int(cfg.W * cfg.ratio),
+                feature_dim=18,
+            )
+        return NT(size=1024, feature_dim=16)
     cls = MODELS[cfg.network_module]
     kwargs = dict(num_eval_frames=cfg.num_eval_frame if cfg.aninerf_animation or cfg.test_novel_pose else 0)
     if cls is AniNeRF:

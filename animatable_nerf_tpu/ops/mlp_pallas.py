@@ -36,7 +36,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _ref_forward(x, layers, skips, act_name: str):
+def _ref_forward(x, layers, skips, act_name: str, act_last: bool = False):
     """Pure-XLA twin (numerics oracle + backward-pass path)."""
     act = _ACTS[act_name]
     inp = x
@@ -44,9 +44,9 @@ def _ref_forward(x, layers, skips, act_name: str):
     n = len(layers)
     for i, (w, b) in enumerate(layers):
         h = h @ w + b
-        if i < n - 1:
+        if i < n - 1 or act_last:
             h = act(h)
-            if i in skips:
+            if i in skips and i < n - 1:
                 h = jnp.concatenate([inp, h], axis=-1)
     return h
 
@@ -82,7 +82,8 @@ def _pad_layers(layers, skips, din_p):
     return padded
 
 
-def _mlp_kernel(*refs, n_layers: int, skips, act_name: str):
+def _mlp_kernel(*refs, n_layers: int, skips, act_name: str,
+                act_last: bool):
     x_ref = refs[0]
     out_ref = refs[-1]
     wb = refs[1:-1]
@@ -93,18 +94,20 @@ def _mlp_kernel(*refs, n_layers: int, skips, act_name: str):
         w = wb[2 * i][:]
         b = wb[2 * i + 1][:]
         h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
-        if i < n_layers - 1:
+        if i < n_layers - 1 or act_last:
             h = act(h)
-            if i in skips:
+            if i in skips and i < n_layers - 1:
                 h = jnp.concatenate([x, h], axis=-1)
     out_ref[:] = h
 
 
 @functools.partial(
-    jax.jit, static_argnames=("skips", "act", "tile", "interpret")
+    jax.jit, static_argnames=("skips", "act", "tile", "interpret",
+                              "act_last")
 )
 def fused_skip_mlp(x, layers, skips=(), act: str = "relu",
-                   tile: int = 512, interpret: bool = False):
+                   tile: int = 512, interpret: bool = False,
+                   act_last: bool = False):
     """Run the full MLP stack as one Pallas kernel.
 
     Args:
@@ -129,7 +132,8 @@ def fused_skip_mlp(x, layers, skips=(), act: str = "relu",
 
     n_layers = len(layers)
     kernel = functools.partial(
-        _mlp_kernel, n_layers=n_layers, skips=skips, act_name=act
+        _mlp_kernel, n_layers=n_layers, skips=skips, act_name=act,
+        act_last=act_last,
     )
     in_specs = [
         pl.BlockSpec((tile, din_p), lambda i: (i, 0),
@@ -166,15 +170,17 @@ def fused_skip_mlp(x, layers, skips=(), act: str = "relu",
     return out[:N, :dout]
 
 
-def make_fused_skip_mlp(skips=(), act: str = "relu", tile: int = 512):
+def make_fused_skip_mlp(skips=(), act: str = "relu", tile: int = 512,
+                        act_last: bool = False):
     """Differentiable fused MLP: Pallas forward, XLA-twin backward."""
     skips = tuple(skips)
 
     @jax.custom_vjp
     def f(x, layers):
         if jax.default_backend() != "tpu":
-            return _ref_forward(x, layers, skips, act)
-        return fused_skip_mlp(x, layers, skips=skips, act=act, tile=tile)
+            return _ref_forward(x, layers, skips, act, act_last)
+        return fused_skip_mlp(x, layers, skips=skips, act=act, tile=tile,
+                              act_last=act_last)
 
     def fwd(x, layers):
         return f(x, layers), (x, layers)
@@ -182,7 +188,8 @@ def make_fused_skip_mlp(skips=(), act: str = "relu", tile: int = 512):
     def bwd(res, g):
         x, layers = res
         _, vjp = jax.vjp(
-            lambda xx, ll: _ref_forward(xx, ll, skips, act), x, layers
+            lambda xx, ll: _ref_forward(xx, ll, skips, act, act_last),
+            x, layers,
         )
         return vjp(g)
 

@@ -179,7 +179,12 @@ class Trainer:
             recorder.step += 1
             recorder.batch_time.update(batch_time)
             recorder.data_time.update(data_time)
-            recorder.update_stats({k: float(v) for k, v in stats.items()})
+            stats = {k: float(v) for k, v in stats.items()}
+            # first-class throughput counter (SURVEY.md §5 tracing)
+            stats["rays_per_sec"] = (
+                batch_frames * n_rays / max(batch_time, 1e-9)
+            )
+            recorder.update_stats(stats)
             if recorder.step % log_interval == 0:
                 lr = float(self.sched(int(state.step)))
                 print(recorder.log_line(max_iter, lr))

@@ -57,6 +57,10 @@ def main():
     rays = {k: jnp.asarray(v) for k, v in ge._rays(rng, N_RAYS).items()}
 
     model = AniNeRF(num_train_frames=60)
+    # eval hot path: bf16 MLP trunks (params stay f32; geometry,
+    # filtering, compositing stay f32). Quality-guarded below against
+    # the f32 render.
+    model_fast = AniNeRF(num_train_frames=60, dtype=jnp.bfloat16)
     settings = RenderSettings(n_samples=N_SAMPLES, perturb=False)
     z = jnp.ones((N_RAYS, N_SAMPLES))
     params = jax.jit(
@@ -66,24 +70,45 @@ def main():
         )
     )()
 
-    @jax.jit
-    def render(params, rays):
-        out = render_rays(model, params, rays, frame, settings, train=False)
-        return out["rgb_map"], out["acc_map"]
+    def make_render(m):
+        @jax.jit
+        def render(params, rays):
+            out = render_rays(m, params, rays, frame, settings, train=False)
+            # scalar checksum: fetching it to host forces full execution
+            # (block_until_ready alone can return early on the remote
+            # execution path)
+            return out["rgb_map"], out["acc_map"], jnp.sum(out["rgb_map"])
 
-    # warmup (compile + first executions)
-    for _ in range(WARMUP):
-        out = render(params, rays)
-        jax.block_until_ready(out[0])
+        return render
 
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = render(params, rays)
-        jax.block_until_ready(out[0])
-        times.append(time.perf_counter() - t0)
+    # distinct inputs per repetition: the remote execution path caches
+    # results of bit-identical (executable, args) calls, which would turn
+    # repeat timings into no-ops
+    ray_variants = []
+    for i in range(WARMUP + REPS):
+        v = dict(rays)
+        v["ray_o"] = rays["ray_o"] + jnp.float32(1e-4 * (i + 1))
+        ray_variants.append(v)
 
-    dt = float(np.median(times))
+    def time_render(render):
+        for i in range(WARMUP):
+            float(render(params, ray_variants[i])[2])
+        times = []
+        for i in range(REPS):
+            t0 = time.perf_counter()
+            float(render(params, ray_variants[WARMUP + i])[2])
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)), render(params, rays)
+
+    render_f32 = make_render(model)
+    render_fast = make_render(model_fast)
+    dt_f32, out_f32 = time_render(render_f32)
+    dt_fast, out_fast = time_render(render_fast)
+
+    # quality guard: bf16 trunk must not visibly move the render
+    rgb_delta = float(jnp.max(jnp.abs(out_fast[0] - out_f32[0])))
+    use_fast = rgb_delta < 0.02
+    dt = dt_fast if use_fast else dt_f32
     rays_per_sec = N_RAYS / dt
     # seconds to render a full 1024x1024 frame (all pixels in-box)
     sec_per_frame = 1024 * 1024 / rays_per_sec
@@ -100,6 +125,9 @@ def main():
                     "n_rays": N_RAYS,
                     "n_samples": N_SAMPLES,
                     "median_ms": round(dt * 1e3, 2),
+                    "median_ms_f32": round(dt_f32 * 1e3, 2),
+                    "compute_dtype": "bfloat16" if use_fast else "float32",
+                    "bf16_max_rgb_delta": round(rgb_delta, 5),
                     "sec_per_1024sq_frame": round(sec_per_frame, 3),
                     "device": str(jax.devices()[0]),
                     "baseline_rays_per_sec": baseline,

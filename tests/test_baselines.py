@@ -99,7 +99,7 @@ class TestNHR:
     def test_forward_and_grad(self, rng):
         H = W = 32
         model = NHR(
-            H=H, W=W, feature_dim=8, n_verts=64,
+            H=H, W=W, feature_dim=8,
             pointnet_kwargs=TINY_PN, unet_widths=TINY_UNET,
         )
         batch = _nhr_batch(rng)

@@ -315,3 +315,34 @@ def test_neus_alpha_surface_crossing():
     assert a.shape == (1, 4)
     assert a[0, 0] < 0.1  # well outside the surface: transparent
     assert a[0, 1] > 0.9  # crossing interval has high opacity
+
+
+class TestPackedTrilerp:
+    def test_matches_unpacked(self, rng):
+        import jax.numpy as jnp
+        from animatable_nerf_tpu.core.grid import (
+            pack_corner_volume,
+            pts_sample_blend_weights,
+            pts_sample_blend_weights_packed,
+        )
+
+        vol = jnp.asarray(rng.rand(9, 7, 5, 25).astype(np.float32))
+        bounds = jnp.asarray(
+            np.array([[-0.4, -0.3, -0.2], [0.5, 0.6, 0.7]], np.float32)
+        )
+        # include out-of-bounds points (border clamp) and exact corners
+        pts = jnp.asarray(
+            np.concatenate(
+                [
+                    (rng.rand(200, 3) * 1.4 - 0.55).astype(np.float32),
+                    np.array([[-0.4, -0.3, -0.2], [0.5, 0.6, 0.7]], np.float32),
+                ]
+            )
+        )
+        want = pts_sample_blend_weights(pts, vol, bounds)
+        packed = pack_corner_volume(vol)
+        assert packed.shape == (8, 6, 4, 200)
+        got = pts_sample_blend_weights_packed(pts, packed, bounds, 25)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )

@@ -112,3 +112,54 @@ def test_density_grid_sweep_pads():
     pts = jnp.asarray(np.random.RandomState(0).randn(1000, 3).astype(np.float32))
     out = density_grid_sweep(f, pts, tile=256)
     np.testing.assert_allclose(np.asarray(out), np.asarray(pts).sum(-1), atol=1e-5)
+
+
+class TestShardedEval:
+    def test_matches_single_device(self):
+        """render_image_sharded over the 8-device CPU mesh must produce
+        the single-device render exactly (rays are embarrassingly
+        parallel)."""
+        import jax
+        import jax.numpy as jnp
+        import sys, os
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __graft_entry__ as ge
+        from animatable_nerf_tpu.models import AniNeRF
+        from animatable_nerf_tpu.render import RenderSettings
+        from animatable_nerf_tpu.render.renderer import render_image, pad_rays
+        from animatable_nerf_tpu.parallel import make_mesh
+        from animatable_nerf_tpu.parallel.eval_sharding import (
+            render_image_sharded,
+        )
+
+        rng = np.random.RandomState(0)
+        frame = {
+            k: jnp.asarray(v)
+            for k, v in ge._synthetic_frame(rng, grid_shape=(8, 8, 8)).items()
+        }
+        rays = {k: jnp.asarray(v) for k, v in ge._rays(rng, 300).items()}
+        settings = RenderSettings(n_samples=8, perturb=False, eval_tile=64)
+
+        model = AniNeRF(num_train_frames=2)
+        z = jnp.ones((300, 8))
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((*z.shape, 3)), rays["ray_d"],
+            z, frame, train=False,
+        )
+
+        mesh = make_mesh(8)
+        out_s, n_valid = render_image_sharded(
+            model, params, rays, frame, settings, mesh
+        )
+
+        padded, _ = pad_rays(rays, n_valid and out_s["rgb_map"].shape[0])
+        out_p = jax.jit(
+            lambda p, r: render_image(model, p, r, frame, settings)
+        )(params, padded)
+
+        assert n_valid == 300
+        np.testing.assert_allclose(
+            np.asarray(out_s["rgb_map"]), np.asarray(out_p["rgb_map"]),
+            rtol=1e-5, atol=1e-6,
+        )
