@@ -365,6 +365,42 @@ def run_evaluate(cfg: Config, params=None, max_items: int = -1,
     return evaluator.summarize()
 
 
+def run_evaluate_external(cfg: Config, pred_dir: str | None = None,
+                          max_items: int = -1):
+    """Score pre-rendered predictions against dataset ground truth
+    (reference run.py:111-124 `run_evaluate_nv` — loader + evaluator
+    only). Predictions are read from `pred_dir` (default: the experiment
+    comparison dir) as frameXXXX_viewXXXX.png."""
+    import cv2
+
+    cfg.eval = True
+    ds = make_dataset(cfg, "test")
+    loader = make_test_loader(cfg, ds)
+    pred_dir = pred_dir or os.path.join(cfg.result_dir, "comparison")
+    evaluator = ImageEvaluator(cfg.result_dir)
+    n = 0
+    for i, item in enumerate(loader):
+        if max_items >= 0 and i >= max_items:
+            break
+        fi = int(item["frame_index"])
+        vi = int(item.get("cam_ind", 0))
+        path = os.path.join(pred_dir, f"frame{fi:04d}_view{vi:04d}.png")
+        if not os.path.exists(path):
+            continue
+        img = cv2.imread(path)[..., ::-1].astype(np.float32) / 255.0
+        mab = np.asarray(item["mask_at_box"]).reshape(-1)
+        H, W = int(item["H"]), int(item["W"])
+        pred = img.reshape(-1, 3)[mab]
+        evaluator.evaluate(
+            pred, np.asarray(item["rgb"]), mab, H, W,
+            frame_index=fi, view_index=vi, save_images=False,
+        )
+        n += 1
+    if n == 0:
+        raise FileNotFoundError(f"no prediction images under {pred_dir}")
+    return evaluator.summarize()
+
+
 def run_visualize(cfg: Config, params=None, max_items: int = -1):
     """Novel view / pose sequence / mesh visualization (run.py:73-102)."""
     eng = Engine(cfg)

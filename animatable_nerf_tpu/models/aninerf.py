@@ -36,6 +36,7 @@ from .common import (
     inside_bounds,
     broadcast_viewdirs,
     raw_alpha_from_sigma,
+    compact_indices,
 )
 
 
@@ -60,6 +61,13 @@ class AniNeRF(nn.Module):
     # `fused` routes the trunks through the Pallas kernel on TPU.
     dtype: Any = jnp.float32
     fused: bool = False
+    # Eval-time survivor compaction: only this fraction of the sampled
+    # points runs the full warp+field pipeline (the rest fail the pnorm
+    # filter and contribute exactly 0 — reference compacts them away
+    # dynamically, tpose_nerf_network.py:158-161; here the survivor list
+    # has static capacity). Exact parity while survivors fit the
+    # capacity; overflow drops the latest points. 0 disables.
+    eval_keep_frac: float = 0.25
 
     def setup(self):
         self.bw_field = BlendWeightField(
@@ -152,6 +160,55 @@ class AniNeRF(nn.Module):
         keep = jnp.ones(sigma.shape, dtype=bool)
         return pbw, tbw, self._bw_consistency_select(sigma, keep)
 
+    def _eval_compacted(self, pose_pts, vd, dists, frame, novel_pose,
+                        n_rays, n_samples):
+        """Eval render with survivor compaction.
+
+        Pass 1 interpolates ONLY the distance channel (cheap 8-float
+        gather rows) to find the points inside the norm_th shell; pass 2
+        runs the full pipeline on a fixed-capacity compacted list and
+        scatters raw back. Bitwise-equal to the masked full path while
+        the survivor count fits the capacity.
+        """
+        n = pose_pts.shape[0]
+        cap = max(512, int(n * self.eval_keep_frac) // 512 * 512)
+
+        dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
+        pnorm = pts_sample_blend_weights_packed(
+            pose_pts, dist_packed, frame["pbounds"], n_channels=1
+        )[..., 0]
+        pind = keep_mask_with_argmin(pnorm, self.norm_th)
+
+        idx, n_kept = compact_indices(pind, cap)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+        slot_valid = slot < n_kept
+
+        c_pose = pose_pts[idx]
+        c_vd = vd[idx]
+        c_dists = dists[idx]
+
+        pbw_packed = pack_corner_volume(frame["pbw"])
+        c_init_pbw = pts_sample_blend_weights_packed(
+            c_pose, pbw_packed, frame["pbounds"],
+            n_channels=frame["pbw"].shape[-1],
+        )
+        tpose, _ = self.pose_to_canonical(
+            c_pose, c_init_pbw[..., :24], frame, novel_pose
+        )
+        sigma, rgb_logits = self.tpose_human(
+            tpose, c_vd, frame["latent_index"]
+        )
+        sigma = jnp.where(inside_bounds(tpose, frame["tbounds"]), sigma, 0.0)
+        alpha = raw_alpha_from_sigma(sigma, c_dists)
+        rgb = jax.nn.sigmoid(rgb_logits)
+        raw_c = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+        raw_c = jnp.where(slot_valid[:, None], raw_c, 0.0)
+
+        raw = jnp.zeros((n + 1, 4)).at[
+            jnp.where(slot_valid, idx, n)
+        ].set(raw_c, mode="drop")[:n]
+        return {"raw": raw.reshape(n_rays, n_samples, 4)}
+
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
                  novel_pose: bool = False):
         """wpts (R,S,3), viewdir (R,3), z_vals (R,S) -> dict.
@@ -166,6 +223,11 @@ class AniNeRF(nn.Module):
 
         # world -> posed SMPL space
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
+
+        if not train and self.eval_keep_frac > 0:
+            return self._eval_compacted(
+                pose_pts, vd, dists, frame, novel_pose, n_rays, n_samples
+            )
 
         # point filter from the precomputed distance channel (:149-157).
         # The grid lookup runs over the corner-packed layout: one gather

@@ -39,3 +39,28 @@ def broadcast_viewdirs(viewdir, n_samples):
 def raw_alpha_from_sigma(sigma, dists):
     """alpha = 1 - exp(-relu(sigma) * dists) (tpose_nerf_network.py:201)."""
     return 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+
+
+def compact_indices(keep, capacity: int):
+    """Stable fixed-capacity compaction of a boolean mask.
+
+    Returns (idx (capacity,) int32, n_kept ()) where idx[j] is the j-th
+    True position of `keep` (ascending); slots beyond n_kept point at
+    position 0 (callers mask with j < n_kept). When more than `capacity`
+    points are kept, the later ones are dropped.
+
+    O(N) cumsum + scatter — no sort. This is the TPU answer to the
+    reference's dynamic boolean compaction (`pose_pts[pind]`,
+    tpose_nerf_network.py:158-161): a static-shape survivor list that
+    downstream stages (MLPs, warps) run on instead of the full point set.
+    """
+    keep = keep.astype(jnp.bool_)
+    n = keep.shape[0]
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1          # (N,)
+    valid = keep & (pos < capacity)
+    src = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    idx = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.where(valid, pos, capacity)
+    ].set(src, mode="drop")
+    n_kept = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
+    return idx, n_kept

@@ -104,3 +104,24 @@ def compute_losses(ret: dict, batch: dict, iter_step):
 
     stats["loss"] = loss
     return loss, stats
+
+
+def elastic_crit(resd_jacobian):
+    """Elastic regularizer: squared log-singular-values of the
+    displacement-field Jacobian (crit.py:22-30; present in the reference
+    but unused by its shipped trainers). jac: (..., 3, 3) -> scalar."""
+    s = jnp.linalg.svd(resd_jacobian, compute_uv=False)
+    log_s = jnp.log(jnp.clip(s, 1e-6, None))
+    return jnp.mean(jnp.sum(log_s**2, axis=-1))
+
+
+def normal_crit(surf_normal_pred, surf_normal_gt, viewdir, surf_mask):
+    """Surface-normal supervision (crit.py:33-50, unused by the shipped
+    trainers): masked, view-weighted normal difference with the
+    reference's y/z sign flip. All (N, 3) + (N,) bool mask."""
+    w = jnp.clip(jnp.sum(-surf_normal_pred * viewdir, axis=1), 0.0, 1.0) ** 2
+    norm = jnp.maximum(jnp.linalg.norm(surf_normal_gt, axis=1), 1e-8)
+    gt = surf_normal_gt / norm[..., None]
+    pred = surf_normal_pred * jnp.array([1.0, -1.0, -1.0])
+    diff = jnp.linalg.norm(pred - gt, axis=1)
+    return masked_mean(w * diff, surf_mask)

@@ -44,13 +44,36 @@ def run_visualize(cfg):
     f(cfg)
 
 
+def run_light_stage(cfg):
+    """Point-cloud -> occupancy voxelization (reference run.py:105-108)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    import ply_to_occupancy
+
+    ply_to_occupancy.ply_to_occupancy(
+        cfg.train_dataset.get("data_root", "data/light_stage")
+    )
+
+
+def run_evaluate_nv(cfg):
+    """Re-score externally produced renders against dataset ground truth
+    (reference run.py:111-124: loader + evaluator only, no network)."""
+    from animatable_nerf_tpu.engine import run_evaluate_external as f
+
+    f(cfg)
+
+
 def main():
     args, cfg = parse_cli()
     fn = globals().get("run_" + args.type)
     if fn is None:
         raise SystemExit(
             f"unknown --type {args.type!r}; available: dataset, network, "
-            "evaluate, visualize"
+            "evaluate, visualize, light_stage, evaluate_nv"
         )
     fn(cfg)
 

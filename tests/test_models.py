@@ -204,3 +204,39 @@ def test_density_paths(data):
     params2 = jax.jit(lambda: m2.init(jax.random.PRNGKey(0), wpts, vd, z, frame))()
     s = jax.jit(lambda p: m2.apply(p, pts, frame, method=m2.sdf))(params2)
     assert s.shape == (R_RAYS * S,)
+
+
+def test_eval_compaction_matches_full_path(data):
+    """The compacted eval render must equal the masked full path exactly
+    while survivors fit the capacity (models/common.py compact_indices)."""
+    frame, (wpts, vd, z) = data
+    m_full = models.AniNeRF(num_train_frames=3, eval_keep_frac=0.0)
+    m_comp = models.AniNeRF(num_train_frames=3, eval_keep_frac=1.0)
+    params = m_full.init(
+        jax.random.PRNGKey(0), wpts, vd, z, frame, train=False
+    )
+    out_full = jax.jit(
+        lambda p: m_full.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    out_comp = jax.jit(
+        lambda p: m_comp.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    np.testing.assert_allclose(
+        np.asarray(out_comp["raw"]), np.asarray(out_full["raw"]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_compact_indices():
+    from animatable_nerf_tpu.models.common import compact_indices
+
+    keep = jnp.asarray(
+        np.array([0, 1, 1, 0, 1, 0, 0, 1], dtype=bool)
+    )
+    idx, n = compact_indices(keep, 8)
+    assert int(n) == 4
+    assert np.asarray(idx[:4]).tolist() == [1, 2, 4, 7]
+    # overflow drops the latest survivors
+    idx2, n2 = compact_indices(keep, 2)
+    assert int(n2) == 2
+    assert np.asarray(idx2).tolist() == [1, 2]
