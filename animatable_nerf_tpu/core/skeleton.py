@@ -9,6 +9,8 @@ programs; the 24-joint chain is unrolled at trace time (static tree).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -114,3 +116,32 @@ def big_poses_vec(angle_deg: float = 30.0) -> np.ndarray:
     big[5] = np.deg2rad(angle_deg)
     big[8] = np.deg2rad(-angle_deg)
     return big
+
+
+@functools.lru_cache(maxsize=8)
+def _rigid_transforms_jit(parents_key: tuple, return_joints: bool):
+    parents = np.asarray(parents_key)
+    return jax.jit(
+        lambda poses, joints: rigid_transforms(
+            poses, joints, parents, return_joints=return_joints
+        )
+    )
+
+
+def rigid_transforms_host(poses, joints, parents, return_joints=False):
+    """Host-data-path rigid transforms: jitted + cached per kinematic
+    tree, pinned to the CPU backend. The eager unrolled 24-joint chain
+    dispatches ~100 ops per call (~100 ms/item in the dataloader, and
+    far worse if each eager op round-trips a remote accelerator); this
+    is one cached CPU XLA program."""
+    f = _rigid_transforms_jit(
+        tuple(int(p) for p in np.asarray(parents)), bool(return_joints)
+    )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        out = f(
+            np.asarray(poses, np.float32), np.asarray(joints, np.float32)
+        )
+    if return_joints:
+        return np.asarray(out[0]), np.asarray(out[1])
+    return np.asarray(out)

@@ -201,6 +201,80 @@ int marching_tets(const float* vol, int D, int H, int W, float level,
 
 void mesh_native_free(void* p) { delete[] (char*)p; }
 
+// Z-buffered triangle rasterization with per-vertex attribute
+// interpolation. Replaces the external pytorch3d mesh renderer used to
+// prebake SMPL UV maps for the NT baseline
+// (tools/render_h36m_uvmaps_pytorch3d.py). verts are world-space; K
+// (3x3 row-major), R (3x3), T (3) map world->camera; attrs has C
+// channels per vertex; out_attr is (H, W, C) zero-filled where no
+// triangle covers the pixel; out_depth likewise; out_mask 0/1.
+void rasterize_mesh(const float* verts, int64_t n_verts,
+                    const int64_t* faces, int64_t n_faces,
+                    const float* attrs, int n_channels,
+                    const float* K, const float* R, const float* T,
+                    int H, int W,
+                    float* out_attr, float* out_depth,
+                    uint8_t* out_mask) {
+  const int64_t npix = (int64_t)H * W;
+  memset(out_attr, 0, sizeof(float) * npix * n_channels);
+  memset(out_mask, 0, npix);
+  std::vector<float> zbuf(npix, 3.0e38f);
+  std::vector<float> sx(n_verts), sy(n_verts), sz(n_verts);
+  for (int64_t v = 0; v < n_verts; v++) {
+    const float* p = verts + v * 3;
+    float cx = R[0] * p[0] + R[1] * p[1] + R[2] * p[2] + T[0];
+    float cy = R[3] * p[0] + R[4] * p[1] + R[5] * p[2] + T[1];
+    float cz = R[6] * p[0] + R[7] * p[1] + R[8] * p[2] + T[2];
+    float u = K[0] * cx + K[1] * cy + K[2] * cz;
+    float w = K[3] * cx + K[4] * cy + K[5] * cz;
+    float d = K[6] * cx + K[7] * cy + K[8] * cz;
+    sz[v] = d;
+    sx[v] = (d > 1e-8f) ? u / d : -1e9f;
+    sy[v] = (d > 1e-8f) ? w / d : -1e9f;
+  }
+  for (int64_t f = 0; f < n_faces; f++) {
+    int64_t a = faces[f * 3], b = faces[f * 3 + 1], c = faces[f * 3 + 2];
+    if (sz[a] <= 1e-8f || sz[b] <= 1e-8f || sz[c] <= 1e-8f) continue;
+    float x0 = sx[a], y0 = sy[a], x1 = sx[b], y1 = sy[b],
+          x2 = sx[c], y2 = sy[c];
+    float area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0);
+    if (area == 0.0f) continue;
+    int xmin = (int)floorf(fminf(fminf(x0, x1), x2));
+    int xmax = (int)ceilf(fmaxf(fmaxf(x0, x1), x2));
+    int ymin = (int)floorf(fminf(fminf(y0, y1), y2));
+    int ymax = (int)ceilf(fmaxf(fmaxf(y0, y1), y2));
+    xmin = xmin < 0 ? 0 : xmin;
+    ymin = ymin < 0 ? 0 : ymin;
+    xmax = xmax >= W ? W - 1 : xmax;
+    ymax = ymax >= H ? H - 1 : ymax;
+    float inv_area = 1.0f / area;
+    for (int y = ymin; y <= ymax; y++) {
+      for (int x = xmin; x <= xmax; x++) {
+        float px = (float)x, py = (float)y;
+        float w0 = ((x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)) * inv_area;
+        float w1 = ((x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)) * inv_area;
+        float w2 = 1.0f - w0 - w1;
+        if (w0 < 0 || w1 < 0 || w2 < 0) continue;
+        // perspective-correct interpolation
+        float iz = w0 / sz[a] + w1 / sz[b] + w2 / sz[c];
+        float z = 1.0f / iz;
+        int64_t pix = (int64_t)y * W + x;
+        if (z >= zbuf[pix]) continue;
+        zbuf[pix] = z;
+        out_depth[pix] = z;
+        out_mask[pix] = 1;
+        for (int ch = 0; ch < n_channels; ch++) {
+          float va = attrs[a * n_channels + ch];
+          float vb = attrs[b * n_channels + ch];
+          float vc = attrs[c * n_channels + ch];
+          out_attr[pix * n_channels + ch] =
+              z * (w0 * va / sz[a] + w1 * vb / sz[b] + w2 * vc / sz[c]);
+        }
+      }
+    }
+  }
+}
+
 // Bin a point cloud into an occupancy grid: grid cell is 1 if any point
 // falls inside. bounds = [xmin ymin zmin xmax ymax zmax].
 void voxelize_occupancy(const float* pts, int64_t n, const float* bounds,

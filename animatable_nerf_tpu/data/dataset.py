@@ -24,7 +24,12 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
-from ..core.skeleton import rigid_transforms, big_pose_A, big_poses_vec
+from ..core.skeleton import (
+    rigid_transforms,
+    rigid_transforms_host,
+    big_pose_A,
+    big_poses_vec,
+)
 from .utils import (
     erode_mask_edge,
     crop_mask_edge,
@@ -222,22 +227,40 @@ class TPoseDataset(_BaseDataset):
         R = cv2.Rodrigues(Rh)[0].astype(np.float32)
         pxyz = np.dot(wxyz - Th, R).astype(np.float32)
         poses = params["poses"].reshape(-1, 3).astype(np.float32)
-        A = np.asarray(rigid_transforms(poses, self.joints, self.parents)).astype(
+        A = rigid_transforms_host(poses, self.joints, self.parents).astype(
             np.float32
         )
-        pbw = np.load(os.path.join(self.lbs_root, f"bweights/{i}.npy")).astype(
-            np.float32
+        pbw = np.asarray(
+            np.load(os.path.join(self.lbs_root, f"bweights/{i}.npy")),
+            dtype=np.float32,
         )
         return wxyz, pxyz, A, pbw, Rh, Th, R
+
+    def _frame_inputs(self, i):
+        """Per-frame pose metadata + padded bw grid, cached: all views of
+        a frame share it, and the grid load+pad is the dataloader's
+        dominant cost (the reference re-does it per item in every
+        worker — tpose_dataset.py:155-159)."""
+        cache = getattr(self, "_frame_cache", None)
+        if cache is None:
+            cache = self._frame_cache = {}
+        hit = cache.get(i)
+        if hit is None:
+            wpts, ppts, A, pbw, Rh, Th, Rw = self.prepare_input(i)
+            pbounds = get_bounds(ppts, self.cfg.box_padding)
+            wbounds = get_bounds(wpts, self.cfg.box_padding)
+            pbw, pbounds = pad_volume_to(pbw, pbounds, self.max_pbw_shape)
+            hit = (wpts, A, pbw, pbounds, wbounds, Rh, Th, Rw)
+            if len(cache) >= 8:
+                cache.pop(next(iter(cache)))
+            cache[i] = hit
+        return hit
 
     def __getitem__(self, index):
         img, msk, orig_msk, K, R, T, cam_ind, img_path = self.load_image(index)
         frame_index, i = self.frame_index_of(img_path)
 
-        wpts, ppts, A, pbw, Rh, Th, Rw = self.prepare_input(i)
-        pbounds = get_bounds(ppts, self.cfg.box_padding)
-        wbounds = get_bounds(wpts, self.cfg.box_padding)
-        pbw, pbounds = pad_volume_to(pbw, pbounds, self.max_pbw_shape)
+        wpts, A, pbw, pbounds, wbounds, Rh, Th, Rw = self._frame_inputs(i)
 
         rgb, ray_o, ray_d, near, far, coord, mask_at_box = self.sample_rays(
             img, msk, K, R, T, wbounds
@@ -320,7 +343,7 @@ class TPosePDFDataset(_BaseDataset):
         R = cv2.Rodrigues(Rh)[0].astype(np.float32)
         pxyz = np.dot(wxyz - Th, R).astype(np.float32)
         poses = params["poses"].reshape(-1, 3).astype(np.float32)
-        A, posed_joints = rigid_transforms(
+        A, posed_joints = rigid_transforms_host(
             poses, self.joints, self.parents, return_joints=True
         )
         return (

@@ -209,6 +209,16 @@ def generate_synthetic_dataset(
     np.save(os.path.join(lbs, "parents.npy"), parents)
     np.save(os.path.join(lbs, "weights.npy"), weights)
     np.save(os.path.join(lbs, "tvertices.npy"), tverts)
+    # a simple triangle strip over the cloud (stand-in for SMPL faces)
+    faces = np.stack(
+        [
+            np.arange(n_verts - 2),
+            np.arange(1, n_verts - 1),
+            np.arange(2, n_verts),
+        ],
+        axis=1,
+    ).astype(np.int64)
+    np.save(os.path.join(lbs, "faces.npy"), faces)
 
     # canonical big-pose template
     big_A = np.asarray(

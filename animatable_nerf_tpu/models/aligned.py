@@ -105,6 +105,49 @@ class _AlignedBase(nn.Module):
         raw = jnp.where((pind & inside)[:, None], raw, 0.0)
         return raw.reshape(n_rays, n_samples, 4)
 
+    # ------------------------------------------------------- stage 2
+    def _anim_select(self, sigma, keep):
+        """Density-above-threshold selection with forced argmax
+        (aninerf_sample_animation_trainer.py:113-121)."""
+        d = jax.lax.stop_gradient(jnp.where(keep, sigma, -jnp.inf))
+        return (d > self.train_th) | jax.nn.one_hot(
+            jnp.argmax(d), d.shape[-1], dtype=bool
+        )
+
+    def animation_from_pose(self, pose_pts, frame):
+        """Stage-2 consistency pair sampled in observation space
+        (aninerf_sample_animation_trainer.py:51-88 `ppts_to_tpose`):
+        KNN-prior novel-pose bw -> warp to canonical -> canonical bw,
+        selection by in-bounds density."""
+        init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
+        pbw = self.novel_pose_bw(
+            pose_pts, init_pbw, frame["bw_latent_index"]
+        )
+        tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
+        tpose = tpose_points_to_pose_points(tpose, pbw, frame["big_A"])
+        init_tbw, _ = self._knn_bw(tpose, frame["tvertices"], frame)
+        tbw = self._canonical_bw(tpose, init_tbw, frame)
+        sigma = self.nerf_network(tpose)[..., 0]
+        keep = inside_bounds(tpose, frame["tbounds"])
+        sigma = jnp.where(keep, sigma, 0.0)
+        return pbw, tbw, self._anim_select(sigma, keep)
+
+    def animation_from_canonical(self, tpts, frame):
+        """Stage-2 pair sampled in canonical space
+        (aninerf_sample_animation_trainer.py:91-121 `tpose_to_ppts`):
+        canonical bw -> forward warp -> novel-pose bw, selection by
+        KNN-distance-filtered density."""
+        init_tbw, tnorm = self._knn_bw(tpts, frame["tvertices"], frame)
+        tbw = self._canonical_bw(tpts, init_tbw, frame)
+        sigma = self.nerf_network(tpts)[..., 0]
+        t = pose_points_to_tpose_points(tpts, tbw, frame["big_A"])
+        ppts = tpose_points_to_pose_points(t, tbw, frame["A"])
+        init_pbw, _ = self._knn_bw(ppts, frame["pvertices"], frame)
+        pbw = self.novel_pose_bw(ppts, init_pbw, frame["bw_latent_index"])
+        keep = tnorm < self.norm_th
+        sigma = jnp.where(keep, sigma, 0.0)
+        return pbw, tbw, self._anim_select(sigma, keep)
+
     def _bw_mask(self, raw_flat, pind):
         """Select points for the bw consistency loss from the FINAL alpha
         (aligned_aninerf_lbw_network.py:137-144)."""

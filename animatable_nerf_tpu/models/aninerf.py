@@ -183,9 +183,14 @@ class AniNeRF(nn.Module):
         slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
         slot_valid = slot < n_kept
 
-        c_pose = pose_pts[idx]
-        c_vd = vd[idx]
-        c_dists = dists[idx]
+        # one gather for all per-point payloads (each gathered row costs
+        # serialized row time on TPU — merge, don't repeat)
+        payload = jnp.concatenate(
+            [pose_pts, vd, dists[:, None]], axis=-1
+        )[idx]
+        c_pose, c_vd, c_dists = (
+            payload[:, :3], payload[:, 3:6], payload[:, 6]
+        )
 
         pbw_packed = pack_corner_volume(frame["pbw"])
         c_init_pbw = pts_sample_blend_weights_packed(

@@ -74,6 +74,18 @@ def mesh_native():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.rasterize_mesh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,   # verts
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,   # faces
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,     # attrs, C
+            ctypes.POINTER(ctypes.c_float),                   # K
+            ctypes.POINTER(ctypes.c_float),                   # R
+            ctypes.POINTER(ctypes.c_float),                   # T
+            ctypes.c_int, ctypes.c_int,                       # H, W
+            ctypes.POINTER(ctypes.c_float),                   # out_attr
+            ctypes.POINTER(ctypes.c_float),                   # out_depth
+            ctypes.POINTER(ctypes.c_uint8),                   # out_mask
+        ]
         _lib = lib
         return _lib
 
@@ -118,6 +130,38 @@ def marching_cubes_native(volume, level, spacing=(1.0, 1.0, 1.0),
             lib.mesh_native_free(pv)
         if nf.value:
             lib.mesh_native_free(pf)
+
+
+def rasterize_mesh_native(verts, faces, attrs, K, R, T, H, W):
+    """Z-buffered triangle rasterization with per-vertex attribute
+    interpolation (pytorch3d-renderer replacement for UV prebaking).
+    Returns {attr (H,W,C), depth (H,W), mask (H,W)} or None when the
+    native library is unavailable."""
+    lib = mesh_native()
+    if lib is None:
+        return None
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int64)
+    attrs = np.ascontiguousarray(attrs, np.float32)
+    C = attrs.shape[1]
+    Kc = np.ascontiguousarray(K, np.float32)
+    Rc = np.ascontiguousarray(R, np.float32)
+    Tc = np.ascontiguousarray(np.asarray(T, np.float32).reshape(3))
+    out_attr = np.zeros((H, W, C), np.float32)
+    out_depth = np.zeros((H, W), np.float32)
+    out_mask = np.zeros((H, W), np.uint8)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.rasterize_mesh(
+        verts.ctypes.data_as(fp), ctypes.c_int64(len(verts)),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(faces)),
+        attrs.ctypes.data_as(fp), C,
+        Kc.ctypes.data_as(fp), Rc.ctypes.data_as(fp), Tc.ctypes.data_as(fp),
+        H, W,
+        out_attr.ctypes.data_as(fp), out_depth.ctypes.data_as(fp),
+        out_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return {"attr": out_attr, "depth": out_depth, "mask": out_mask}
 
 
 def voxelize_occupancy_native(points, bounds, shape):

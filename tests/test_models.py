@@ -240,3 +240,28 @@ def test_compact_indices():
     idx2, n2 = compact_indices(keep, 2)
     assert int(n2) == 2
     assert np.asarray(idx2).tolist() == [1, 2]
+
+
+def test_aligned_stage2_animation(data):
+    """Sample-based stage-2 consistency pair for the KNN family
+    (aninerf_sample_animation_trainer.py semantics)."""
+    frame, (wpts, vd, z) = data
+    m = models.AlignedLBW(num_latents=3, num_eval_frames=2)
+    params = m.init(
+        jax.random.PRNGKey(0), wpts, vd, z, frame, train=True,
+        novel_pose=True,
+    )
+    ppts = jnp.asarray(
+        np.random.RandomState(1).randn(32, 3).astype(np.float32) * 0.2
+    )
+    pbw0, tbw0, sel0 = m.apply(
+        params, ppts, frame, method=m.animation_from_pose
+    )
+    pbw1, tbw1, sel1 = m.apply(
+        params, ppts, frame, method=m.animation_from_canonical
+    )
+    for t in (pbw0, tbw0, pbw1, tbw1):
+        assert t.shape == (32, 24)
+        np.testing.assert_allclose(np.asarray(t.sum(-1)), 1.0, atol=1e-4)
+    assert sel0.dtype == bool and sel1.dtype == bool
+    assert bool(sel0.any()) and bool(sel1.any())  # forced argmax

@@ -74,3 +74,51 @@ class TestVoxelizeNative:
         bounds = np.array([[0, 0, 0], [1, 1, 1]], np.float32)
         grid = voxelize_occupancy_native(pts, bounds, (4, 4, 4))
         assert grid.sum() == 0
+
+
+@needs_native
+class TestRasterizeMesh:
+    def _cam(self, H, W):
+        K = np.array([[W, 0, W / 2], [0, W, H / 2], [0, 0, 1]], np.float32)
+        return K, np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+
+    def test_single_triangle_coverage_and_interp(self):
+        from animatable_nerf_tpu.native import rasterize_mesh_native
+
+        H = W = 64
+        K, R, T = self._cam(H, W)
+        verts = np.array(
+            [[-0.5, -0.5, 2.0], [0.5, -0.5, 2.0], [0.0, 0.5, 2.0]],
+            np.float32,
+        )
+        faces = np.array([[0, 1, 2]], np.int64)
+        attrs = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], np.float32)
+        out = rasterize_mesh_native(verts, faces, attrs, K, R, T, H, W)
+        assert out["mask"].sum() > 100
+        # centroid pixel interpolates to ~(1/3, 1/3)
+        cy, cx = H // 2 - 3, W // 2  # inside the triangle
+        assert out["mask"][cy, cx]
+        assert abs(float(out["depth"][cy, cx]) - 2.0) < 1e-3
+        # attrs bounded by barycentric hull
+        a = out["attr"][out["mask"] > 0]
+        assert (a >= -1e-4).all() and (a.sum(-1) <= 1 + 1e-4).all()
+
+    def test_depth_occlusion(self):
+        from animatable_nerf_tpu.native import rasterize_mesh_native
+
+        H = W = 32
+        K, R, T = self._cam(H, W)
+        # two overlapping triangles at different depths
+        near = np.array(
+            [[-0.4, -0.4, 1.0], [0.4, -0.4, 1.0], [0.0, 0.4, 1.0]],
+            np.float32,
+        )
+        far = near.copy()
+        far[:, 2] = 3.0
+        verts = np.concatenate([far, near])
+        faces = np.array([[0, 1, 2], [3, 4, 5]], np.int64)
+        attrs = np.array([[0.0]] * 3 + [[1.0]] * 3, np.float32)
+        out = rasterize_mesh_native(verts, faces, attrs, K, R, T, H, W)
+        cy, cx = H // 2 - 2, W // 2
+        assert float(out["attr"][cy, cx, 0]) == pytest.approx(1.0, abs=1e-4)
+        assert float(out["depth"][cy, cx]) == pytest.approx(1.0, abs=1e-3)

@@ -217,3 +217,50 @@ class TestPrepTools:
         for i in (0, 2):
             bw = np.load(os.path.join(out, "bweights", f"{i}.npy"))
             assert bw.ndim == 4 and bw.shape[-1] == 25
+
+
+class TestRenderTools:
+    @pytest.fixture
+    def synth(self, tmp_path):
+        from animatable_nerf_tpu.data import generate_synthetic_dataset
+
+        root = str(tmp_path / "human")
+        generate_synthetic_dataset(
+            root, n_frames=2, n_views=2, image_size=40, n_verts=150,
+            n_blobs=24,
+        )
+        return str(tmp_path), root
+
+    def test_render_uv_maps(self, synth):
+        import render_uv_maps
+
+        base, root = synth
+        out = render_uv_maps.render_human(base, "human", ratio=1.0)
+        uv = np.load(os.path.join(out, "0_0.npy"))
+        assert uv.ndim == 3 and uv.shape[-1] == 2
+        assert np.isfinite(uv).all()
+        assert (np.abs(uv).sum(-1) > 0).sum() > 10  # some coverage
+
+    def test_render_skeleton(self, synth):
+        import render_skeleton
+
+        base, root = synth
+        out = render_skeleton.render_human(base, "human", max_frames=1)
+        import cv2
+
+        img = cv2.imread(os.path.join(out, "0_0.png"))
+        assert img is not None and img.sum() > 0
+
+    def test_obj_uv_parser(self, tmp_path):
+        import render_uv_maps
+
+        obj = tmp_path / "m.obj"
+        obj.write_text(
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+            "vt 0.1 0.2\nvt 0.9 0.2\nvt 0.1 0.8\n"
+            "f 1/1 2/2 3/3\n"
+        )
+        uv, faces = render_uv_maps.load_obj_uv(str(obj))
+        np.testing.assert_allclose(uv[0], [0.1, 0.2])
+        np.testing.assert_allclose(uv[2], [0.1, 0.8])
+        assert faces.tolist() == [[0, 1, 2]]
