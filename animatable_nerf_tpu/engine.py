@@ -134,9 +134,15 @@ def _bucket_pad(n: int, tile: int) -> int:
     return tile * (1 << (tiles - 1).bit_length())
 
 
+# what the renderer consumes per ray; notably NOT mask_at_box (that is
+# the full-image H*W bool array, a different length than the ray arrays)
+# and NOT rgb (loss-only)
+_EVAL_RAY_KEYS = ("ray_o", "ray_d", "near", "far", "mask", "occupancy")
+
+
 def eval_rays(item: dict, tile: int):
     """Pad an eval item's rays into jit-stable shapes."""
-    rays = {k: np.asarray(item[k]) for k in RAY_KEYS if k in item}
+    rays = {k: np.asarray(item[k]) for k in _EVAL_RAY_KEYS if k in item}
     if "occupancy" in rays:
         rays["occupancy"] = rays["occupancy"].astype(np.int32)
     n = len(rays["ray_o"])
@@ -154,6 +160,13 @@ class Engine:
         self.model = make_model(cfg)
         self.settings = render_settings(cfg)
         self.novel_pose = bool(cfg.test_novel_pose)
+        # multi-device: shard the eval ray sweep over the mesh
+        # (parallel/eval_sharding.py); single device: plain jit
+        self._mesh = None
+        if jax.device_count() > 1 and cfg.get("shard_eval", True):
+            from .parallel.mesh import make_mesh
+
+            self._mesh = make_mesh()
         self._render_image_jit = jax.jit(
             lambda params, rays, frame: render_image(
                 self.model, params, rays, frame, self.settings,
@@ -192,9 +205,9 @@ class Engine:
 
     # --------------------------------------------------------- render
     def render_item(self, params, item, visibility: bool = False):
-        rays, n_valid = eval_rays(item, self.settings.eval_tile)
         frame = frame_arrays(item)
         if visibility and "msks" in item:
+            rays, n_valid = eval_rays(item, self.settings.eval_tile)
             out = self._render_image_vis_jit(
                 params,
                 rays,
@@ -203,7 +216,21 @@ class Engine:
                 jnp.asarray(item["RT"]),
                 jnp.asarray(item["msks"]),
             )
+        elif self._mesh is not None:
+            from .parallel.eval_sharding import render_image_sharded
+
+            n_dev = self._mesh.shape["dp"]
+            # bucket so every shape is divisible by n_dev * tile and the
+            # compiled-program set stays small
+            rays, n_valid = eval_rays(
+                item, self.settings.eval_tile * n_dev
+            )
+            out, _ = render_image_sharded(
+                self.model, params, rays, frame, self.settings,
+                self._mesh, novel_pose=self.novel_pose,
+            )
         else:
+            rays, n_valid = eval_rays(item, self.settings.eval_tile)
             out = self._render_image_jit(params, rays, frame)
         return {k: np.asarray(v)[:n_valid] for k, v in out.items()}, n_valid
 

@@ -40,7 +40,24 @@ def make_schedule(cfg):
     ep_iter = max(cfg.ep_iter, 1)
     if s["type"] == "exponential":
         return exponential_lr(cfg.train.lr, s["gamma"], s["decay_epochs"], ep_iter)
-    return make_multi_step_lr(cfg.train.lr, s["milestones"], s["gamma"], ep_iter)
+    base = make_multi_step_lr(
+        cfg.train.lr, s["milestones"], s["gamma"], ep_iter
+    )
+    if s["type"] == "warmup_multi_step":
+        # linear warmup over warmup_iters then the multi-step decay
+        # (lib/utils/optimizer/lr_scheduler.py:7-49)
+        warmup_iters = int(s.get("warmup_iters", 500))
+        warmup_factor = float(s.get("warmup_factor", 1.0 / 3))
+
+        def sched(step):
+            import jax.numpy as jnp
+
+            frac = jnp.clip(step / max(warmup_iters, 1), 0.0, 1.0)
+            w = warmup_factor * (1 - frac) + frac
+            return base(step) * jnp.where(step < warmup_iters, w, 1.0)
+
+        return sched
+    return base
 
 
 def make_optimizer(cfg, trainable_mask=None):
@@ -52,7 +69,10 @@ def make_optimizer(cfg, trainable_mask=None):
     sched = make_schedule(cfg)
     opt_name = cfg.train.get("optim", "adam")
     wd = cfg.train.get("weight_decay", 0.0)
-    if opt_name in ("adam", "radam"):
+    if opt_name == "radam":
+        # the reference vendors RAdam (lib/utils/optimizer/radam.py)
+        base = optax.radam(learning_rate=sched)
+    elif opt_name == "adam":
         if wd > 0:
             base = optax.adamw(learning_rate=sched, weight_decay=wd)
         else:

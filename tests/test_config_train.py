@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -212,3 +213,31 @@ def test_point_to_surface_exact(rng):
     np.testing.assert_allclose(d[0], 0.5, atol=1e-9)  # above interior
     np.testing.assert_allclose(d[1], 1.0, atol=1e-9)  # beyond vertex B
     np.testing.assert_allclose(d[2], np.sqrt(2), atol=1e-9)  # vertex A
+
+
+def test_radam_and_warmup_schedule():
+    from animatable_nerf_tpu.train.optim import make_optimizer, make_schedule
+
+    cfg = default_config()
+    cfg.train.optim = "radam"
+    tx, sched = make_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.ones((3,))}, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+    cfg2 = default_config()
+    cfg2.train.scheduler = {
+        "type": "warmup_multi_step", "milestones": [100], "gamma": 0.1,
+        "warmup_iters": 10, "warmup_factor": 0.5,
+    }
+    cfg2.ep_iter = 1
+    s = make_schedule(cfg2)
+    lr0 = float(s(0))
+    lr_mid = float(s(5))
+    lr_warm = float(s(10))
+    lr_decayed = float(s(200))
+    assert lr0 == pytest.approx(cfg2.train.lr * 0.5)
+    assert lr0 < lr_mid < lr_warm
+    assert lr_warm == pytest.approx(cfg2.train.lr)
+    assert lr_decayed == pytest.approx(cfg2.train.lr * 0.1)
