@@ -465,10 +465,17 @@ def run_visualize(cfg: Config, params=None, max_items: int = -1):
         vis = NovelViewVisualizer(cfg.exp_name)
     else:
         vis = PoseSequenceVisualizer(cfg.exp_name)
+    dump_depth = bool(cfg.get("vis_depth", False))
     for i, item in enumerate(loader):
         if max_items >= 0 and i >= max_items:
             break
         out, n_valid = eng.render_item(params, item, visibility=True)
+        kwargs = {}
+        if cfg.vis_novel_view and dump_depth:
+            kwargs = {
+                "depth": out.get("depth_map"),
+                "acc": out.get("acc_map"),
+            }
         vis.visualize(
             out["rgb_map"],
             np.asarray(item["mask_at_box"]),
@@ -476,6 +483,7 @@ def run_visualize(cfg: Config, params=None, max_items: int = -1):
             int(item["W"]),
             int(item["frame_index"]),
             int(item.get("view_index", 0)),
+            **kwargs,
         )
     return True
 

@@ -50,12 +50,21 @@ class NovelViewVisualizer:
         self.dir = os.path.join(out_root, exp_name)
 
     def visualize(self, rgb_pred, mask_at_box, H, W, frame_index, view_index,
-                  depth=None):
+                  depth=None, acc=None):
         img = _scatter_image(rgb_pred, mask_at_box, H, W)
-        _write(
-            os.path.join(self.dir, f"frame_{frame_index:04d}", f"{view_index:04d}.png"),
-            img,
-        )
+        frame_dir = os.path.join(self.dir, f"frame_{frame_index:04d}")
+        _write(os.path.join(frame_dir, f"{view_index:04d}.png"), img)
+        # optional accumulated depth/opacity dumps (if_nerf_demo.py:26-35)
+        if depth is not None:
+            d = np.zeros((H, W), np.float32)
+            d[mask_at_box.reshape(H, W)] = np.asarray(depth).reshape(-1)
+            np.save(
+                os.path.join(frame_dir, f"{view_index:04d}_depth.npy"), d
+            )
+        if acc is not None:
+            a = np.zeros((H, W), np.float32)
+            a[mask_at_box.reshape(H, W)] = np.asarray(acc).reshape(-1)
+            np.save(os.path.join(frame_dir, f"{view_index:04d}_acc.npy"), a)
 
 
 class PoseSequenceVisualizer:
