@@ -182,12 +182,20 @@ class AniNeRF(nn.Module):
         idx, n_kept = compact_indices(pind, cap)
         slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
         slot_valid = slot < n_kept
+        # valid slots carry ascending original indices; dead slots route
+        # to a sentinel row — the whole index vector is sorted, which
+        # lets gather/scatter skip conflict handling
+        sidx = jnp.where(slot_valid, idx, n)
 
         # one gather for all per-point payloads (each gathered row costs
         # serialized row time on TPU — merge, don't repeat)
         payload = jnp.concatenate(
             [pose_pts, vd, dists[:, None]], axis=-1
-        )[idx]
+        )
+        payload = jnp.pad(payload, ((0, 1), (0, 0)))
+        payload = payload.at[sidx].get(
+            mode="fill", fill_value=0.0, indices_are_sorted=True,
+        )
         c_pose, c_vd, c_dists = (
             payload[:, :3], payload[:, 3:6], payload[:, 6]
         )
@@ -209,9 +217,9 @@ class AniNeRF(nn.Module):
         raw_c = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
         raw_c = jnp.where(slot_valid[:, None], raw_c, 0.0)
 
-        raw = jnp.zeros((n + 1, 4)).at[
-            jnp.where(slot_valid, idx, n)
-        ].set(raw_c, mode="drop")[:n]
+        raw = jnp.zeros((n + 1, 4)).at[sidx].set(
+            raw_c, mode="drop", indices_are_sorted=True,
+        )[:n]
         return {"raw": raw.reshape(n_rays, n_samples, 4)}
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,

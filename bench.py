@@ -105,9 +105,10 @@ def main():
     dt_f32, out_f32 = time_render(render_f32)
     dt_fast, out_fast = time_render(render_fast)
 
-    # quality guard: bf16 trunk must not visibly move the render
+    # quality guard: bf16 trunk must not visibly move the render; pick
+    # whichever quality-passing variant is faster
     rgb_delta = float(jnp.max(jnp.abs(out_fast[0] - out_f32[0])))
-    use_fast = rgb_delta < 0.02
+    use_fast = rgb_delta < 0.02 and dt_fast < dt_f32
     dt = dt_fast if use_fast else dt_f32
     rays_per_sec = N_RAYS / dt
     # seconds to render a full 1024x1024 frame (all pixels in-box)
