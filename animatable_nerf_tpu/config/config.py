@@ -203,6 +203,9 @@ def default_config() -> Config:
             "result_dir": "data/result",
             # bench/runtime knobs (TPU-specific)
             "eval_tile": 8192,
+            # eval-time survivor compaction capacity as a fraction of the
+            # sampled points (models/common.py compact_indices); 0 = off
+            "eval_keep_frac": 0.25,
             "compute_dtype": "float32",
         }
     )

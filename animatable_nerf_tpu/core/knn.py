@@ -32,7 +32,8 @@ def knn_dists_idx(src, ref, k: int = 5):
     return -neg, idx
 
 
-def sample_blend_closest_points(src, ref, values, k: int = 5, exp: float = 1e-8):
+def sample_blend_closest_points(src, ref, values, k: int = 5, exp: float = 1e-8,
+                                chunk: int = 65536):
     """Inverse-distance-weighted blend weights from the K nearest vertices.
 
     Args:
@@ -53,6 +54,23 @@ def sample_blend_closest_points(src, ref, values, k: int = 5, exp: float = 1e-8)
             src.reshape(-1, *src.shape[-2:]),
             ref.reshape(-1, *ref.shape[-2:]),
             values.reshape(-1, *values.shape[-2:]),
+        )
+
+    n = src.shape[0]
+    if n > chunk:
+        # tile the query axis: the (N, M) distance matrix otherwise
+        # materializes tens of GB at eval point counts
+        import numpy as np
+
+        n_pad = int(np.ceil(n / chunk) * chunk)
+        src_p = jnp.pad(src, ((0, n_pad - n), (0, 0)))
+        s_t, d_t = jax.lax.map(
+            lambda s: sample_blend_closest_points(s, ref, values, k, exp),
+            src_p.reshape(-1, chunk, 3),
+        )
+        return (
+            s_t.reshape(n_pad, -1)[:n],
+            d_t.reshape(n_pad, -1)[:n],
         )
 
     d2, idx = knn_dists_idx(src, ref, k)

@@ -66,6 +66,9 @@ class _AlignedBase(nn.Module):
     train_th: float = 0.0
     tpose_viewdir: bool = True
     xyz_res: int = 10
+    # eval-time survivor compaction (models/aninerf.py); the deform
+    # variants re-run their KNN on the small compacted set
+    eval_keep_frac: float = 0.25
 
     def _canonical_head(self):
         self.nerf_network = GeometricFieldNetwork()
@@ -158,6 +161,54 @@ class _AlignedBase(nn.Module):
             jnp.argmax(a_sel), a_sel.shape[-1], dtype=bool
         )
 
+    def _eval_compacted(self, pose_pts, vd, dists, frame, novel_pose,
+                        n_rays, n_samples):
+        """Survivor-compacted eval render (see models/aninerf.py)."""
+        from .common import compact_indices
+
+        from ..ops.knn_pallas import sample_blend_closest_points_fused
+
+        n = pose_pts.shape[0]
+        cap = max(512, int(n * self.eval_keep_frac) // 512 * 512)
+        th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
+        # eval filter, no gradients: fused Pallas KNN (no (N, 6890)
+        # distance-matrix materialization)
+        _, pnorm = sample_blend_closest_points_fused(
+            pose_pts, frame["pvertices"], frame["weights"]
+        )
+        pind = keep_mask_with_argmin(pnorm[..., 0], th)
+        idx, n_kept = compact_indices(pind, cap)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+        slot_valid = slot < n_kept
+        sidx = jnp.where(slot_valid, idx, n)
+
+        payload = jnp.pad(
+            jnp.concatenate([pose_pts, vd, dists[:, None]], -1),
+            ((0, 1), (0, 0)),
+        ).at[sidx].get(mode="fill", fill_value=0.0, indices_are_sorted=True)
+        c_pose, c_vd, c_dists = (
+            payload[:, :3], payload[:, 3:6], payload[:, 6]
+        )
+        c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
+
+        # KNN prior on the small compacted set (fused kernel, no grads)
+        c_init_pbw, _ = sample_blend_closest_points_fused(
+            c_pose, frame["pvertices"], frame["weights"]
+        )
+        tpose, tdirs, _ = self._deform(
+            c_pose, c_pose_dirs, frame, novel_pose=novel_pose,
+            init_pbw=c_init_pbw,
+        )
+        dirs = tdirs if self.tpose_viewdir else c_vd
+        raw_c = self._head(tpose, dirs, c_dists, frame)
+        inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+        raw_c = jnp.where((inside & slot_valid)[:, None], raw_c, 0.0)
+
+        raw = jnp.zeros((n + 1, 4)).at[sidx].set(
+            raw_c, mode="drop", indices_are_sorted=True
+        )[:n]
+        return {"raw": raw.reshape(n_rays, n_samples, 4)}
+
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
                  novel_pose: bool = False):
         n_rays, n_samples = z_vals.shape
@@ -166,6 +217,12 @@ class _AlignedBase(nn.Module):
         dists = z_vals_to_dists(z_vals).reshape(-1)
 
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
+
+        if not train and self.eval_keep_frac > 0:
+            return self._eval_compacted(
+                pose_pts, vd, dists, frame, novel_pose, n_rays, n_samples
+            )
+
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame, self.norm_th)
 
@@ -204,8 +261,10 @@ class AlignedLBW(_AlignedBase):
             )
         self._canonical_head()
 
-    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False):
-        init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
+    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False,
+                init_pbw=None):
+        if init_pbw is None:
+            init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
         if novel_pose:
             pbw = self.novel_pose_bw(pose_pts, init_pbw, frame["bw_latent_index"])
         else:
@@ -232,8 +291,10 @@ class AlignedPBW(AlignedLBW):
         self.bw_field = PoseCondBWField(xyz_res=self.xyz_res)
         self._canonical_head()
 
-    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False):
-        init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
+    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False,
+                init_pbw=None):
+        if init_pbw is None:
+            init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
         pbw = self.bw_field(pose_pts, init_pbw, frame["poses"])
         tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
         tpose = tpose_points_to_pose_points(tpose, pbw, frame["big_A"])
@@ -254,8 +315,11 @@ class AlignedSMPL(_AlignedBase):
     def _filter(self, pose_pts, frame, th):
         return super()._filter(pose_pts, frame, 0.1)
 
-    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False):
-        pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
+    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False,
+                init_pbw=None):
+        pbw = init_pbw
+        if pbw is None:
+            pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
         tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
         tpose = tpose_points_to_pose_points(tpose, pbw, frame["big_A"])
         if self.tpose_viewdir and pose_dirs is not None:

@@ -42,7 +42,13 @@ from ..fields import (
     BetaNetwork,
     SingleVarianceNetwork,
 )
-from .common import keep_mask_with_argmin, inside_bounds, broadcast_viewdirs, raw_alpha_from_sigma
+from .common import (
+    keep_mask_with_argmin,
+    inside_bounds,
+    broadcast_viewdirs,
+    raw_alpha_from_sigma,
+    compact_indices,
+)
 
 NORM_TH = 0.1  # hard-coded in the pdf models (anisdf_pdf_network.py:172)
 
@@ -53,17 +59,24 @@ class _PDFBase(nn.Module):
     num_latents: int
     tpose_viewdir: bool = True
     xyz_res: int = 10
+    # eval-time survivor compaction (see models/aninerf.py): here the
+    # savings are larger still — SDF eval runs per-point autograd
+    # normals on top of the MLPs. Exact while survivors fit capacity.
+    eval_keep_frac: float = 0.25
 
-    def _warp(self, pose_pts, pose_dirs, frame):
+    def _warp(self, pose_pts, pose_dirs, frame, pbw=None):
         """posed SMPL -> canonical big pose (+ residual displacement).
 
         Reference: aligned_aninerf_pdf_network.py:66-93 /
-        anisdf_pdf_network.py:75-107.
+        anisdf_pdf_network.py:75-107. `pbw` may be precomputed to reuse
+        the filter's KNN result (the KNN otherwise runs twice per
+        forward, as in the reference).
         Returns (tpose, tpose_dirs, init_bigpose, resd).
         """
-        pbw, _ = sample_blend_closest_points(
-            pose_pts, frame["pvertices"], frame["weights"]
-        )
+        if pbw is None:
+            pbw, _ = sample_blend_closest_points(
+                pose_pts, frame["pvertices"], frame["weights"]
+            )
         init_tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
         init_bigpose = tpose_points_to_pose_points(init_tpose, pbw, frame["big_A"])
         resd = self.resd_field(init_bigpose, frame["poses"])
@@ -82,6 +95,46 @@ class _PDFBase(nn.Module):
             sample_blend_closest_points(pose_pts, frame["pvertices"], frame["weights"])
         )
         return keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
+
+    def _compact_eval_inputs(self, pose_pts, vd, dists, frame):
+        """One KNN pass over all points -> filter -> fixed-capacity
+        survivor compaction. Returns (sidx, slot_valid, compacted
+        pose_pts / WORLD viewdirs / dists / pbw, n) where sidx routes
+        dead slots to the sorted sentinel row n."""
+        from ..ops.knn_pallas import sample_blend_closest_points_fused
+
+        n = pose_pts.shape[0]
+        cap = max(512, int(n * self.eval_keep_frac) // 512 * 512)
+        # eval path, no gradients: the fused Pallas KNN — the XLA twin
+        # would materialize the (N, 6890) distance matrix
+        pbw_all, pnorm = sample_blend_closest_points_fused(
+            pose_pts, frame["pvertices"], frame["weights"]
+        )
+        pind = keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
+        idx, n_kept = compact_indices(pind, cap)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+        slot_valid = slot < n_kept
+        sidx = jnp.where(slot_valid, idx, n)
+
+        payload = jnp.concatenate(
+            [pose_pts, vd, dists[:, None], pbw_all], axis=-1
+        )
+        payload = jnp.pad(payload, ((0, 1), (0, 0)))
+        payload = payload.at[sidx].get(
+            mode="fill", fill_value=0.0, indices_are_sorted=True
+        )
+        return (
+            sidx, slot_valid,
+            payload[:, :3], payload[:, 3:6], payload[:, 6],
+            payload[:, 7:], n,
+        )
+
+    def _scatter_raw(self, raw_c, slot_valid, sidx, n, n_rays, n_samples):
+        raw_c = jnp.where(slot_valid[:, None], raw_c, 0.0)
+        raw = jnp.zeros((n + 1, 4)).at[sidx].set(
+            raw_c, mode="drop", indices_are_sorted=True
+        )[:n]
+        return raw.reshape(n_rays, n_samples, 4)
 
 
 class NeRFPDF(_PDFBase):
@@ -108,6 +161,13 @@ class NeRFPDF(_PDFBase):
         sigma = self.nerf_network(tpose)[..., 0]
         return jnp.where(pind, sigma, 0.0)
 
+    def _eval_head(self, tpose, dirs, dists, frame):
+        out = self.nerf_network(tpose)
+        sigma, feat = out[..., 0], out[..., 1:]
+        alpha = raw_alpha_from_sigma(sigma, dists)
+        rgb = self.color_network(tpose, None, dirs, feat, frame["latent_index"])
+        return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True):
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
@@ -115,17 +175,32 @@ class NeRFPDF(_PDFBase):
         dists = z_vals_to_dists(z_vals).reshape(-1)
 
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
+
+        if not train and self.eval_keep_frac > 0:
+            sidx, sv, c_pose, c_vd, c_dists, c_pbw, n = (
+                self._compact_eval_inputs(pose_pts, vd, dists, frame)
+            )
+            c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
+            tpose, tdirs, _, _ = self._warp(
+                c_pose, c_pose_dirs, frame, pbw=c_pbw
+            )
+            dirs = tdirs if self.tpose_viewdir else c_vd
+            raw_c = self._eval_head(tpose, dirs, c_dists, frame)
+            inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+            raw_c = jnp.where(inside[:, None], raw_c, 0.0)
+            return {
+                "raw": self._scatter_raw(
+                    raw_c, sv, sidx, n, n_rays, n_samples
+                )
+            }
+
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame)
 
         tpose, tpose_dirs, _, resd = self._warp(pose_pts, pose_dirs, frame)
         dirs = tpose_dirs if self.tpose_viewdir else vd
 
-        out = self.nerf_network(tpose)
-        sigma, feat = out[..., 0], out[..., 1:]
-        alpha = raw_alpha_from_sigma(sigma, dists)
-        rgb = self.color_network(tpose, None, dirs, feat, frame["latent_index"])
-        raw = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+        raw = self._eval_head(tpose, dirs, dists, frame)
 
         # expanded canonical bbox filter (+-0.05,
         # aligned_aninerf_pdf_network.py:126-135)
@@ -204,6 +279,16 @@ class SDFPDF(_PDFBase):
 
         return jax.vmap(jax.grad(sdf_scalar))(tpose)
 
+    def _eval_head(self, tpose, dirs, dists, frame):
+        sdf, feat, gradients = self._sdf_and_grad(tpose)
+        beta = self.beta_network()
+        sigma = volsdf_sigma(sdf[..., 0], beta)
+        alpha = sigma_to_alpha(sigma)
+        rgb = self.color_network(
+            tpose, gradients, dirs, feat, frame["latent_index"]
+        )
+        return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True):
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
@@ -211,6 +296,27 @@ class SDFPDF(_PDFBase):
         dists = z_vals_to_dists(z_vals).reshape(-1)
 
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
+
+        if not train and self.eval_keep_frac > 0:
+            # survivor-compacted eval: the SDF autograd normals and all
+            # MLPs run only on the in-shell points
+            sidx, sv, c_pose, c_vd, c_dists, c_pbw, n = (
+                self._compact_eval_inputs(pose_pts, vd, dists, frame)
+            )
+            c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
+            tpose, tdirs, _, _ = self._warp(
+                c_pose, c_pose_dirs, frame, pbw=c_pbw
+            )
+            dirs = tdirs if self.tpose_viewdir else c_vd
+            raw_c = self._eval_head(tpose, dirs, c_dists, frame)
+            inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+            raw_c = jnp.where(inside[:, None], raw_c, 0.0)
+            return {
+                "raw": self._scatter_raw(
+                    raw_c, sv, sidx, n, n_rays, n_samples
+                )
+            }
+
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame)
 

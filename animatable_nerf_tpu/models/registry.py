@@ -61,6 +61,7 @@ def make_model(cfg):
             )
         return NT(size=1024, feature_dim=16)
     cls = MODELS[cfg.network_module]
+    keep_frac = float(cfg.get("eval_keep_frac", 0.25))
     kwargs = dict(num_eval_frames=cfg.num_eval_frame if cfg.aninerf_animation or cfg.test_novel_pose else 0)
     if cls is AniNeRF:
         return AniNeRF(
@@ -69,6 +70,7 @@ def make_model(cfg):
             train_th=cfg.train_th,
             xyz_res=cfg.xyz_res,
             view_res=cfg.view_res,
+            eval_keep_frac=keep_frac,
             **kwargs,
         )
     if cls in (NeRFPDF, SDFPDF, NeuSPDF):
@@ -76,6 +78,7 @@ def make_model(cfg):
             num_latents=cfg.num_latent_code,
             tpose_viewdir=cfg.tpose_viewdir,
             xyz_res=cfg.xyz_res,
+            eval_keep_frac=keep_frac,
         )
     # aligned family
     return cls(
@@ -84,5 +87,6 @@ def make_model(cfg):
         train_th=cfg.train_th,
         tpose_viewdir=cfg.tpose_viewdir,
         xyz_res=cfg.xyz_res,
+        eval_keep_frac=keep_frac,
         **kwargs,
     )

@@ -265,3 +265,46 @@ def test_aligned_stage2_animation(data):
         np.testing.assert_allclose(np.asarray(t.sum(-1)), 1.0, atol=1e-4)
     assert sel0.dtype == bool and sel1.dtype == bool
     assert bool(sel0.any()) and bool(sel1.any())  # forced argmax
+
+
+@pytest.mark.parametrize("cls", [models.NeRFPDF, models.SDFPDF])
+def test_pdf_eval_compaction_matches_full_path(cls, data):
+    """Compacted eval == masked full path for the PDF/SDF family."""
+    frame, (wpts, vd, z) = data
+    m_full = cls(num_latents=3, eval_keep_frac=0.0)
+    m_comp = cls(num_latents=3, eval_keep_frac=1.0)
+    params = m_full.init(
+        jax.random.PRNGKey(0), wpts, vd, z, frame, train=False
+    )
+    out_full = jax.jit(
+        lambda p: m_full.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    out_comp = jax.jit(
+        lambda p: m_comp.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    np.testing.assert_allclose(
+        np.asarray(out_comp["raw"]), np.asarray(out_full["raw"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize(
+    "cls", [models.AlignedLBW, models.AlignedSMPL, models.AlignedPBW]
+)
+def test_aligned_eval_compaction_matches_full_path(cls, data):
+    frame, (wpts, vd, z) = data
+    m_full = cls(num_latents=3, eval_keep_frac=0.0)
+    m_comp = cls(num_latents=3, eval_keep_frac=1.0)
+    params = m_full.init(
+        jax.random.PRNGKey(0), wpts, vd, z, frame, train=False
+    )
+    out_full = jax.jit(
+        lambda p: m_full.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    out_comp = jax.jit(
+        lambda p: m_comp.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    np.testing.assert_allclose(
+        np.asarray(out_comp["raw"]), np.asarray(out_full["raw"]),
+        rtol=1e-5, atol=1e-6,
+    )
