@@ -164,12 +164,10 @@ class _AlignedBase(nn.Module):
     def _eval_compacted(self, pose_pts, vd, dists, frame, novel_pose,
                         n_rays, n_samples):
         """Survivor-compacted eval render (see models/aninerf.py)."""
-        from .common import compact_indices
-
+        from .common import compact_payload, scatter_compacted_raw, eval_capacity
         from ..ops.knn_pallas import sample_blend_closest_points_fused
 
-        n = pose_pts.shape[0]
-        cap = max(512, int(n * self.eval_keep_frac) // 512 * 512)
+        cap = eval_capacity(pose_pts.shape[0], self.eval_keep_frac)
         th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
         # eval filter, no gradients: fused Pallas KNN (no (N, 6890)
         # distance-matrix materialization)
@@ -177,17 +175,8 @@ class _AlignedBase(nn.Module):
             pose_pts, frame["pvertices"], frame["weights"]
         )
         pind = keep_mask_with_argmin(pnorm[..., 0], th)
-        idx, n_kept = compact_indices(pind, cap)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-        slot_valid = slot < n_kept
-        sidx = jnp.where(slot_valid, idx, n)
-
-        payload = jnp.pad(
-            jnp.concatenate([pose_pts, vd, dists[:, None]], -1),
-            ((0, 1), (0, 0)),
-        ).at[sidx].get(mode="fill", fill_value=0.0, indices_are_sorted=True)
-        c_pose, c_vd, c_dists = (
-            payload[:, :3], payload[:, 3:6], payload[:, 6]
+        sidx, slot_valid, (c_pose, c_vd, c_dists), n = compact_payload(
+            pind, [pose_pts, vd, dists], cap
         )
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
 
@@ -202,12 +191,12 @@ class _AlignedBase(nn.Module):
         dirs = tdirs if self.tpose_viewdir else c_vd
         raw_c = self._head(tpose, dirs, c_dists, frame)
         inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
-        raw_c = jnp.where((inside & slot_valid)[:, None], raw_c, 0.0)
-
-        raw = jnp.zeros((n + 1, 4)).at[sidx].set(
-            raw_c, mode="drop", indices_are_sorted=True
-        )[:n]
-        return {"raw": raw.reshape(n_rays, n_samples, 4)}
+        raw_c = jnp.where(inside[:, None], raw_c, 0.0)
+        return {
+            "raw": scatter_compacted_raw(
+                raw_c, slot_valid, sidx, n, n_rays, n_samples
+            )
+        }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
                  novel_pose: bool = False):

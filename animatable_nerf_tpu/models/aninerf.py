@@ -36,7 +36,9 @@ from .common import (
     inside_bounds,
     broadcast_viewdirs,
     raw_alpha_from_sigma,
-    compact_indices,
+    compact_payload,
+    scatter_compacted_raw,
+    eval_capacity,
 )
 
 
@@ -170,8 +172,7 @@ class AniNeRF(nn.Module):
         scatters raw back. Bitwise-equal to the masked full path while
         the survivor count fits the capacity.
         """
-        n = pose_pts.shape[0]
-        cap = max(512, int(n * self.eval_keep_frac) // 512 * 512)
+        cap = eval_capacity(pose_pts.shape[0], self.eval_keep_frac)
 
         dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
         pnorm = pts_sample_blend_weights_packed(
@@ -179,25 +180,8 @@ class AniNeRF(nn.Module):
         )[..., 0]
         pind = keep_mask_with_argmin(pnorm, self.norm_th)
 
-        idx, n_kept = compact_indices(pind, cap)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-        slot_valid = slot < n_kept
-        # valid slots carry ascending original indices; dead slots route
-        # to a sentinel row — the whole index vector is sorted, which
-        # lets gather/scatter skip conflict handling
-        sidx = jnp.where(slot_valid, idx, n)
-
-        # one gather for all per-point payloads (each gathered row costs
-        # serialized row time on TPU — merge, don't repeat)
-        payload = jnp.concatenate(
-            [pose_pts, vd, dists[:, None]], axis=-1
-        )
-        payload = jnp.pad(payload, ((0, 1), (0, 0)))
-        payload = payload.at[sidx].get(
-            mode="fill", fill_value=0.0, indices_are_sorted=True,
-        )
-        c_pose, c_vd, c_dists = (
-            payload[:, :3], payload[:, 3:6], payload[:, 6]
+        sidx, slot_valid, (c_pose, c_vd, c_dists), n = compact_payload(
+            pind, [pose_pts, vd, dists], cap
         )
 
         pbw_packed = pack_corner_volume(frame["pbw"])
@@ -215,12 +199,11 @@ class AniNeRF(nn.Module):
         alpha = raw_alpha_from_sigma(sigma, c_dists)
         rgb = jax.nn.sigmoid(rgb_logits)
         raw_c = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
-        raw_c = jnp.where(slot_valid[:, None], raw_c, 0.0)
-
-        raw = jnp.zeros((n + 1, 4)).at[sidx].set(
-            raw_c, mode="drop", indices_are_sorted=True,
-        )[:n]
-        return {"raw": raw.reshape(n_rays, n_samples, 4)}
+        return {
+            "raw": scatter_compacted_raw(
+                raw_c, slot_valid, sidx, n, n_rays, n_samples
+            )
+        }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
                  novel_pose: bool = False):

@@ -64,3 +64,47 @@ def compact_indices(keep, capacity: int):
     ].set(src, mode="drop")
     n_kept = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
     return idx, n_kept
+
+
+def compact_payload(keep, arrays, capacity: int):
+    """Compact per-point arrays by a keep mask with static capacity.
+
+    arrays: sequence of (N,) or (N, C) arrays sharing the point axis.
+    Returns (sidx, slot_valid, compacted arrays, n): `sidx` routes dead
+    slots to the sorted sentinel row n (use it for the scatter-back),
+    and the compacted arrays are gathered in ONE fused pass.
+    """
+    a0 = arrays[0]
+    n = a0.shape[0]
+    idx, n_kept = compact_indices(keep, capacity)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    slot_valid = slot < n_kept
+    sidx = jnp.where(slot_valid, idx, n)
+
+    cols = [a if a.ndim == 2 else a[:, None] for a in arrays]
+    widths = [c.shape[1] for c in cols]
+    payload = jnp.pad(jnp.concatenate(cols, axis=-1), ((0, 1), (0, 0)))
+    payload = payload.at[sidx].get(
+        mode="fill", fill_value=0.0, indices_are_sorted=True
+    )
+    outs = []
+    off = 0
+    for a, w in zip(arrays, widths):
+        col = payload[:, off : off + w]
+        outs.append(col[:, 0] if a.ndim == 1 else col)
+        off += w
+    return sidx, slot_valid, outs, n
+
+
+def scatter_compacted_raw(raw_c, slot_valid, sidx, n, n_rays, n_samples):
+    """Scatter compacted raw rows back into the dense (R, S, 4) layout;
+    dead slots write zeros to the sentinel row, which is sliced away."""
+    raw_c = jnp.where(slot_valid[:, None], raw_c, 0.0)
+    raw = jnp.zeros((n + 1, raw_c.shape[1])).at[sidx].set(
+        raw_c, mode="drop", indices_are_sorted=True
+    )[:n]
+    return raw.reshape(n_rays, n_samples, raw_c.shape[1])
+
+
+def eval_capacity(n: int, keep_frac: float) -> int:
+    return max(512, int(n * keep_frac) // 512 * 512)

@@ -47,7 +47,9 @@ from .common import (
     inside_bounds,
     broadcast_viewdirs,
     raw_alpha_from_sigma,
-    compact_indices,
+    compact_payload,
+    scatter_compacted_raw,
+    eval_capacity,
 )
 
 NORM_TH = 0.1  # hard-coded in the pdf models (anisdf_pdf_network.py:172)
@@ -103,38 +105,22 @@ class _PDFBase(nn.Module):
         dead slots to the sorted sentinel row n."""
         from ..ops.knn_pallas import sample_blend_closest_points_fused
 
-        n = pose_pts.shape[0]
-        cap = max(512, int(n * self.eval_keep_frac) // 512 * 512)
+        cap = eval_capacity(pose_pts.shape[0], self.eval_keep_frac)
         # eval path, no gradients: the fused Pallas KNN — the XLA twin
         # would materialize the (N, 6890) distance matrix
         pbw_all, pnorm = sample_blend_closest_points_fused(
             pose_pts, frame["pvertices"], frame["weights"]
         )
         pind = keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
-        idx, n_kept = compact_indices(pind, cap)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-        slot_valid = slot < n_kept
-        sidx = jnp.where(slot_valid, idx, n)
-
-        payload = jnp.concatenate(
-            [pose_pts, vd, dists[:, None], pbw_all], axis=-1
+        sidx, slot_valid, (c_pose, c_vd, c_dists, c_pbw), n = (
+            compact_payload(pind, [pose_pts, vd, dists, pbw_all], cap)
         )
-        payload = jnp.pad(payload, ((0, 1), (0, 0)))
-        payload = payload.at[sidx].get(
-            mode="fill", fill_value=0.0, indices_are_sorted=True
-        )
-        return (
-            sidx, slot_valid,
-            payload[:, :3], payload[:, 3:6], payload[:, 6],
-            payload[:, 7:], n,
-        )
+        return sidx, slot_valid, c_pose, c_vd, c_dists, c_pbw, n
 
     def _scatter_raw(self, raw_c, slot_valid, sidx, n, n_rays, n_samples):
-        raw_c = jnp.where(slot_valid[:, None], raw_c, 0.0)
-        raw = jnp.zeros((n + 1, 4)).at[sidx].set(
-            raw_c, mode="drop", indices_are_sorted=True
-        )[:n]
-        return raw.reshape(n_rays, n_samples, 4)
+        return scatter_compacted_raw(
+            raw_c, slot_valid, sidx, n, n_rays, n_samples
+        )
 
 
 class NeRFPDF(_PDFBase):
