@@ -41,6 +41,53 @@ def raw2outputs(raw, z_vals, white_bkgd: bool = False):
     return rgb_map, disp_map, acc_map, weights, depth_map
 
 
+def composite_compacted(sidx, slot_valid, rgb, alpha, z, n_rays: int,
+                        n_samples: int):
+    """Volume compositing directly on a survivor-compacted sample stream.
+
+    The compaction (models/common.py compact_payload) is stable, so
+    compacted slots are ordered by (ray, sample); per-ray transmittance
+    becomes a segmented exclusive cumprod over the stream and the maps
+    become one segment-sum — this replaces the dense (R*S, 4) scatter-
+    back + raw2outputs, whose scatter is the single most expensive op of
+    the compacted eval render on TPU.
+
+    Numerics vs the dense path: identical except that skipped samples'
+    (1 - 0 + 1e-10) transmittance factors are not multiplied in — a
+    relative difference of ~(1 + 1e-10)^S, i.e. ~6e-9 at S=64.
+
+    Args:
+      sidx: (cap,) compacted original sample indices (sorted; dead slots
+        = R*S). slot_valid: (cap,) bool. rgb (cap, 3), alpha (cap,),
+        z (cap,) per-slot values.
+    Returns (rgb_map (R,3), acc_map (R,), depth_map (R,)).
+    """
+    ray_id = jnp.where(slot_valid, sidx // n_samples, n_rays)
+    alpha = jnp.where(slot_valid, alpha, 0.0)
+
+    one_m = jnp.where(slot_valid, 1.0 - alpha + 1e-10, 1.0)
+    logs = jnp.log(jnp.maximum(one_m, 1e-10))
+    excl = jnp.cumsum(logs) - logs
+    # per-ray offset = excl at the segment's first slot
+    prev = jnp.concatenate([jnp.full((1,), -1, ray_id.dtype), ray_id[:-1]])
+    is_start = ray_id != prev
+    base = jnp.zeros((n_rays + 1,)).at[
+        jnp.where(is_start, ray_id, n_rays)
+    ].set(excl, mode="drop")
+    # clip: dead slots read an arbitrary base — alpha=0 kills their
+    # weight but exp must not overflow to inf (0 * inf = nan)
+    trans = jnp.exp(jnp.clip(excl - base[ray_id], -80.0, 1.0))
+
+    w = alpha * trans
+    vals = jnp.concatenate(
+        [w[:, None] * rgb, w[:, None], (w * z)[:, None]], axis=-1
+    )
+    out = jnp.zeros((n_rays + 1, 5)).at[ray_id].add(
+        vals, mode="drop", indices_are_sorted=True
+    )[:n_rays]
+    return out[:, :3], out[:, 3], out[:, 4]
+
+
 def sample_pdf(bins, weights, n_samples: int, key=None, det: bool = False):
     """Inverse-CDF hierarchical sampling (nerf_net_utils.py:40-75).
 

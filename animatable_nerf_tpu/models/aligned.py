@@ -161,8 +161,8 @@ class _AlignedBase(nn.Module):
             jnp.argmax(a_sel), a_sel.shape[-1], dtype=bool
         )
 
-    def _eval_compacted(self, pose_pts, vd, dists, frame, novel_pose,
-                        n_rays, n_samples):
+    def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
+                        novel_pose, n_rays, n_samples, precomposite):
         """Survivor-compacted eval render (see models/aninerf.py)."""
         from .common import compact_payload, scatter_compacted_raw, eval_capacity
         from ..ops.knn_pallas import sample_blend_closest_points_fused
@@ -175,8 +175,8 @@ class _AlignedBase(nn.Module):
             pose_pts, frame["pvertices"], frame["weights"]
         )
         pind = keep_mask_with_argmin(pnorm[..., 0], th)
-        sidx, slot_valid, (c_pose, c_vd, c_dists), n = compact_payload(
-            pind, [pose_pts, vd, dists], cap
+        sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n = compact_payload(
+            pind, [pose_pts, vd, dists, z_flat], cap
         )
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
 
@@ -192,6 +192,17 @@ class _AlignedBase(nn.Module):
         raw_c = self._head(tpose, dirs, c_dists, frame)
         inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
         raw_c = jnp.where(inside[:, None], raw_c, 0.0)
+        if precomposite:
+            from ..core.composite import composite_compacted
+
+            rgb_map, acc_map, depth_map = composite_compacted(
+                sidx, slot_valid, raw_c[:, :3], raw_c[:, 3], c_z,
+                n_rays, n_samples,
+            )
+            return {
+                "rgb_map": rgb_map, "acc_map": acc_map,
+                "depth_map": depth_map,
+            }
         return {
             "raw": scatter_compacted_raw(
                 raw_c, slot_valid, sidx, n, n_rays, n_samples
@@ -199,7 +210,7 @@ class _AlignedBase(nn.Module):
         }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
-                 novel_pose: bool = False):
+                 novel_pose: bool = False, precomposite: bool = False):
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)
@@ -209,7 +220,8 @@ class _AlignedBase(nn.Module):
 
         if not train and self.eval_keep_frac > 0:
             return self._eval_compacted(
-                pose_pts, vd, dists, frame, novel_pose, n_rays, n_samples
+                pose_pts, vd, dists, z_vals.reshape(-1), frame,
+                novel_pose, n_rays, n_samples, precomposite
             )
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])

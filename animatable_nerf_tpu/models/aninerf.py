@@ -162,15 +162,17 @@ class AniNeRF(nn.Module):
         keep = jnp.ones(sigma.shape, dtype=bool)
         return pbw, tbw, self._bw_consistency_select(sigma, keep)
 
-    def _eval_compacted(self, pose_pts, vd, dists, frame, novel_pose,
-                        n_rays, n_samples):
+    def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
+                        novel_pose, n_rays, n_samples, precomposite):
         """Eval render with survivor compaction.
 
         Pass 1 interpolates ONLY the distance channel (cheap 8-float
         gather rows) to find the points inside the norm_th shell; pass 2
-        runs the full pipeline on a fixed-capacity compacted list and
-        scatters raw back. Bitwise-equal to the masked full path while
-        the survivor count fits the capacity.
+        runs the full pipeline on a fixed-capacity compacted list.
+        With `precomposite`, the maps are composited directly on the
+        compacted stream (core/composite.py composite_compacted);
+        otherwise raw scatters back densely. Equal to the masked full
+        path while the survivor count fits the capacity.
         """
         cap = eval_capacity(pose_pts.shape[0], self.eval_keep_frac)
 
@@ -180,8 +182,8 @@ class AniNeRF(nn.Module):
         )[..., 0]
         pind = keep_mask_with_argmin(pnorm, self.norm_th)
 
-        sidx, slot_valid, (c_pose, c_vd, c_dists), n = compact_payload(
-            pind, [pose_pts, vd, dists], cap
+        sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n = compact_payload(
+            pind, [pose_pts, vd, dists, z_flat], cap
         )
 
         pbw_packed = pack_corner_volume(frame["pbw"])
@@ -198,6 +200,16 @@ class AniNeRF(nn.Module):
         sigma = jnp.where(inside_bounds(tpose, frame["tbounds"]), sigma, 0.0)
         alpha = raw_alpha_from_sigma(sigma, c_dists)
         rgb = jax.nn.sigmoid(rgb_logits)
+        if precomposite:
+            from ..core.composite import composite_compacted
+
+            rgb_map, acc_map, depth_map = composite_compacted(
+                sidx, slot_valid, rgb, alpha, c_z, n_rays, n_samples
+            )
+            return {
+                "rgb_map": rgb_map, "acc_map": acc_map,
+                "depth_map": depth_map,
+            }
         raw_c = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
         return {
             "raw": scatter_compacted_raw(
@@ -206,7 +218,7 @@ class AniNeRF(nn.Module):
         }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
-                 novel_pose: bool = False):
+                 novel_pose: bool = False, precomposite: bool = False):
         """wpts (R,S,3), viewdir (R,3), z_vals (R,S) -> dict.
 
         Mirrors tpose_nerf_network.py:139-215 with masked compute:
@@ -222,7 +234,8 @@ class AniNeRF(nn.Module):
 
         if not train and self.eval_keep_frac > 0:
             return self._eval_compacted(
-                pose_pts, vd, dists, frame, novel_pose, n_rays, n_samples
+                pose_pts, vd, dists, z_vals.reshape(-1), frame,
+                novel_pose, n_rays, n_samples, precomposite
             )
 
         # point filter from the precomputed distance channel (:149-157).

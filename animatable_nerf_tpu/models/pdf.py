@@ -98,11 +98,11 @@ class _PDFBase(nn.Module):
         )
         return keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
 
-    def _compact_eval_inputs(self, pose_pts, vd, dists, frame):
+    def _compact_eval_inputs(self, pose_pts, vd, dists, z_flat, frame):
         """One KNN pass over all points -> filter -> fixed-capacity
         survivor compaction. Returns (sidx, slot_valid, compacted
-        pose_pts / WORLD viewdirs / dists / pbw, n) where sidx routes
-        dead slots to the sorted sentinel row n."""
+        pose_pts / WORLD viewdirs / dists / z / pbw, n) where sidx
+        routes dead slots to the sorted sentinel row n."""
         from ..ops.knn_pallas import sample_blend_closest_points_fused
 
         cap = eval_capacity(pose_pts.shape[0], self.eval_keep_frac)
@@ -112,10 +112,31 @@ class _PDFBase(nn.Module):
             pose_pts, frame["pvertices"], frame["weights"]
         )
         pind = keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
-        sidx, slot_valid, (c_pose, c_vd, c_dists, c_pbw), n = (
-            compact_payload(pind, [pose_pts, vd, dists, pbw_all], cap)
+        sidx, slot_valid, (c_pose, c_vd, c_dists, c_z, c_pbw), n = (
+            compact_payload(pind, [pose_pts, vd, dists, z_flat, pbw_all], cap)
         )
-        return sidx, slot_valid, c_pose, c_vd, c_dists, c_pbw, n
+        return sidx, slot_valid, c_pose, c_vd, c_dists, c_z, c_pbw, n
+
+    def _compact_finish(self, rgb_alpha, sidx, slot_valid, c_z, n,
+                        n_rays, n_samples, precomposite):
+        """Either segment-composite the maps on the compacted stream or
+        scatter raw back densely."""
+        rgb, alpha = rgb_alpha[:, :3], rgb_alpha[:, 3]
+        if precomposite:
+            from ..core.composite import composite_compacted
+
+            rgb_map, acc_map, depth_map = composite_compacted(
+                sidx, slot_valid, rgb, alpha, c_z, n_rays, n_samples
+            )
+            return {
+                "rgb_map": rgb_map, "acc_map": acc_map,
+                "depth_map": depth_map,
+            }
+        return {
+            "raw": self._scatter_raw(
+                rgb_alpha, slot_valid, sidx, n, n_rays, n_samples
+            )
+        }
 
     def _scatter_raw(self, raw_c, slot_valid, sidx, n, n_rays, n_samples):
         return scatter_compacted_raw(
@@ -154,7 +175,8 @@ class NeRFPDF(_PDFBase):
         rgb = self.color_network(tpose, None, dirs, feat, frame["latent_index"])
         return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
-    def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True):
+    def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
+                 precomposite: bool = False):
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)
@@ -163,8 +185,10 @@ class NeRFPDF(_PDFBase):
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
 
         if not train and self.eval_keep_frac > 0:
-            sidx, sv, c_pose, c_vd, c_dists, c_pbw, n = (
-                self._compact_eval_inputs(pose_pts, vd, dists, frame)
+            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n = (
+                self._compact_eval_inputs(
+                    pose_pts, vd, dists, z_vals.reshape(-1), frame
+                )
             )
             c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
             tpose, tdirs, _, _ = self._warp(
@@ -174,11 +198,9 @@ class NeRFPDF(_PDFBase):
             raw_c = self._eval_head(tpose, dirs, c_dists, frame)
             inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
             raw_c = jnp.where(inside[:, None], raw_c, 0.0)
-            return {
-                "raw": self._scatter_raw(
-                    raw_c, sv, sidx, n, n_rays, n_samples
-                )
-            }
+            return self._compact_finish(
+                raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite
+            )
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame)
@@ -275,7 +297,8 @@ class SDFPDF(_PDFBase):
         )
         return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
-    def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True):
+    def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
+                 precomposite: bool = False):
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)
@@ -286,8 +309,10 @@ class SDFPDF(_PDFBase):
         if not train and self.eval_keep_frac > 0:
             # survivor-compacted eval: the SDF autograd normals and all
             # MLPs run only on the in-shell points
-            sidx, sv, c_pose, c_vd, c_dists, c_pbw, n = (
-                self._compact_eval_inputs(pose_pts, vd, dists, frame)
+            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n = (
+                self._compact_eval_inputs(
+                    pose_pts, vd, dists, z_vals.reshape(-1), frame
+                )
             )
             c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
             tpose, tdirs, _, _ = self._warp(
@@ -297,11 +322,9 @@ class SDFPDF(_PDFBase):
             raw_c = self._eval_head(tpose, dirs, c_dists, frame)
             inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
             raw_c = jnp.where(inside[:, None], raw_c, 0.0)
-            return {
-                "raw": self._scatter_raw(
-                    raw_c, sv, sidx, n, n_rays, n_samples
-                )
-            }
+            return self._compact_finish(
+                raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite
+            )
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame)
@@ -360,7 +383,10 @@ class NeuSPDF(SDFPDF):
             use_viewdir=self.color_with_viewdir,
         )
 
-    def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True):
+    def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
+                 precomposite: bool = False):
+        # NeuS alpha needs per-ray consecutive samples — no compaction
+        del precomposite
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)

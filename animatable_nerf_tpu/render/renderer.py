@@ -86,7 +86,32 @@ def render_rays(
     kwargs = {}
     if novel_pose:
         kwargs["novel_pose"] = True
-    ret = model.apply(params, wpts, ray_d, z_vals, frame, train=train, **kwargs)
+    if not train and inside_fn is None:
+        # the compacted eval paths can composite directly on the
+        # survivor stream (composite_compacted) instead of scattering
+        # raw back densely; visibility carving needs per-sample raw
+        kwargs["precomposite"] = True
+    ret = model.apply(
+        params, wpts, ray_d, z_vals, frame, train=train, **kwargs
+    )
+
+    if "raw" not in ret:
+        # model pre-composited (rgb/acc/depth maps)
+        rgb_map = ret["rgb_map"]
+        acc_map = ret["acc_map"]
+        depth_map = ret["depth_map"]
+        if settings.white_bkgd:
+            rgb_map = rgb_map + (1.0 - acc_map[..., None])
+        if "mask" in rays:
+            m = rays["mask"]
+            rgb_map = jnp.where(m[:, None], rgb_map, 0.0)
+            acc_map = jnp.where(m, acc_map, 0.0)
+            depth_map = jnp.where(m, depth_map, 0.0)
+        ret.update(
+            rgb_map=rgb_map, acc_map=acc_map, depth_map=depth_map,
+            z_vals=z_vals,
+        )
+        return ret
 
     raw = ret["raw"]
     if inside_fn is not None:

@@ -163,3 +163,47 @@ class TestShardedEval:
             np.asarray(out_s["rgb_map"]), np.asarray(out_p["rgb_map"]),
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestPrecomposite:
+    def test_matches_dense_composite(self):
+        """render_rays with the segment-composited compacted path must
+        match the dense raw2outputs path on all maps."""
+        import jax
+        import jax.numpy as jnp
+        import sys, os
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __graft_entry__ as ge
+        from animatable_nerf_tpu.models import AniNeRF
+        from animatable_nerf_tpu.render import RenderSettings
+        from animatable_nerf_tpu.render.renderer import render_rays
+
+        rng = np.random.RandomState(0)
+        frame = {
+            k: jnp.asarray(v)
+            for k, v in ge._synthetic_frame(rng, grid_shape=(8, 8, 8)).items()
+        }
+        rays = {k: jnp.asarray(v) for k, v in ge._rays(rng, 64).items()}
+        settings = RenderSettings(n_samples=16, perturb=False)
+        z = jnp.ones((64, 16))
+        m_dense = AniNeRF(num_train_frames=2, eval_keep_frac=0.0)
+        m_comp = AniNeRF(num_train_frames=2, eval_keep_frac=1.0)
+        params = m_dense.init(
+            jax.random.PRNGKey(0), jnp.zeros((*z.shape, 3)), rays["ray_d"],
+            z, frame, train=False,
+        )
+        out_d = jax.jit(
+            lambda p: render_rays(m_dense, p, rays, frame, settings,
+                                  train=False)
+        )(params)
+        out_c = jax.jit(
+            lambda p: render_rays(m_comp, p, rays, frame, settings,
+                                  train=False)
+        )(params)
+        assert "raw" not in out_c  # precomposited
+        for k in ("rgb_map", "acc_map", "depth_map"):
+            np.testing.assert_allclose(
+                np.asarray(out_c[k]), np.asarray(out_d[k]),
+                rtol=1e-4, atol=1e-5,
+            )
