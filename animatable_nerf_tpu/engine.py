@@ -519,9 +519,16 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
         num_threads=cfg.train.get("num_workers", 8) // 2 or 1,
     )
 
-    # init / resume
+    # init / resume. fix_random pins the sampling key chain; otherwise
+    # it varies per wall-clock start (reference train_net.py:12-15:
+    # determinism is opt-in)
     probe = [collate_rays(ds[0], cfg.N_rand)]
-    key = jax.random.PRNGKey(0 if not cfg.fix_random else 0)
+    if cfg.fix_random:
+        key = jax.random.PRNGKey(0)
+        if hasattr(ds, "_rng"):
+            ds._rng = np.random.RandomState(0)
+    else:
+        key = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
     state = trainer.init_state(jax.random.PRNGKey(42), stack_batch(probe))
 
     # stage-2 init from the stage-1 checkpoint (tpose_nerf_network.py:34-38)
