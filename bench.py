@@ -1,8 +1,9 @@
 """Benchmark: eval-render throughput (rays/sec/chip) on the flagship
 AniNeRF model.
 
-Protocol: one fused XLA program renders 65536 rays x 64 samples
-(4.19M point queries; each point runs the blend-weight MLP, LBS warp,
+Protocol: one fused XLA program renders 262144 rays x 64 samples —
+one full 512x512 eval frame, the aninerf_313 resolution (16.8M point
+queries; each point runs the blend-weight MLP, LBS warp,
 canonical-bw MLP and the NeRF trunk + heads — the same work the
 reference does per point in tpose_nerf_network.py:139-215, minus its
 2048-ray Python chunk loop). Steady-state median over repeated
@@ -33,7 +34,7 @@ import numpy as np
 
 REFERENCE_A100_RAYS_PER_SEC = 20_000.0
 TARGET_FACTOR = 3.0
-N_RAYS = 65536
+N_RAYS = 262144  # one full 512x512 eval frame (aninerf_313: 1024^2 at ratio 0.5)
 N_SAMPLES = 64
 WARMUP = 2
 REPS = 10
