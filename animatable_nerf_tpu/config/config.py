@@ -138,6 +138,10 @@ def default_config() -> Config:
             "view_res": 4,
             "N_samples": 64,
             "N_importance": 128,
+            # the reference never calls sample_pdf (N_importance is dead
+            # there); set True to enable the live hierarchical sampling
+            # implemented in render/renderer.py
+            "use_importance": False,
             "N_rand": 1024,
             "perturb": 1,
             "white_bkgd": False,

@@ -107,11 +107,16 @@ def make_test_loader(cfg: Config, dataset):
 
 
 def render_settings(cfg: Config) -> RenderSettings:
+    # N_importance is declared in the reference's configs but dead there
+    # (sample_pdf never called); live hierarchical sampling is opt-in so
+    # default behavior matches the reference protocol
+    n_imp = int(cfg.N_importance) if cfg.get("use_importance", False) else 0
     return RenderSettings(
         n_samples=cfg.N_samples,
         perturb=cfg.perturb > 0,
         white_bkgd=cfg.white_bkgd,
         eval_tile=cfg.get("eval_tile", 8192),
+        n_importance=n_imp,
     )
 
 
