@@ -60,3 +60,57 @@ def neus_alpha(sdf, inv_variance):
 def neus_anneal_ratio(iter_step, anneal_end: float = 25000.0):
     """Cosine-anneal ratio used by NeuS training (sdf_utils.py:7-11)."""
     return jnp.minimum(1.0, iter_step / anneal_end)
+
+
+def sphere_tracing(wpts, sdf, z_vals, ray_o, ray_d, sdf_fn,
+                   n_iters: int = 20, threshold: float = 5e-5):
+    """Bisection refinement of per-ray surface intersections.
+
+    Reference: nerf_net_utils.py:91-141 — pick each ray's FIRST
+    sign-change interval, bisect it (the reference loops while any ray
+    is unfinished, max 20; here a fixed `n_iters` loop with masked
+    updates — static shapes), and keep rays that converged from outside.
+
+    Args:
+      wpts (R, S, 3), sdf (R, S), z_vals (R, S), ray_o/ray_d (R, 3),
+      sdf_fn: (M, 3) -> (M,) canonical/world sdf evaluator.
+    Returns:
+      (points (R, 3), z (R,), mask (R,)) — points/z are meaningful where
+      mask is True (no boolean compaction).
+    """
+    import jax
+
+    R, S = sdf.shape
+    sign = jnp.sign(sdf[..., :-1] * sdf[..., 1:])  # (R, S-1)
+    weights = jnp.arange(S - 2, -1, -1, dtype=sign.dtype)
+    ind = jnp.argmin(sign * weights, axis=1)  # first crossing interval
+
+    take = lambda a, i: jnp.take_along_axis(a, i[:, None], axis=1)[:, 0]
+    cur_sdf = take(sdf, ind)
+    start = jnp.take_along_axis(wpts, ind[:, None, None], axis=1)[:, 0]
+    end = jnp.take_along_axis(wpts, (ind + 1)[:, None, None], axis=1)[:, 0]
+
+    def body(_, carry):
+        start, end, cur_sdf, unfinished = carry
+        mid = (start + end) / 2.0
+        mid_sdf = sdf_fn(mid)
+        go_out = unfinished & (mid_sdf > 0)
+        go_in = unfinished & (mid_sdf < 0)
+        start = jnp.where(go_out[:, None], mid, start)
+        end = jnp.where(go_in[:, None], mid, end)
+        cur_sdf = jnp.where(unfinished, mid_sdf, cur_sdf)
+        unfinished = unfinished & (
+            (jnp.abs(mid_sdf) > threshold) | (mid_sdf < 0)
+        )
+        return start, end, cur_sdf, unfinished
+
+    unfinished = jnp.abs(cur_sdf) > threshold
+    start, end, cur_sdf, unfinished = jax.lax.fori_loop(
+        0, n_iters, body, (start, end, cur_sdf, unfinished)
+    )
+
+    mask = (jnp.abs(cur_sdf) < threshold) & (cur_sdf >= 0)
+    z = (start[:, 0] - ray_o[:, 0]) / jnp.where(
+        jnp.abs(ray_d[:, 0]) > 1e-12, ray_d[:, 0], 1e-12
+    )
+    return start, z, mask

@@ -346,3 +346,37 @@ class TestPackedTrilerp:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
         )
+
+
+class TestSphereTracing:
+    def test_unit_sphere_intersections(self, rng):
+        import jax.numpy as jnp
+        from animatable_nerf_tpu.core.sdf import sphere_tracing
+
+        # rays from z=-2 toward the unit sphere at origin
+        R, S = 16, 32
+        dirs = rng.randn(R, 3).astype(np.float32) * 0.1
+        dirs[:, 2] = 1.0
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        ray_o = np.tile(np.array([[0, 0, -2.0]], np.float32), (R, 1))
+        z = np.linspace(0.5, 3.5, S, dtype=np.float32)
+        z_vals = np.tile(z, (R, 1))
+        wpts = ray_o[:, None] + dirs[:, None] * z_vals[..., None]
+
+        def sdf_fn(p):
+            return jnp.linalg.norm(p, axis=-1) - 1.0
+
+        sdf = np.asarray(sdf_fn(jnp.asarray(wpts)))
+        pts, zs, mask = sphere_tracing(
+            jnp.asarray(wpts), jnp.asarray(sdf), jnp.asarray(z_vals),
+            jnp.asarray(ray_o), jnp.asarray(dirs), sdf_fn,
+        )
+        m = np.asarray(mask)
+        assert m.sum() > R // 2  # most rays hit
+        hit = np.asarray(pts)[m]
+        np.testing.assert_allclose(
+            np.linalg.norm(hit, axis=-1), 1.0, atol=1e-3
+        )
+        # refined z reproduces the point along the ray
+        recon = ray_o[m] + dirs[m] * np.asarray(zs)[m][:, None]
+        np.testing.assert_allclose(recon, hit, atol=5e-3)
