@@ -15,6 +15,7 @@ Reference semantics:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -62,7 +63,7 @@ def neus_anneal_ratio(iter_step, anneal_end: float = 25000.0):
     return jnp.minimum(1.0, iter_step / anneal_end)
 
 
-def sphere_tracing(wpts, sdf, z_vals, ray_o, ray_d, sdf_fn,
+def sphere_tracing(wpts, sdf, ray_o, ray_d, sdf_fn,
                    n_iters: int = 20, threshold: float = 5e-5):
     """Bisection refinement of per-ray surface intersections.
 
@@ -70,20 +71,20 @@ def sphere_tracing(wpts, sdf, z_vals, ray_o, ray_d, sdf_fn,
     sign-change interval, bisect it (the reference loops while any ray
     is unfinished, max 20; here a fixed `n_iters` loop with masked
     updates — static shapes), and keep rays that converged from outside.
+    Deviation: the refined depth is the ray-direction projection of the
+    intersection point (the reference divides x-components, which is
+    NaN/0 for rays perpendicular to the x axis).
 
     Args:
-      wpts (R, S, 3), sdf (R, S), z_vals (R, S), ray_o/ray_d (R, 3),
+      wpts (R, S, 3), sdf (R, S), ray_o/ray_d (R, 3),
       sdf_fn: (M, 3) -> (M,) canonical/world sdf evaluator.
     Returns:
       (points (R, 3), z (R,), mask (R,)) — points/z are meaningful where
       mask is True (no boolean compaction).
     """
-    import jax
+    from .composite import get_intersection_mask
 
-    R, S = sdf.shape
-    sign = jnp.sign(sdf[..., :-1] * sdf[..., 1:])  # (R, S-1)
-    weights = jnp.arange(S - 2, -1, -1, dtype=sign.dtype)
-    ind = jnp.argmin(sign * weights, axis=1)  # first crossing interval
+    _, ind = get_intersection_mask(sdf)  # first crossing interval
 
     take = lambda a, i: jnp.take_along_axis(a, i[:, None], axis=1)[:, 0]
     cur_sdf = take(sdf, ind)
@@ -110,7 +111,7 @@ def sphere_tracing(wpts, sdf, z_vals, ray_o, ray_d, sdf_fn,
     )
 
     mask = (jnp.abs(cur_sdf) < threshold) & (cur_sdf >= 0)
-    z = (start[:, 0] - ray_o[:, 0]) / jnp.where(
-        jnp.abs(ray_d[:, 0]) > 1e-12, ray_d[:, 0], 1e-12
-    )
+    # depth by projection onto the (unit) ray direction — robust for any
+    # ray orientation
+    z = jnp.sum((start - ray_o) * ray_d, axis=-1)
     return start, z, mask

@@ -368,7 +368,7 @@ class TestSphereTracing:
 
         sdf = np.asarray(sdf_fn(jnp.asarray(wpts)))
         pts, zs, mask = sphere_tracing(
-            jnp.asarray(wpts), jnp.asarray(sdf), jnp.asarray(z_vals),
+            jnp.asarray(wpts), jnp.asarray(sdf),
             jnp.asarray(ray_o), jnp.asarray(dirs), sdf_fn,
         )
         m = np.asarray(mask)
