@@ -346,12 +346,17 @@ class TPosePDFDataset(_BaseDataset):
         A, posed_joints = rigid_transforms_host(
             poses, self.joints, self.parents, return_joints=True
         )
+        # WORLD-space posed joints: training_joints.npy is written in
+        # world coordinates (tpose_pdf_dataset.py:173,
+        # tools/prepare_lbs_meta.py), so the nearest-pose lookup must
+        # compare in the same frame
+        posed_joints = np.asarray(posed_joints) @ R.T + Th
         return (
             wxyz,
             pxyz,
             np.asarray(A).astype(np.float32),
             poses.reshape(-1),
-            np.asarray(posed_joints),
+            posed_joints.astype(np.float32),
             Rh,
             Th,
             R,

@@ -17,15 +17,18 @@ import numpy as np
 
 
 class FrameSampler:
-    """Evaluate every k-th frame (samplers.py:134-152)."""
+    """Evaluate every k-th frame (samplers.py:134-152): the frame WINDOW
+    [begin : begin + count] is cut first (count = -1 falls back to the
+    dataset's num_train_frame cap, per the reference), then strided by
+    `interval`."""
 
-    def __init__(self, dataset, interval: int = 30, begin: int = 0, count: int = -1):
+    def __init__(self, dataset, interval: int = 30, begin: int = 0,
+                 count: int = -1, default_count: int | None = None):
         n_frames = len(dataset) // dataset.num_cams
         inds = np.arange(len(dataset)).reshape(n_frames, dataset.num_cams)
-        inds = inds[::interval].ravel()
-        if count >= 0:
-            inds = inds[begin * dataset.num_cams : (begin + count) * dataset.num_cams]
-        self.inds = inds
+        if count < 0:
+            count = default_count if default_count is not None else n_frames
+        self.inds = inds[begin : begin + count][::interval].ravel()
 
     def __iter__(self):
         return iter(self.inds.tolist())
@@ -104,7 +107,16 @@ class Loader:
                     item = self.dataset[idx]
                 except Exception as e:  # surface dataset errors
                     item = e
-                q.put((pos, item))
+                # bounded put that keeps observing the stop event: a
+                # consumer that breaks early would otherwise leave the
+                # worker blocked forever, leaking the thread and pinning
+                # the prefetched item
+                while not stop.is_set():
+                    try:
+                        q.put((pos, item), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [
             threading.Thread(target=worker, daemon=True)

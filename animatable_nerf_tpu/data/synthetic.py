@@ -269,10 +269,11 @@ def generate_synthetic_dataset(
 
         A, posed_joints = rigid_transforms(poses, joints, parents, return_joints=True)
         A = np.asarray(A)
-        training_joints.append(np.asarray(posed_joints))
         pverts = _lbs_forward(tverts, weights, A)
         Rw = cv2.Rodrigues(Rh)[0].astype(np.float32)
         wverts = pverts @ Rw.T + Th
+        # world-space, like tools/prepare_lbs_meta.py's training_joints
+        training_joints.append(np.asarray(posed_joints) @ Rw.T + Th)
 
         np.save(os.path.join(root, "vertices", f"{f}.npy"), wverts)
         np.save(os.path.join(root, "new_vertices", f"{f}.npy"), wverts)

@@ -102,6 +102,9 @@ def make_test_loader(cfg: Config, dataset):
             interval=cfg.test.frame_sampler_interval,
             begin=cfg.test.get("begin_sampler_ind", 0),
             count=cfg.test.get("num_sampler_ind", -1),
+            # the reference's num_sampler_ind=-1 default caps the window
+            # at num_train_frame (samplers.py:143)
+            default_count=cfg.num_train_frame,
         )
     return Loader(dataset, shuffle=False, sampler=sampler, num_threads=2)
 
@@ -454,8 +457,14 @@ def run_visualize(cfg: Config, params=None, max_items: int = -1):
             if max_items >= 0 and i >= max_items:
                 break
             mesh = eng.extract_mesh(params, item)
+            # tpose export writes the CANONICAL vertices
+            # (mesh_visualizer.py:17-24)
+            verts = (
+                mesh["posed_vertex"] if cfg.vis_posed_mesh
+                else mesh["vertex"]
+            )
             vis.visualize(
-                mesh["posed_vertex"], mesh["triangle"],
+                verts, mesh["triangle"],
                 int(item["frame_index"]), posed=cfg.vis_posed_mesh,
             )
             m = evaluator.evaluate(

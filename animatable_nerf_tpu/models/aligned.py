@@ -346,8 +346,10 @@ class AlignedLBWPDF(AlignedLBW):
         self.resd_field = ResidualField(xyz_res=self.xyz_res)
         self._canonical_head()
 
-    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False):
-        init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
+    def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False,
+                init_pbw=None):
+        if init_pbw is None:
+            init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
         if novel_pose:
             pbw = self.novel_pose_bw(pose_pts, init_pbw, frame["bw_latent_index"])
         else:

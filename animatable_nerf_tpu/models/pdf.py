@@ -252,9 +252,13 @@ class SDFPDF(_PDFBase):
             out = self.sdf_network(p[None])[0]
             return out[0], out[1:]
 
-        grads, feats = jax.vmap(jax.grad(sdf_scalar, has_aux=True))(tpose)
-        sdf = self.sdf_network(tpose)[..., :1]
-        return sdf, feats, grads
+        # one fused fwd+bwd per point: value_and_grad returns the primal
+        # sdf alongside the gradient (a separate batched forward for the
+        # primal would re-run the whole 9-layer network)
+        (sdf, feats), grads = jax.vmap(
+            jax.value_and_grad(sdf_scalar, has_aux=True)
+        )(tpose)
+        return sdf[:, None], feats, grads
 
     def _observed_grad(self, init_bigpose, frame):
         """d/dx [ sdf(x + resd(x)) ] — the eikonal term in observed space

@@ -13,9 +13,9 @@ depth map; NHR then gathers per-point features into an image. Here:
      features — the same gradient surface PCPR exposes).
 
 Static shapes throughout; invalid/offscreen points are routed to a
-sentinel pixel that is dropped afterwards. An optional integer
-`splat_radius` replicates each point over a (2r+1)^2 pixel footprint
-(PCPR's per-point radius).
+sentinel pixel that is dropped afterwards. The integer `splat_radius`
+replicates each point over a (2r+1)^2 pixel footprint (PCPR's per-point
+radius); radius 0 writes a single pixel.
 """
 
 from __future__ import annotations
@@ -55,9 +55,9 @@ def rasterize_points(pts, features, K, R, T, H: int, W: int,
     npix = H * W
     offsets = [
         (dy, dx)
-        for dy in range(-(splat_radius - 1), splat_radius)
-        for dx in range(-(splat_radius - 1), splat_radius)
-    ] or [(0, 0)]
+        for dy in range(-splat_radius, splat_radius + 1)
+        for dx in range(-splat_radius, splat_radius + 1)
+    ]
 
     zbuf = jnp.full((npix + 1,), _INF, jnp.float32)
     flats = []

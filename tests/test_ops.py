@@ -209,7 +209,7 @@ class TestRasterize:
         def loss(f):
             out = rasterize_points(
                 pts, f, jnp.asarray(K), jnp.asarray(R), jnp.asarray(T),
-                H, W,
+                H, W, splat_radius=0,  # single-pixel footprint
             )
             return jnp.sum(out["feature_map"] ** 2)
 
