@@ -188,6 +188,47 @@ class Engine:
                 inside_fn=lambda pts: prepare_inside_mask(pts, Ks, RT, msks),
             )
         )
+        # mesh-extraction programs, jitted ONCE with params/frame as
+        # arguments: per-item jitted closures would bake the weights in
+        # as HLO constants and recompile every frame (see CLAUDE.md)
+        self._density_sweep_jit = jax.jit(self._density_sweep)
+        self._sdf_sweep_jit = jax.jit(self._sdf_sweep)
+        self._observed_grad_jit = jax.jit(self._observed_grad_at)
+        self._sdf_at_jit = jax.jit(self._sdf_at)
+
+    # ------------------------------------------------- mesh field sweeps
+    def _density_sweep(self, params, frame, flat):
+        return density_grid_sweep(
+            lambda p: self.model.apply(
+                params, p, frame, method=self.model.density
+            ),
+            flat,
+        )
+
+    def _sdf_sweep(self, params, frame, flat):
+        def field(p):
+            _, tnorm = sample_blend_closest_points(
+                p, frame["tvertices"], frame["weights"]
+            )
+            sdf = self.model.apply(
+                params, p, method=self.model.canonical_sdf
+            )
+            return jnp.where(tnorm[..., 0] < 0.1, sdf, 10.0)
+
+        return density_grid_sweep(field, flat)
+
+    def _observed_grad_at(self, params, frame, v):
+        return self.model.apply(
+            params, v, frame, method=self.model._observed_grad
+        )
+
+    def _sdf_at(self, params, frame, v):
+        resd = self.model.apply(
+            params, v, frame, method=self.model.canonical_resd
+        )
+        return self.model.apply(
+            params, v + resd, method=self.model.canonical_sdf
+        )
 
     # --------------------------------------------------------- params
     def init_params(self, key, dataset=None):
@@ -212,6 +253,40 @@ class Engine:
         return out[0]
 
     # --------------------------------------------------------- render
+    def _dense_model_render(self, params, rays, frame):
+        """Dense (no-compaction) fallback program, built lazily: used
+        when a frame's survivor count overflows the compaction capacity
+        (the compacted result would silently drop samples)."""
+        if not hasattr(self, "_dense_jit"):
+            dense_model = (
+                self.model.clone(eval_keep_frac=0.0)
+                if hasattr(self.model, "eval_keep_frac") else self.model
+            )
+            self._dense_jit = jax.jit(
+                lambda p, r, f: render_image(
+                    dense_model, p, r, f, self.settings,
+                    novel_pose=self.novel_pose,
+                )
+            )
+        return self._dense_jit(params, rays, frame)
+
+    def _dense_model_render_vis(self, params, rays, frame, Ks, RT, msks):
+        if not hasattr(self, "_dense_vis_jit"):
+            dense_model = (
+                self.model.clone(eval_keep_frac=0.0)
+                if hasattr(self.model, "eval_keep_frac") else self.model
+            )
+            self._dense_vis_jit = jax.jit(
+                lambda p, r, f, Ks, RT, msks: render_image(
+                    dense_model, p, r, f, self.settings,
+                    novel_pose=self.novel_pose,
+                    inside_fn=lambda pts: prepare_inside_mask(
+                        pts, Ks, RT, msks
+                    ),
+                )
+            )
+        return self._dense_vis_jit(params, rays, frame, Ks, RT, msks)
+
     def render_item(self, params, item, visibility: bool = False):
         frame = frame_arrays(item)
         if visibility and "msks" in item:
@@ -240,6 +315,27 @@ class Engine:
         else:
             rays, n_valid = eval_rays(item, self.settings.eval_tile)
             out = self._render_image_jit(params, rays, frame)
+        out = dict(out)
+        if bool(np.asarray(out.pop("compact_overflow", False))):
+            # survivors exceeded the compaction capacity: the compacted
+            # render dropped samples. Re-render densely (correct, slower)
+            # and tell the user to raise eval_keep_frac.
+            print(
+                "[render] survivor compaction overflowed "
+                f"(eval_keep_frac={getattr(self.model, 'eval_keep_frac', '?')}); "
+                "falling back to the dense render for this frame — raise "
+                "eval_keep_frac in the config to keep the fast path"
+            )
+            rays, n_valid = eval_rays(item, self.settings.eval_tile)
+            if visibility and "msks" in item:
+                out = dict(self._dense_model_render_vis(
+                    params, rays, frame,
+                    jnp.asarray(item["Ks"]), jnp.asarray(item["RT"]),
+                    jnp.asarray(item["msks"]),
+                ))
+            else:
+                out = dict(self._dense_model_render(params, rays, frame))
+            out.pop("compact_overflow", None)
         return {k: np.asarray(v)[:n_valid] for k, v in out.items()}, n_valid
 
     # --------------------------------------------------------- mesh
@@ -262,17 +358,7 @@ class Engine:
             # canonical-space SDF sweep; KNN filter baked into model.sdf?
             # model.sdf works in world space — here the grid is canonical,
             # so sweep the raw sdf network with the KNN filter
-            tverts = frame["tvertices"]
-            weights = frame["weights"]
-
-            def sweep(p):
-                _, tnorm = sample_blend_closest_points(p, tverts, weights)
-                sdf = self.model.apply(
-                    params, p, method=self.model.canonical_sdf
-                )
-                return jnp.where(tnorm[..., 0] < 0.1, sdf, 10.0)
-
-            sdf = np.asarray(density_grid_sweep(jax.jit(sweep), flat))
+            sdf = np.asarray(self._sdf_sweep_jit(params, frame, flat))
             cube = (-sdf).reshape(sh)
             cube = np.pad(cube, 10, mode="constant", constant_values=-10)
             verts, tris = marching_cubes(cube, 0.0)
@@ -283,25 +369,14 @@ class Engine:
 
             # re-pose the canonical mesh (sdf_mesh_renderer.py:83-102)
             v = jnp.asarray(verts.astype(np.float32))
-            tbw, _ = sample_blend_closest_points(v, tverts, weights)
+            tbw, _ = sample_blend_closest_points(
+                v, frame["tvertices"], frame["weights"]
+            )
 
             # inverse-displacement correction: resd = -normal * sdf with
             # normal = d/dx sdf(x + resd(x)) (sdf_mesh_renderer.py:90-96)
-            def og(p):
-                return self.model.apply(
-                    params, p, frame, method=self.model._observed_grad
-                )
-
-            def sdf_at(p):
-                resd = self.model.apply(
-                    params, p, frame, method=self.model.canonical_resd
-                )
-                return self.model.apply(
-                    params, p + resd, method=self.model.canonical_sdf
-                )
-
-            normal = np.asarray(jax.jit(og)(v))
-            sdf_v = np.asarray(jax.jit(sdf_at)(v))
+            normal = np.asarray(self._observed_grad_jit(params, frame, v))
+            sdf_v = np.asarray(self._sdf_at_jit(params, frame, v))
             deformed = v + jnp.asarray(-normal * sdf_v[:, None])
 
             tpose_pts = pose_points_to_tpose_points(deformed, tbw, frame["big_A"])
@@ -314,10 +389,7 @@ class Engine:
             }
 
         # density path (aninerf / aligned / nerf-pdf): world-space grid
-        field = lambda p: self.model.apply(
-            params, p, frame, method=self.model.density
-        )
-        sigma = np.asarray(density_grid_sweep(jax.jit(field), flat))
+        sigma = np.asarray(self._density_sweep_jit(params, frame, flat))
         if "msks" in item:
             vis = np.asarray(
                 prepare_inside_mask(
@@ -440,7 +512,9 @@ def run_visualize(cfg: Config, params=None, max_items: int = -1):
     """Novel view / pose sequence / mesh visualization (run.py:73-102)."""
     eng = Engine(cfg)
     ds = make_dataset(cfg, "test")
-    loader = Loader(ds, shuffle=False, num_threads=2)
+    # apply the configured test sampler (the reference's run_visualize
+    # goes through make_data_loader, which honors FrameSampler)
+    loader = make_test_loader(cfg, ds)
     if params is None:
         params = eng.load_params(eng.init_params(jax.random.PRNGKey(0), ds))
 
@@ -506,6 +580,31 @@ def run_visualize(cfg: Config, params=None, max_items: int = -1):
 # training driver (train_net.py:18-63)
 # ======================================================================
 
+def _periodic_eval(cfg, params, ctx):
+    """In-training validation with a CACHED Engine/dataset (rebuilding
+    them re-jits the eval renderer every eval epoch)."""
+    if "eng" not in ctx:
+        ecfg = cfg.clone()
+        ecfg.eval = True
+        ctx["eng"] = Engine(ecfg)
+        ctx["ds"] = make_dataset(ecfg, "test")
+        ctx["cfg"] = ecfg
+    eng, ds, ecfg = ctx["eng"], ctx["ds"], ctx["cfg"]
+    evaluator = ImageEvaluator(ecfg.result_dir)
+    for i in range(min(2, len(ds))):
+        item = ds[i]
+        out, _ = eng.render_item(params, item)
+        evaluator.evaluate(
+            out["rgb_map"], np.asarray(item["rgb"]),
+            np.asarray(item["mask_at_box"]),
+            int(item["H"]), int(item["W"]),
+            frame_index=int(item["frame_index"]),
+            view_index=int(item.get("cam_ind", 0)),
+            save_images=False,
+        )
+    return evaluator.summarize()
+
+
 def run_train(cfg: Config, epochs: int | None = None, mesh=None):
     from .train.animation import AnimationTrainer
 
@@ -545,25 +644,40 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
         key = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
     state = trainer.init_state(jax.random.PRNGKey(42), stack_batch(probe))
 
-    # stage-2 init from the stage-1 checkpoint (tpose_nerf_network.py:34-38)
+    # stage-2 init from the stage-1 checkpoint (tpose_nerf_network.py:34-38).
+    # A missing init checkpoint is an ERROR, not a silent cold start —
+    # stage 2 trained against a random frozen canonical field is garbage.
     if cfg.aninerf_animation and cfg.init_aninerf != "no_pretrain":
         from .train.checkpoints import load_params_partial
 
-        init_dir = os.path.join("data/trained_model/deform", cfg.init_aninerf)
-        if os.path.isdir(init_dir):
-            params = load_params_partial(init_dir, state.params, strict=False)
-            state = state._replace(params=params)
+        init_dir = os.path.join(
+            os.path.dirname(cfg.trained_model_dir), cfg.init_aninerf
+        )
+        if not os.path.isdir(init_dir):
+            init_dir = os.path.join(
+                "data/trained_model/deform", cfg.init_aninerf
+            )
+        if not os.path.isdir(init_dir):
+            raise FileNotFoundError(
+                f"init_aninerf checkpoint dir not found: {init_dir} "
+                "(train stage 1 first, or pass init_aninerf no_pretrain)"
+            )
+        params = load_params_partial(init_dir, state.params, strict=False)
+        state = state._replace(params=params)
     if cfg.get("init_sdf"):
         from .train.checkpoints import load_params_partial
 
         init_dir = os.path.join("data/trained_model", cfg.task, cfg.init_sdf)
-        if os.path.isdir(init_dir):
-            params = load_params_partial(
-                init_dir, state.params,
-                only=["params/tpose_human/sdf_network", "params/sdf_network"],
-                strict=False,
+        if not os.path.isdir(init_dir):
+            raise FileNotFoundError(
+                f"init_sdf checkpoint dir not found: {init_dir}"
             )
-            state = state._replace(params=params)
+        params = load_params_partial(
+            init_dir, state.params,
+            only=["params/tpose_human/sdf_network", "params/sdf_network"],
+            strict=False,
+        )
+        state = state._replace(params=params)
 
     begin_epoch = 0
     if cfg.resume:
@@ -583,6 +697,7 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
 
         shutil.rmtree(cfg.trained_model_dir, ignore_errors=True)
 
+    _eval_ctx: dict = {}
     for epoch in range(begin_epoch, n_epochs):
         state, key = trainer.train_epoch(
             state, loader, recorder, key, epoch, max_iter, mesh=mesh,
@@ -601,9 +716,8 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
                     cfg.trained_model_dir, state.params, state.opt_state,
                     epoch, int(state.step), recorder.state_dict(), latest=True,
                 )
-        if (epoch + 1) % cfg.eval_ep == 0 and not cfg.skip_eval:
-            run_evaluate(cfg.clone(), params=state.params, max_items=2,
-                         save_images=False)
+        if (epoch + 1) % cfg.eval_ep == 0 and not cfg.skip_eval and is_main:
+            _periodic_eval(cfg, state.params, _eval_ctx)
     return state
 
 

@@ -36,9 +36,11 @@ class BlendWeightField(nn.Module):
     def __call__(self, pts, smpl_bw, latent_index):
         """pts (N, 3); smpl_bw (N, 24); latent_index scalar int -> (N, 24)."""
         pe = positional_encoding(pts, self.xyz_res)
+        # 1-D index: flax Embed's num_embeddings==1 fast path breaks on
+        # scalar indices (single-frame configs)
         latent = nn.Embed(self.num_latents, self.latent_dim, name="latent")(
-            latent_index
-        )
+            jnp.reshape(latent_index, (1,))
+        )[0]
         latent = jnp.broadcast_to(latent, (*pe.shape[:-1], self.latent_dim))
         feat = jnp.concatenate([pe, latent], axis=-1)
         logits = SkipMLP(
@@ -137,7 +139,9 @@ class TPoseNeRF(nn.Module):
         sigma = self.alpha_fc(h)[..., 0].astype(jnp.float32)
 
         feat = self.feature_fc(h)
-        latent = self.nf_latent(latent_index).astype(self.dtype)
+        latent = self.nf_latent(
+            jnp.reshape(latent_index, (1,))
+        )[0].astype(self.dtype)
         latent = jnp.broadcast_to(latent, (*feat.shape[:-1], 128))
         feat = self.latent_fc(jnp.concatenate([feat, latent], axis=-1))
         vdir = positional_encoding(viewdir, self.view_res).astype(self.dtype)
@@ -219,7 +223,9 @@ class ColorNetwork(nn.Module):
         h = nn.relu(WNDense(256, name="lin0")(x))
         h = nn.relu(WNDense(256, name="lin1")(h))
         h = nn.relu(WNDense(256, name="lin2")(h))
-        latent = nn.Embed(self.num_latents, 128, name="color_latent")(latent_index)
+        latent = nn.Embed(self.num_latents, 128, name="color_latent")(
+            jnp.reshape(latent_index, (1,))
+        )[0]
         latent = jnp.broadcast_to(latent, (*h.shape[:-1], 128))
         h = nn.relu(WNDense(256, name="lin3")(jnp.concatenate([h, latent], -1)))
         return jax.nn.sigmoid(WNDense(3, name="lin4")(h))

@@ -175,8 +175,8 @@ class _AlignedBase(nn.Module):
             pose_pts, frame["pvertices"], frame["weights"]
         )
         pind = keep_mask_with_argmin(pnorm[..., 0], th)
-        sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n = compact_payload(
-            pind, [pose_pts, vd, dists, z_flat], cap
+        sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n, overflow = (
+            compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
         )
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
 
@@ -201,12 +201,13 @@ class _AlignedBase(nn.Module):
             )
             return {
                 "rgb_map": rgb_map, "acc_map": acc_map,
-                "depth_map": depth_map,
+                "depth_map": depth_map, "compact_overflow": overflow,
             }
         return {
             "raw": scatter_compacted_raw(
                 raw_c, slot_valid, sidx, n, n_rays, n_samples
-            )
+            ),
+            "compact_overflow": overflow,
         }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,

@@ -182,8 +182,8 @@ class AniNeRF(nn.Module):
         )[..., 0]
         pind = keep_mask_with_argmin(pnorm, self.norm_th)
 
-        sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n = compact_payload(
-            pind, [pose_pts, vd, dists, z_flat], cap
+        sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n, overflow = (
+            compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
         )
 
         pbw_packed = pack_corner_volume(frame["pbw"])
@@ -208,13 +208,14 @@ class AniNeRF(nn.Module):
             )
             return {
                 "rgb_map": rgb_map, "acc_map": acc_map,
-                "depth_map": depth_map,
+                "depth_map": depth_map, "compact_overflow": overflow,
             }
         raw_c = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
         return {
             "raw": scatter_compacted_raw(
                 raw_c, slot_valid, sidx, n, n_rays, n_samples
-            )
+            ),
+            "compact_overflow": overflow,
         }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,

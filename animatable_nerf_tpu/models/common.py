@@ -93,7 +93,13 @@ def compact_payload(keep, arrays, capacity: int):
         col = payload[:, off : off + w]
         outs.append(col[:, 0] if a.ndim == 1 else col)
         off += w
-    return sidx, slot_valid, outs, n
+    # (1,)-shaped so it survives sharded eval out_specs; True means
+    # survivors were DROPPED (results are wrong — callers must fall back
+    # to the dense path, see engine.render_item)
+    overflow = jnp.full((1,), n_kept >= capacity) & jnp.full(
+        (1,), jnp.sum(keep.astype(jnp.int32)) > capacity
+    )
+    return sidx, slot_valid, outs, n, overflow
 
 
 def scatter_compacted_raw(raw_c, slot_valid, sidx, n, n_rays, n_samples):

@@ -112,13 +112,13 @@ class _PDFBase(nn.Module):
             pose_pts, frame["pvertices"], frame["weights"]
         )
         pind = keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
-        sidx, slot_valid, (c_pose, c_vd, c_dists, c_z, c_pbw), n = (
+        sidx, slot_valid, (c_pose, c_vd, c_dists, c_z, c_pbw), n, ovf = (
             compact_payload(pind, [pose_pts, vd, dists, z_flat, pbw_all], cap)
         )
-        return sidx, slot_valid, c_pose, c_vd, c_dists, c_z, c_pbw, n
+        return sidx, slot_valid, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf
 
     def _compact_finish(self, rgb_alpha, sidx, slot_valid, c_z, n,
-                        n_rays, n_samples, precomposite):
+                        n_rays, n_samples, precomposite, overflow):
         """Either segment-composite the maps on the compacted stream or
         scatter raw back densely."""
         rgb, alpha = rgb_alpha[:, :3], rgb_alpha[:, 3]
@@ -130,12 +130,13 @@ class _PDFBase(nn.Module):
             )
             return {
                 "rgb_map": rgb_map, "acc_map": acc_map,
-                "depth_map": depth_map,
+                "depth_map": depth_map, "compact_overflow": overflow,
             }
         return {
             "raw": self._scatter_raw(
                 rgb_alpha, slot_valid, sidx, n, n_rays, n_samples
-            )
+            ),
+            "compact_overflow": overflow,
         }
 
     def _scatter_raw(self, raw_c, slot_valid, sidx, n, n_rays, n_samples):
@@ -185,7 +186,7 @@ class NeRFPDF(_PDFBase):
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
 
         if not train and self.eval_keep_frac > 0:
-            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n = (
+            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf = (
                 self._compact_eval_inputs(
                     pose_pts, vd, dists, z_vals.reshape(-1), frame
                 )
@@ -199,7 +200,8 @@ class NeRFPDF(_PDFBase):
             inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
             raw_c = jnp.where(inside[:, None], raw_c, 0.0)
             return self._compact_finish(
-                raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite
+                raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
+                ovf,
             )
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
@@ -313,7 +315,7 @@ class SDFPDF(_PDFBase):
         if not train and self.eval_keep_frac > 0:
             # survivor-compacted eval: the SDF autograd normals and all
             # MLPs run only on the in-shell points
-            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n = (
+            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf = (
                 self._compact_eval_inputs(
                     pose_pts, vd, dists, z_vals.reshape(-1), frame
                 )
@@ -327,7 +329,8 @@ class SDFPDF(_PDFBase):
             inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
             raw_c = jnp.where(inside[:, None], raw_c, 0.0)
             return self._compact_finish(
-                raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite
+                raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
+                ovf,
             )
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])

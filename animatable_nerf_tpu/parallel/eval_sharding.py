@@ -53,12 +53,45 @@ def render_image_sharded(
             novel_pose=novel_pose,
         )
 
-    fn = _shard_map(
+    def shard_fn_wrapped(params, frame, shard_rays):
+        out = shard_fn(params, frame, shard_rays)
+        # scalar flags cannot shard over dp; lift to (1,)
+        if "compact_overflow" in out:
+            import jax.numpy as jnp
+
+            out["compact_overflow"] = jnp.reshape(
+                out["compact_overflow"], (1,)
+            )
+        return out
+
+    # run one abstract eval to learn the output keys
+    import jax as _jax
+
+    abstract = _jax.eval_shape(
         shard_fn,
+        _jax.tree_util.tree_map(
+            lambda x: _jax.ShapeDtypeStruct(x.shape, x.dtype), params
+        ),
+        _jax.tree_util.tree_map(
+            lambda x: _jax.ShapeDtypeStruct(x.shape, x.dtype), frame
+        ),
+        _jax.tree_util.tree_map(
+            lambda x: _jax.ShapeDtypeStruct(
+                (x.shape[0] // n_dev, *x.shape[1:]), x.dtype
+            ),
+            padded,
+        ),
+    )
+    out_specs = {k: P(axis) for k in abstract}
+
+    fn = _shard_map(
+        shard_fn_wrapped,
         mesh=mesh,
         in_specs=(P(), P(), ray_specs),
-        out_specs=P(axis),
+        out_specs=out_specs,
         check_vma=False,
     )
     out = fn(params, frame, padded)
+    if "compact_overflow" in out:
+        out["compact_overflow"] = out["compact_overflow"].any()
     return out, n_valid

@@ -230,7 +230,16 @@ def render_image(
             novel_pose=novel_pose,
             inside_fn=inside_fn,
         )
-        return {k: out[k] for k in _IMAGE_OUTPUTS}
+        keep = {k: out[k] for k in _IMAGE_OUTPUTS}
+        if "compact_overflow" in out:
+            keep["compact_overflow"] = out["compact_overflow"]
+        return keep
 
     out = jax.lax.map(body, tiled)
-    return {k: v.reshape(n, *v.shape[2:]) for k, v in out.items()}
+    result = {
+        k: out[k].reshape(n, *out[k].shape[2:]) for k in _IMAGE_OUTPUTS
+    }
+    if "compact_overflow" in out:
+        # (n_tiles, 1) -> any tile overflowed its survivor capacity
+        result["compact_overflow"] = jnp.any(out["compact_overflow"])
+    return result

@@ -117,7 +117,10 @@ class AnimationTrainer:
                 grads, state.opt_state, state.params
             )
             params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), stats
+            n_frames = batch["A"].shape[0]
+            return TrainState(
+                params, opt_state, state.step + n_frames
+            ), stats
 
         self._step_fn = jax.jit(step)
 

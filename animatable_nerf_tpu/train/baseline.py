@@ -92,8 +92,14 @@ class BaselineTrainer:
             "img_loss": img_loss,
             "pyr_loss": pyr,
             "mask_loss": mask_loss,
+            # masked MSE over the masked PIXEL COUNT (a mean over all
+            # pixels would inflate PSNR on sparse subjects)
             "psnr": -10.0 * jnp.log(
-                jnp.maximum(jnp.mean(((pred - gt) * m) ** 2), 1e-10)
+                jnp.maximum(
+                    jnp.sum(((pred - gt) * m) ** 2)
+                    / jnp.maximum(jnp.sum(m) * 3.0, 1.0),
+                    1e-10,
+                )
             ) / jnp.log(10.0),
         }
         return loss, stats

@@ -75,11 +75,17 @@ def latest_epoch(model_dir: str) -> int:
 def load_checkpoint(model_dir: str, params_template, opt_state_template=None,
                     epoch: int = -1, use_latest: bool = True):
     """Restore full training state. Returns (params, opt_state, epoch,
-    step, recorder_state) or None if nothing to resume."""
-    if use_latest and os.path.exists(os.path.join(model_dir, "latest.flax")):
+    step, recorder_state) or None if nothing to resume.
+
+    An explicitly requested `epoch` always wins over latest.flax."""
+    if epoch >= 0:
+        path = os.path.join(model_dir, f"{epoch}.flax")
+        if not os.path.exists(path):
+            return None
+    elif use_latest and os.path.exists(os.path.join(model_dir, "latest.flax")):
         path = os.path.join(model_dir, "latest.flax")
     else:
-        e = latest_epoch(model_dir) if epoch < 0 else epoch
+        e = latest_epoch(model_dir)
         path = os.path.join(model_dir, f"{e}.flax")
         if e < 0 or not os.path.exists(path):
             return None

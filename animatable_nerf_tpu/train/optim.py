@@ -81,5 +81,16 @@ def make_optimizer(cfg, trainable_mask=None):
         base = optax.sgd(learning_rate=sched, momentum=0.9)
     tx = optax.chain(optax.clip(40.0), base)
     if trainable_mask is not None:
-        tx = optax.masked(tx, trainable_mask)
+        # NOT optax.masked(tx, mask): masked passes the RAW gradient
+        # through for mask=False leaves (it only skips the transform),
+        # which would apply unscaled gradient ascent to "frozen" params.
+        # multi_transform + set_to_zero makes frozen updates exactly 0.
+        import jax
+
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", trainable_mask
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
     return tx, sched

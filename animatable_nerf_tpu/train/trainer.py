@@ -143,7 +143,13 @@ class Trainer:
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates
         )
-        return TrainState(params, opt_state, state.step + 1), stats
+        # step counts CONSUMED FRAMES, not optimizer updates: the
+        # reference trains one frame per iteration, so under data
+        # parallelism (B frames per update) advancing by B keeps the LR
+        # schedule and loss schedules (sdf alpha milestones) on the
+        # reference timeline
+        n_frames = batch["ray_o"].shape[0]
+        return TrainState(params, opt_state, state.step + n_frames), stats
 
     def train_step(self, state, batch, key):
         return self._step_fn(state, batch, key)
@@ -158,13 +164,12 @@ class Trainer:
         n_rays = self.cfg.N_rand
         end = time.time()
         items = []
-        batch_frames = max(len(jax.devices()), 1) if mesh is not None else 1
-        for item in loader:
-            items.append(collate_rays(item, n_rays))
-            if len(items) < batch_frames:
-                continue
+        # batch size = the mesh's dp axis (NOT the host device count —
+        # the mesh may span fewer devices)
+        batch_frames = mesh.shape["dp"] if mesh is not None else 1
+
+        def run_step(state, key, items, end):
             batch = stack_batch(items)
-            items = []
             if mesh is not None:
                 from ..parallel.mesh import shard_batch
 
@@ -174,7 +179,6 @@ class Trainer:
             state, stats = self.train_step(state, batch, sub)
             jax.block_until_ready(stats["loss"])
             batch_time = time.time() - end
-            end = time.time()
 
             recorder.step += 1
             recorder.batch_time.update(batch_time)
@@ -182,7 +186,7 @@ class Trainer:
             stats = {k: float(v) for k, v in stats.items()}
             # first-class throughput counter (SURVEY.md §5 tracing)
             stats["rays_per_sec"] = (
-                batch_frames * n_rays / max(batch_time, 1e-9)
+                len(items) * n_rays / max(batch_time, 1e-9)
             )
             recorder.update_stats(stats)
             if recorder.step % log_interval == 0:
@@ -190,4 +194,19 @@ class Trainer:
                 print(recorder.log_line(max_iter, lr))
             if recorder.step % record_interval == 0:
                 recorder.record("train")
+            return state, key
+
+        for item in loader:
+            items.append(collate_rays(item, n_rays))
+            if len(items) < batch_frames:
+                continue
+            state, key = run_step(state, key, items, end)
+            items = []
+            end = time.time()
+        if items:
+            # tail batch smaller than the mesh: pad by repeating items so
+            # no training data is silently dropped
+            while len(items) < batch_frames:
+                items.append(items[-1])
+            state, key = run_step(state, key, items, end)
         return state, key

@@ -241,3 +241,19 @@ def test_radam_and_warmup_schedule():
     assert lr0 < lr_mid < lr_warm
     assert lr_warm == pytest.approx(cfg2.train.lr)
     assert lr_decayed == pytest.approx(cfg2.train.lr * 0.1)
+
+
+def test_trainable_mask_freezes_params():
+    """Frozen leaves must receive EXACTLY zero updates (optax.masked
+    would pass the raw gradient through — regression guard)."""
+    from animatable_nerf_tpu.train.optim import make_optimizer
+
+    cfg = default_config()
+    params = {"frozen": jnp.ones((3,)), "train": jnp.ones((3,))}
+    mask = {"frozen": False, "train": True}
+    tx, _ = make_optimizer(cfg, trainable_mask=mask)
+    state = tx.init(params)
+    grads = {"frozen": jnp.full((3,), 5.0), "train": jnp.full((3,), 5.0)}
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["frozen"]).sum()) == 0.0
+    assert float(jnp.abs(updates["train"]).sum()) > 0.0
