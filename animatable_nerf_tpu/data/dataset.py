@@ -16,6 +16,7 @@ frame.
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 
@@ -59,6 +60,7 @@ class _BaseDataset:
         self.human = dcfg["human"]
         annots = np.load(dcfg["ann_file"], allow_pickle=True).item()
         self.cams = annots["cams"]
+        self.annots_ims = annots["ims"]  # full per-frame image table
 
         num_cams = len(self.cams["K"])
         if len(cfg.test_view) == 0:
@@ -206,7 +208,10 @@ class TPoseDataset(_BaseDataset):
             {self.frame_index_of(os.path.join(self.data_root, im))[1] for im in self.ims}
         )
         shapes = []
-        self._pbw_cache = {}
+        # per-frame input cache (pose metadata + padded bw grid); guarded
+        # by a lock: the Loader calls __getitem__ from worker threads
+        self._frame_cache = {}
+        self._frame_cache_lock = threading.Lock()
         for fid in self._frame_ids:
             p = os.path.join(self.lbs_root, f"bweights/{fid}.npy")
             vol = np.load(p, mmap_mode="r")
@@ -241,19 +246,19 @@ class TPoseDataset(_BaseDataset):
         a frame share it, and the grid load+pad is the dataloader's
         dominant cost (the reference re-does it per item in every
         worker — tpose_dataset.py:155-159)."""
-        cache = getattr(self, "_frame_cache", None)
-        if cache is None:
-            cache = self._frame_cache = {}
-        hit = cache.get(i)
+        cache = self._frame_cache
+        with self._frame_cache_lock:
+            hit = cache.get(i)
         if hit is None:
             wpts, ppts, A, pbw, Rh, Th, Rw = self.prepare_input(i)
             pbounds = get_bounds(ppts, self.cfg.box_padding)
             wbounds = get_bounds(wpts, self.cfg.box_padding)
             pbw, pbounds = pad_volume_to(pbw, pbounds, self.max_pbw_shape)
             hit = (wpts, A, pbw, pbounds, wbounds, Rh, Th, Rw)
-            if len(cache) >= 8:
-                cache.pop(next(iter(cache)))
-            cache[i] = hit
+            with self._frame_cache_lock:
+                if len(cache) >= 8:
+                    cache.pop(next(iter(cache)), None)
+                cache[i] = hit
         return hit
 
     def __getitem__(self, index):

@@ -89,34 +89,34 @@ class Loader:
 
     def __iter__(self):
         inds = self._indices()
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        q: queue.Queue = queue.Queue()
         stop = threading.Event()
         it = iter(enumerate(inds))
         lock = threading.Lock()
         results: dict = {}
         next_out = [0]
+        # bounds TOTAL in-flight items (queued + parked in `results`):
+        # without it, one slow head-of-line item lets workers buffer the
+        # rest of the epoch in memory
+        tickets = threading.Semaphore(self.prefetch + self.num_threads)
 
         def worker():
             while not stop.is_set():
+                # acquire an in-flight ticket, observing stop
+                while not tickets.acquire(timeout=0.1):
+                    if stop.is_set():
+                        return
                 with lock:
                     try:
                         pos, idx = next(it)
                     except StopIteration:
+                        tickets.release()
                         return
                 try:
                     item = self.dataset[idx]
                 except Exception as e:  # surface dataset errors
                     item = e
-                # bounded put that keeps observing the stop event: a
-                # consumer that breaks early would otherwise leave the
-                # worker blocked forever, leaking the thread and pinning
-                # the prefetched item
-                while not stop.is_set():
-                    try:
-                        q.put((pos, item), timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                q.put((pos, item))
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -132,6 +132,7 @@ class Loader:
                     pos, item = q.get()
                     results[pos] = item
                 item = results.pop(next_out[0])
+                tickets.release()  # one in-flight slot freed
                 next_out[0] += 1
                 if isinstance(item, Exception):
                     raise item

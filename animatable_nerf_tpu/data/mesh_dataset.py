@@ -37,26 +37,30 @@ def _make_mesh_dataset(base_cls, canonical: bool):
     class _Mesh(base_cls, _VisMixin):
         def __init__(self, cfg, split="test"):
             super().__init__(cfg, split)
-            annots = np.load(
-                (cfg.test_dataset if split == "test" else cfg.train_dataset)[
-                    "ann_file"
-                ],
-                allow_pickle=True,
-            ).item()
-            self._annots_ims = annots["ims"]
-            # one item per test frame
+            # one item per test frame: track both the filename-embedded
+            # file id (for params/bweights IO) and the annots POSITION
+            # (for the per-frame training-view mask table)
             n_frames = len(self.ims) // self.num_cams
-            self.frame_ids = [
-                self.frame_index_of(os.path.join(self.data_root, self.ims[k * self.num_cams]))[1]
-                for k in range(n_frames)
-            ]
+            name_to_pos = {}
+            for pos, entry in enumerate(self.annots_ims):
+                for nm in entry["ims"]:
+                    name_to_pos[nm] = pos
+            self.frame_ids = []
+            self.frame_positions = []
+            for k in range(n_frames):
+                name = self.ims[k * self.num_cams]
+                self.frame_ids.append(
+                    self.frame_index_of(os.path.join(self.data_root, name))[1]
+                )
+                self.frame_positions.append(name_to_pos[name])
 
         def __len__(self):
             return len(self.frame_ids)
 
         def __getitem__(self, index):
             i = self.frame_ids[index]
-            item = self._frame_item(i)
+            annot_pos = self.frame_positions[index]
+            item = self._frame_item(i, annot_pos)
             bounds = item["tbounds"] if canonical else item["wbounds"]
             pts = grid_points(bounds, self.cfg.voxel_size)
             item["pts"] = pts
@@ -65,7 +69,7 @@ def _make_mesh_dataset(base_cls, canonical: bool):
             img0 = _imread_rgb(os.path.join(self.data_root, self.ims[0]))
             H, W = img0.shape[:2]
             H, W = int(H * self.cfg.ratio), int(W * self.cfg.ratio)
-            item["msks"] = self._train_view_masks(i, H, W)
+            item["msks"] = self._train_view_masks(annot_pos, H, W)
             Ks, RTs = self._vis_cams(H, W)
             item["Ks"] = Ks
             item["RT"] = RTs

@@ -43,12 +43,29 @@ def get_rays_within_bounds(H, W, K, R, T, bounds):
 
 class _VisMixin:
     """Shared: dilated training-view masks for visibility carving
-    (tpose_novel_view_dataset.py:85-122)."""
+    (tpose_novel_view_dataset.py:85-122).
 
-    def _train_view_masks(self, frame_index, H, W):
+    Frame-id conventions: `annot_pos` indexes the annots.npy ims table
+    by POSITION; `file_id` is the number embedded in the image/params
+    filenames (they differ for CoreView_313/315, where file ids are
+    1-based — frame_index_of)."""
+
+    def _file_id_at(self, annot_pos: int) -> int:
+        name = self.annots_ims[annot_pos]["ims"][0]
+        return self.frame_index_of(name)[1]
+
+    def _train_view_masks(self, annot_pos, H, W):
+        # cached: novel-view datasets render MANY views of ONE frame, and
+        # this rebuilds every training view's mask (imread + undistort +
+        # dilate) otherwise
+        cache = getattr(self, "_vis_mask_cache", None)
+        if cache is None:
+            cache = self._vis_mask_cache = {}
+        key = (annot_pos, H, W)
+        if key in cache:
+            return cache[key]
         msks = []
-        dcfg = self.cfg
-        ims = self._annots_ims[frame_index]["ims"]
+        ims = self.annots_ims[annot_pos]["ims"]
         for nv in range(len(ims)):
             im = ims[nv]
             candidates = [
@@ -69,7 +86,11 @@ class _VisMixin:
             msk = cv2.dilate(msk, kernel)
             msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
             msks.append(msk)
-        return np.array(msks)
+        out = np.array(msks)
+        if len(cache) >= 4:
+            cache.pop(next(iter(cache)))
+        cache[key] = out
+        return out
 
     def _vis_cams(self, H, W):
         Ks = []
@@ -88,13 +109,6 @@ def _make_novel_view(base_cls):
     class _NovelView(base_cls, _VisMixin):
         def __init__(self, cfg, split="test"):
             super().__init__(cfg, split)
-            annots = np.load(
-                (cfg.test_dataset if split == "test" else cfg.train_dataset)[
-                    "ann_file"
-                ],
-                allow_pickle=True,
-            ).item()
-            self._annots_ims = annots["ims"]
             Ks, RTs = load_cams(
                 (cfg.test_dataset if split == "test" else cfg.train_dataset)[
                     "ann_file"
@@ -108,8 +122,9 @@ def _make_novel_view(base_cls):
             return len(self.render_w2c)
 
         def __getitem__(self, index):
-            frame_index = self.cfg.begin_ith_frame * self.cfg.frame_interval
-            item = self._frame_item(frame_index)
+            annot_pos = self.cfg.begin_ith_frame * self.cfg.frame_interval
+            frame_index = self._file_id_at(annot_pos)
+            item = self._frame_item(frame_index, annot_pos)
             img0 = _imread_rgb(os.path.join(self.data_root, self.ims[0]))
             H, W = img0.shape[:2]
             H, W = int(H * self.cfg.ratio), int(W * self.cfg.ratio)
@@ -127,7 +142,7 @@ def _make_novel_view(base_cls):
                 near=near,
                 far=far,
                 mask_at_box=mask_at_box,
-                msks=self._train_view_masks(frame_index, H, W),
+                msks=self._train_view_masks(annot_pos, H, W),
                 Ks=Ks,
                 RT=RTs,
                 H=H,
@@ -147,13 +162,6 @@ def _make_pose_sequence(base_cls):
     class _PoseSeq(base_cls, _VisMixin):
         def __init__(self, cfg, split="test"):
             super().__init__(cfg, split)
-            annots = np.load(
-                (cfg.test_dataset if split == "test" else cfg.train_dataset)[
-                    "ann_file"
-                ],
-                allow_pickle=True,
-            ).item()
-            self._annots_ims = annots["ims"]
             # fixed camera = first test view
             self.fixed_cam = self.cam_inds[0]
 
@@ -169,8 +177,9 @@ def _make_pose_sequence(base_cls):
             i0 = self.cfg.begin_ith_frame
             if self.cfg.test_novel_pose or self.cfg.aninerf_animation:
                 i0 = i0 + self.cfg.num_train_frame
-            frame_index = (i0 + index) * self.cfg.frame_interval
-            item = self._frame_item(frame_index)
+            annot_pos = (i0 + index) * self.cfg.frame_interval
+            frame_index = self._file_id_at(annot_pos)
+            item = self._frame_item(frame_index, annot_pos)
 
             cam = self.fixed_cam
             K = np.array(self.cams["K"][cam]).copy()
@@ -190,7 +199,7 @@ def _make_pose_sequence(base_cls):
                 near=near,
                 far=far,
                 mask_at_box=mask_at_box,
-                msks=self._train_view_masks(frame_index, H, W),
+                msks=self._train_view_masks(annot_pos, H, W),
                 Ks=Ks,
                 RT=RTs,
                 H=H,
@@ -206,14 +215,11 @@ def _make_pose_sequence(base_cls):
 class _GridFrameMixin(TPoseDataset):
     """Per-frame metadata for grid (aninerf) models, no image IO."""
 
-    def _frame_item(self, i):
-        wpts, ppts, A, pbw, Rh, Th, Rw = self.prepare_input(i)
-        pbounds = get_bounds(ppts, self.cfg.box_padding)
-        wbounds = get_bounds(wpts, self.cfg.box_padding)
-        from .utils import pad_volume_to
-
-        pbw, pbounds = pad_volume_to(pbw, pbounds, self.max_pbw_shape)
-        latent_index = min(i // max(self.cfg.frame_interval, 1),
+    def _frame_item(self, i, annot_pos=None):
+        # reuse the per-frame cache (load+pad is the dominant cost)
+        wpts, A, pbw, pbounds, wbounds, Rh, Th, Rw = self._frame_inputs(i)
+        pos = annot_pos if annot_pos is not None else i
+        latent_index = min(pos // max(self.cfg.frame_interval, 1),
                            self.cfg.num_train_frame - 1)
         return {
             "A": A,
@@ -233,11 +239,12 @@ class _GridFrameMixin(TPoseDataset):
 class _PDFFrameMixin(TPosePDFDataset):
     """Per-frame metadata for KNN/pdf models, no image IO."""
 
-    def _frame_item(self, i):
+    def _frame_item(self, i, annot_pos=None):
         wpts, ppts, A, poses, posed_joints, Rh, Th, Rw = self.prepare_input(i)
         pbounds = get_bounds(ppts, self.cfg.box_padding)
         wbounds = get_bounds(wpts, self.cfg.box_padding)
-        latent_index = min(i // max(self.cfg.frame_interval, 1),
+        pos = annot_pos if annot_pos is not None else i
+        latent_index = min(pos // max(self.cfg.frame_interval, 1),
                            self.cfg.num_train_frame - 1)
         if self.training_joints is not None:
             n = self.nearest_training_frame(posed_joints)

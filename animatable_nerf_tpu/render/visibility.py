@@ -16,8 +16,10 @@ def prepare_inside_mask(pts, Ks, RTs, masks):
     """pts (N, 3); Ks (V, 3, 3); RTs (V, 3, 4); masks (V, H, W) ->
     inside (N,) bool.
 
-    Projection and nearest-pixel lookup match the reference: uv rounded
-    to int, out-of-image points count as outside.
+    Projection and nearest-pixel lookup match the reference
+    (tpose_renderer_mmsk.py:41-47): uv rounded to int and CLAMPED into
+    the image — out-of-image projections read the border pixel rather
+    than counting as outside.
     """
     V, H, W = masks.shape
     # world -> camera -> pixel, all views at once
@@ -26,14 +28,12 @@ def prepare_inside_mask(pts, Ks, RTs, masks):
     uv = pix[..., :2] / pix[..., 2:]
     u = jnp.round(uv[..., 0]).astype(jnp.int32)
     v = jnp.round(uv[..., 1]).astype(jnp.int32)
-    in_image = (u >= 0) & (u < W) & (v >= 0) & (v < H)
     uc = jnp.clip(u, 0, W - 1)
     vc = jnp.clip(v, 0, H - 1)
     # gather per view: flatten the (H, W) mask
     flat = masks.reshape(V, -1)
     vals = jnp.take_along_axis(flat, vc * W + uc, axis=1) > 0
-    inside = jnp.all(vals & in_image, axis=0)
-    return inside
+    return jnp.all(vals, axis=0)
 
 
 def make_inside_fn(Ks, RTs, masks):

@@ -83,10 +83,18 @@ def test_pad_rays_multiple():
 
 
 def test_visibility_carving():
-    # one camera looking down -z at the origin; mask fully on
+    # one camera looking down -z at the origin; mask on except a zero
+    # border: the reference CLAMPS out-of-image projections to the
+    # border pixel (tpose_renderer_mmsk.py:41-47), so an off-frustum
+    # point reads the border value
     K = jnp.asarray([[[100.0, 0, 32], [0, 100, 32], [0, 0, 1]]])
     RT = jnp.asarray([np.concatenate([np.eye(3), [[0], [0], [2.0]]], 1)])
-    masks = jnp.ones((1, 64, 64))
+    m = np.ones((1, 64, 64), np.float32)
+    m[:, :, 0] = 0
+    m[:, :, -1] = 0
+    m[:, 0, :] = 0
+    m[:, -1, :] = 0
+    masks = jnp.asarray(m)
     pts = jnp.asarray([[0.0, 0, 0], [10.0, 0, 0]])  # center vs off-frustum
     inside = prepare_inside_mask(pts, K, RT, masks)
     assert bool(inside[0]) and not bool(inside[1])
