@@ -168,6 +168,10 @@ def default_config() -> Config:
                     "milestones": [80, 120, 200, 240],
                 },
                 "num_workers": 8,
+                # train steps fused into ONE XLA dispatch via lax.scan
+                # (amortizes the ~26 ms remote-tunnel dispatch floor; 1 =
+                # reference-style one-step-per-call)
+                "steps_per_dispatch": 1,
                 "shuffle": True,
                 "collator": "",
                 "batch_sampler": "default",

@@ -28,9 +28,14 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def shard_batch(batch: dict, mesh: Mesh, axis: str = "dp"):
-    """Place every array with its leading (frame) axis sharded over dp."""
-    sh = NamedSharding(mesh, P(axis))
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "dp",
+                leading_steps: bool = False):
+    """Place every array with its frame axis sharded over dp.
+
+    leading_steps=True handles multi-step dispatch batches shaped
+    (K, B, ...): the scan axis K stays replicated, axis 1 (frames)
+    shards over dp."""
+    sh = NamedSharding(mesh, P(None, axis) if leading_steps else P(axis))
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

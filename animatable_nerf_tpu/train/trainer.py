@@ -92,6 +92,15 @@ class Trainer:
         )
         self.tx, self.sched = make_optimizer(cfg, trainable_mask)
         self._step_fn = jax.jit(self._train_step)
+        # K train steps fused into one dispatch via lax.scan — amortizes
+        # the fixed per-call dispatch cost (the reference pays one CUDA
+        # launch cascade per iter, trainer.py:50-71; through the remote
+        # TPU tunnel one dispatch costs ~26 ms, so K=16 is ~16x fewer
+        # round-trips)
+        self.steps_per_dispatch = int(
+            cfg.train.get("steps_per_dispatch", 1) or 1
+        )
+        self._multi_step_fn = jax.jit(self._train_steps)
 
     # ------------------------------------------------------------- init
     def init_state(self, key, sample_batch) -> TrainState:
@@ -154,6 +163,21 @@ class Trainer:
     def train_step(self, state, batch, key):
         return self._step_fn(state, batch, key)
 
+    def _train_steps(self, state: TrainState, batches, key):
+        """K sequential train steps as ONE XLA program. `batches` leaves
+        are shaped (K, B, ...); returns final state + stats stacked (K,)."""
+        n_steps = batches["ray_o"].shape[0]
+        keys = jax.random.split(key, n_steps)
+
+        def body(st, xs):
+            b, k = xs
+            return self._train_step(st, b, k)
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    def train_steps(self, state, batches, key):
+        return self._multi_step_fn(state, batches, key)
+
     # ------------------------------------------------------------- loop
     def train_epoch(self, state, loader, recorder, key, epoch: int,
                     max_iter: int, mesh=None, log_interval: int = 20,
@@ -164,12 +188,36 @@ class Trainer:
         n_rays = self.cfg.N_rand
         end = time.time()
         items = []
+        step_batches = []
+        k_steps = max(self.steps_per_dispatch, 1)
         # batch size = the mesh's dp axis (NOT the host device count —
         # the mesh may span fewer devices)
         batch_frames = mesh.shape["dp"] if mesh is not None else 1
 
-        def run_step(state, key, items, end):
-            batch = stack_batch(items)
+        def log_stats(state, stats_host, n_inner, batch_time, data_time):
+            """Per-inner-step recorder updates for one dispatch of
+            n_inner steps (stats_host leaves shaped (n_inner,) or ())."""
+            per_step = batch_time / n_inner
+            for i in range(n_inner):
+                recorder.step += 1
+                recorder.batch_time.update(per_step)
+                recorder.data_time.update(data_time / n_inner)
+                s = {
+                    k: float(v[i] if np.ndim(v) else v)
+                    for k, v in stats_host.items()
+                }
+                # first-class throughput counter (SURVEY.md §5 tracing)
+                s["rays_per_sec"] = (
+                    batch_frames * n_rays / max(per_step, 1e-9)
+                )
+                recorder.update_stats(s)
+                if recorder.step % log_interval == 0:
+                    lr = float(self.sched(int(state.step)))
+                    print(recorder.log_line(max_iter, lr))
+                if recorder.step % record_interval == 0:
+                    recorder.record("train")
+
+        def run_step(state, key, batch, end):
             if mesh is not None:
                 from ..parallel.mesh import shard_batch
 
@@ -179,34 +227,51 @@ class Trainer:
             state, stats = self.train_step(state, batch, sub)
             jax.block_until_ready(stats["loss"])
             batch_time = time.time() - end
+            log_stats(state, {k: float(v) for k, v in stats.items()}, 1,
+                      batch_time, data_time)
+            return state, key
 
-            recorder.step += 1
-            recorder.batch_time.update(batch_time)
-            recorder.data_time.update(data_time)
-            stats = {k: float(v) for k, v in stats.items()}
-            # first-class throughput counter (SURVEY.md §5 tracing)
-            stats["rays_per_sec"] = (
-                len(items) * n_rays / max(batch_time, 1e-9)
-            )
-            recorder.update_stats(stats)
-            if recorder.step % log_interval == 0:
-                lr = float(self.sched(int(state.step)))
-                print(recorder.log_line(max_iter, lr))
-            if recorder.step % record_interval == 0:
-                recorder.record("train")
+        def run_multi(state, key, step_batches, end):
+            batches = {
+                k: np.stack([sb[k] for sb in step_batches])
+                for k in step_batches[0]
+            }
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batches = shard_batch(batches, mesh, leading_steps=True)
+            data_time = time.time() - end
+            key, sub = jax.random.split(key)
+            state, stats = self.train_steps(state, batches, sub)
+            jax.block_until_ready(stats["loss"])
+            batch_time = time.time() - end
+            log_stats(state, {k: np.asarray(v) for k, v in stats.items()},
+                      len(step_batches), batch_time, data_time)
             return state, key
 
         for item in loader:
             items.append(collate_rays(item, n_rays))
             if len(items) < batch_frames:
                 continue
-            state, key = run_step(state, key, items, end)
+            step_batches.append(stack_batch(items))
             items = []
+            if len(step_batches) < k_steps:
+                continue
+            if k_steps == 1:
+                state, key = run_step(state, key, step_batches[0], end)
+            else:
+                state, key = run_multi(state, key, step_batches, end)
+            step_batches = []
             end = time.time()
         if items:
             # tail batch smaller than the mesh: pad by repeating items so
             # no training data is silently dropped
             while len(items) < batch_frames:
                 items.append(items[-1])
-            state, key = run_step(state, key, items, end)
+            step_batches.append(stack_batch(items))
+        # tail dispatches smaller than k_steps run one step at a time
+        # (avoids compiling a second scan length)
+        for sb in step_batches:
+            state, key = run_step(state, key, sb, end)
+            end = time.time()
         return state, key
