@@ -172,6 +172,10 @@ def default_config() -> Config:
                 # (amortizes the ~26 ms remote-tunnel dispatch floor; 1 =
                 # reference-style one-step-per-call)
                 "steps_per_dispatch": 1,
+                # device-resident per-frame metadata budget (MB): the
+                # blend-weight volumes upload once and steps gather by
+                # frame slot instead of streaming ~20 MB/step; 0 disables
+                "frame_store_mb": 4096,
                 "shuffle": True,
                 "collator": "",
                 "batch_sampler": "default",

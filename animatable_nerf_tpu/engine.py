@@ -697,11 +697,22 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
 
         shutil.rmtree(cfg.trained_model_dir, ignore_errors=True)
 
+    # device-resident frame store: per-frame bw volumes/transforms upload
+    # once, steps gather by slot (H2D was the measured train bottleneck)
+    store = None
+    if not cfg.aninerf_animation and cfg.train.get("frame_store_mb", 0) > 0:
+        from .train.trainer import build_frame_store
+
+        store = build_frame_store(
+            ds, mesh=mesh, max_mb=cfg.train.frame_store_mb
+        )
+
     _eval_ctx: dict = {}
     for epoch in range(begin_epoch, n_epochs):
         state, key = trainer.train_epoch(
             state, loader, recorder, key, epoch, max_iter, mesh=mesh,
             log_interval=cfg.log_interval, record_interval=cfg.record_interval,
+            store=store,
         ) if not cfg.aninerf_animation else _anim_epoch(
             trainer, state, loader, recorder, key, epoch, cfg
         )
@@ -812,15 +823,46 @@ def _run_evaluate_baseline(cfg: Config, params=None, max_items: int = -1,
 
 
 def _anim_epoch(trainer, state, loader, recorder, key, epoch, cfg):
-    """Stage-2 epoch: only frame metadata is consumed."""
+    """Stage-2 epoch: only frame metadata is consumed. K steps fuse into
+    one dispatch when cfg.train.steps_per_dispatch > 1 (same scan path
+    as stage 1)."""
     loader.set_epoch(epoch)
     recorder.epoch = epoch
-    for item in loader:
-        batch = stack_batch([collate_rays(item, cfg.N_rand)])
+    k_steps = max(getattr(trainer, "steps_per_dispatch", 1), 1)
+    pending = []
+
+    def log_inner(stats_host, n_inner):
+        nonlocal state
+        for i in range(n_inner):
+            recorder.step += 1
+            recorder.update_stats({
+                k: float(v[i] if np.ndim(v) else v)
+                for k, v in stats_host.items()
+            })
+            if recorder.step % cfg.log_interval == 0:
+                print(recorder.log_line(
+                    0, float(trainer.sched(int(state.step)))))
+
+    def flush(state, key, pending):
         key, sub = jax.random.split(key)
-        state, stats = trainer.train_step(state, batch, sub)
-        recorder.step += 1
-        recorder.update_stats({k: float(v) for k, v in stats.items()})
-        if recorder.step % cfg.log_interval == 0:
-            print(recorder.log_line(0, float(trainer.sched(int(state.step)))))
+        if len(pending) == 1:
+            state, stats = trainer.train_step(state, pending[0], sub)
+            log_inner({k: float(v) for k, v in stats.items()}, 1)
+        else:
+            batches = {k: np.stack([b[k] for b in pending])
+                       for k in pending[0]}
+            state, stats = trainer.train_steps(state, batches, sub)
+            log_inner({k: np.asarray(v) for k, v in stats.items()},
+                      len(pending))
+        return state, key
+
+    for item in loader:
+        pending.append(stack_batch([collate_rays(item, cfg.N_rand)]))
+        if len(pending) < k_steps:
+            continue
+        state, key = flush(state, key, pending)
+        pending = []
+    # tail: run one step at a time (avoids compiling a second scan length)
+    for b in pending:
+        state, key = flush(state, key, [b])
     return state, key

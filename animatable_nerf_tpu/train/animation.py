@@ -79,6 +79,10 @@ class AnimationTrainer:
         self.tx = None
         self.sched = None
         self._step_fn = None
+        self._multi_step_fn = None
+        self.steps_per_dispatch = int(
+            cfg.train.get("steps_per_dispatch", 1) or 1
+        )
 
     def init_state(self, key, sample_batch):
         from .trainer import TrainState
@@ -124,5 +128,19 @@ class AnimationTrainer:
 
         self._step_fn = jax.jit(step)
 
+        def steps(state, batches, key):
+            n_steps = batches["A"].shape[0]
+            keys = jax.random.split(key, n_steps)
+            return jax.lax.scan(
+                lambda st, xs: step(st, xs[0], xs[1]), state,
+                (batches, keys),
+            )
+
+        self._multi_step_fn = jax.jit(steps)
+
     def train_step(self, state, batch, key):
         return self._step_fn(state, batch, key)
+
+    def train_steps(self, state, batches, key):
+        """K stage-2 steps fused into one dispatch (leaves (K, B, ...))."""
+        return self._multi_step_fn(state, batches, key)

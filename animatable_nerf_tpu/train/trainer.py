@@ -38,10 +38,14 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def collate_rays(item: dict, n_rays: int):
+def collate_rays(item: dict, n_rays: int, frame_slot: int | None = None):
     """Trim/pad one dataset item's ray arrays to exactly n_rays (static
     shapes; the reference's sampler can overshoot N_rand and the eval
-    path is variable-length — both become mask-padded here)."""
+    path is variable-length — both become mask-padded here).
+
+    frame_slot=None embeds the full per-frame metadata (FRAME_KEYS) in
+    the item; with a slot id, only the slot + latent indices ride along
+    and the heavy arrays come from a device-resident FrameStore."""
     out = {}
     n = len(item["ray_o"])
     for k in RAY_KEYS:
@@ -59,9 +63,15 @@ def collate_rays(item: dict, n_rays: int):
     if "mask_at_box" in out:
         out["mask_at_box"] = out["mask_at_box"].astype(bool) & mask
     out["mask"] = mask
-    for k in FRAME_KEYS:
-        if k in item:
-            out[k] = np.asarray(item[k])
+    if frame_slot is None:
+        for k in FRAME_KEYS:
+            if k in item:
+                out[k] = np.asarray(item[k])
+    else:
+        out["frame_slot"] = np.asarray(frame_slot, np.int32)
+        for k in ("latent_index", "bw_latent_index"):
+            if k in item:
+                out[k] = np.asarray(item[k])
     if "occupancy" in out:
         out["occupancy"] = out["occupancy"].astype(np.int32)
     for k in ("latent_index", "bw_latent_index"):
@@ -74,6 +84,94 @@ def stack_batch(items):
     """Stack collated items along a leading frame axis."""
     keys = items[0].keys()
     return {k: np.stack([it[k] for it in items]) for k in keys}
+
+
+# frame metadata held on-device (everything per-frame except the latent
+# indices, which vary per item under test_novel_pose overrides)
+FRAME_STORE_KEYS = tuple(
+    k for k in FRAME_KEYS if k not in ("latent_index", "bw_latent_index")
+)
+
+
+def build_frame_store(ds, mesh=None, max_mb: float = 4096.0):
+    """Upload all per-frame metadata (blend-weight grids, transforms,
+    vertices, bounds) to the device ONCE; training steps then gather by
+    frame slot instead of re-uploading ~tens of MB per step.
+
+    Why: the reference streams the full batch host->GPU every iteration
+    (trainer.py:27-40 `to_cuda`); over PCIe that is cheap, but the
+    per-frame bw volumes dominate the batch (pbw+tbw were 18.7 of
+    18.7 MB measured) and make the TPU train step H2D-bound. The frame
+    set is small and static — classic device-resident lookup table.
+
+    Keys whose value is identical across frames (tbw, tvertices,
+    weights, big_A, tbounds, ...) are stored once; varying keys are
+    stacked (F, ...) and gathered by slot inside the jitted step.
+
+    Returns {"per_frame", "static", "slot_of"} or None if the stacked
+    store would exceed max_mb (fall back to per-step upload)."""
+    num_cams = max(int(getattr(ds, "num_cams", 1)), 1)
+    n_frames = max(len(ds) // num_cams, 1)
+    payloads = []
+    slot_of = {}
+    for f in range(n_frames):
+        item = ds[f * num_cams]
+        slot_of[int(item["frame_index"])] = f
+        payloads.append(
+            {k: np.asarray(item[k]) for k in FRAME_STORE_KEYS if k in item}
+        )
+    static, per_frame = {}, {}
+    for k in payloads[0]:
+        vals = [p[k] for p in payloads]
+        if all(np.array_equal(vals[0], v) for v in vals[1:]):
+            static[k] = vals[0]
+        else:
+            per_frame[k] = np.stack(vals)
+    total_mb = (
+        sum(v.nbytes for v in static.values())
+        + sum(v.nbytes for v in per_frame.values())
+    ) / 1e6
+    if total_mb > max_mb:
+        print(
+            f"frame store {total_mb:.0f} MB over budget {max_mb:.0f} MB — "
+            "falling back to per-step upload"
+        )
+        return None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P())  # replicated
+        put = lambda v: jax.device_put(v, sh)  # noqa: E731
+    else:
+        put = jax.device_put
+    return {
+        "per_frame": {k: put(v) for k, v in per_frame.items()},
+        "static": {k: put(v) for k, v in static.items()},
+        "slot_of": slot_of,
+    }
+
+
+def _store_args(store):
+    """Arrays-only view of a FrameStore for passing into jit (slot_of is
+    host-side bookkeeping, not a pytree of arrays)."""
+    if store is None:
+        return None
+    return {"per_frame": store["per_frame"], "static": store["static"]}
+
+
+def assemble_from_store(batch, store):
+    """Merge a rays-only batch (leading frame axis B) with the device
+    store: per-frame keys gathered by slot, static keys broadcast."""
+    if store is None:
+        return batch
+    fb = dict(batch)
+    slots = fb.pop("frame_slot")
+    B = slots.shape[0]
+    for k, a in store["per_frame"].items():
+        fb[k] = a[slots]
+    for k, a in store["static"].items():
+        fb[k] = jnp.broadcast_to(a, (B,) + a.shape)
+    return fb
 
 
 class Trainer:
@@ -133,14 +231,16 @@ class Trainer:
         )
         return compute_losses(ret, rays, step)
 
-    def _train_step(self, state: TrainState, batch, key):
+    def _train_step(self, state: TrainState, batch, key, store=None):
+        full = assemble_from_store(batch, store)
+
         def loss_fn(params):
-            B = batch["ray_o"].shape[0]
+            B = full["ray_o"].shape[0]
             keys = jax.random.split(key, B)
             losses, stats = jax.vmap(
                 lambda fb, k: self._loss_one(params, fb, k, state.step),
                 in_axes=(0, 0),
-            )(batch, keys)
+            )(full, keys)
             # mean over the (possibly device-sharded) frame axis: XLA
             # emits the cross-device gradient reduction here
             return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, stats)
@@ -160,10 +260,10 @@ class Trainer:
         n_frames = batch["ray_o"].shape[0]
         return TrainState(params, opt_state, state.step + n_frames), stats
 
-    def train_step(self, state, batch, key):
-        return self._step_fn(state, batch, key)
+    def train_step(self, state, batch, key, store=None):
+        return self._step_fn(state, batch, key, _store_args(store))
 
-    def _train_steps(self, state: TrainState, batches, key):
+    def _train_steps(self, state: TrainState, batches, key, store=None):
         """K sequential train steps as ONE XLA program. `batches` leaves
         are shaped (K, B, ...); returns final state + stats stacked (K,)."""
         n_steps = batches["ray_o"].shape[0]
@@ -171,17 +271,17 @@ class Trainer:
 
         def body(st, xs):
             b, k = xs
-            return self._train_step(st, b, k)
+            return self._train_step(st, b, k, store)
 
         return jax.lax.scan(body, state, (batches, keys))
 
-    def train_steps(self, state, batches, key):
-        return self._multi_step_fn(state, batches, key)
+    def train_steps(self, state, batches, key, store=None):
+        return self._multi_step_fn(state, batches, key, _store_args(store))
 
     # ------------------------------------------------------------- loop
     def train_epoch(self, state, loader, recorder, key, epoch: int,
                     max_iter: int, mesh=None, log_interval: int = 20,
-                    record_interval: int = 20):
+                    record_interval: int = 20, store=None):
         """One epoch over the loader (trainer.py:50-102 semantics)."""
         loader.set_epoch(epoch)
         recorder.epoch = epoch
@@ -224,7 +324,7 @@ class Trainer:
                 batch = shard_batch(batch, mesh)
             data_time = time.time() - end
             key, sub = jax.random.split(key)
-            state, stats = self.train_step(state, batch, sub)
+            state, stats = self.train_step(state, batch, sub, store=store)
             jax.block_until_ready(stats["loss"])
             batch_time = time.time() - end
             log_stats(state, {k: float(v) for k, v in stats.items()}, 1,
@@ -242,15 +342,20 @@ class Trainer:
                 batches = shard_batch(batches, mesh, leading_steps=True)
             data_time = time.time() - end
             key, sub = jax.random.split(key)
-            state, stats = self.train_steps(state, batches, sub)
+            state, stats = self.train_steps(state, batches, sub, store=store)
             jax.block_until_ready(stats["loss"])
             batch_time = time.time() - end
             log_stats(state, {k: np.asarray(v) for k, v in stats.items()},
                       len(step_batches), batch_time, data_time)
             return state, key
 
+        def collate(item):
+            slot = (store["slot_of"][int(item["frame_index"])]
+                    if store is not None else None)
+            return collate_rays(item, n_rays, frame_slot=slot)
+
         for item in loader:
-            items.append(collate_rays(item, n_rays))
+            items.append(collate(item))
             if len(items) < batch_frames:
                 continue
             step_batches.append(stack_batch(items))

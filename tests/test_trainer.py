@@ -106,3 +106,107 @@ def test_epoch_loop_steps_per_dispatch(tmp_path, n_items, k_steps):
     assert int(state.step) == n_items
     assert recorder.step == n_items
     assert np.isfinite(recorder.scalars["loss"].median)
+
+
+class _FrameDS:
+    """Minimal dataset facade for build_frame_store (frame-major items)."""
+
+    num_cams = 2
+
+    def __init__(self, items):
+        self.items = items
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_frame_store_matches_embedded_frames():
+    """A step fed from the device store == a step with frame metadata
+    embedded in the batch (same rays, same key)."""
+    from animatable_nerf_tpu.train.trainer import build_frame_store
+
+    cfg = _tiny_cfg()
+    rng = np.random.RandomState(11)
+    # 3 frames x 2 cams; tbw/tbounds/big_A etc. constant across frames
+    frames = [_synthetic_frame(rng, grid_shape=(8, 8, 8)) for _ in range(3)]
+    const = frames[0]
+    for f in frames:
+        for k in ("tbw", "tbounds", "big_A", "weights", "tvertices"):
+            f[k] = const[k]
+    ds_items = []
+    for fi, f in enumerate(frames):
+        for cam in range(2):
+            item = dict(f)
+            item.update(_rays(rng, cfg.N_rand))
+            item["frame_index"] = fi + 10
+            ds_items.append(item)
+    ds = _FrameDS(ds_items)
+
+    model = AniNeRF(num_train_frames=cfg.num_train_frame)
+    trainer = Trainer(cfg, model)
+    probe = stack_batch([collate_rays(ds_items[0], cfg.N_rand)])
+    state = trainer.init_state(jax.random.PRNGKey(0), probe)
+
+    store = build_frame_store(ds)
+    # constants dedup: the shared keys must land in "static"
+    assert "tbw" in store["static"] and "pbw" in store["per_frame"]
+    assert store["per_frame"]["pbw"].shape[0] == 3
+
+    item = ds_items[3]  # frame 1, cam 1
+    key = jax.random.PRNGKey(9)
+    b_full = stack_batch([collate_rays(item, cfg.N_rand)])
+    s_full, stats_full = trainer.train_step(state, b_full, key)
+    slot = store["slot_of"][int(item["frame_index"])]
+    b_store = stack_batch([collate_rays(item, cfg.N_rand, frame_slot=slot)])
+    s_store, stats_store = trainer.train_step(state, b_store, key, store=store)
+
+    np.testing.assert_allclose(
+        float(stats_full["loss"]), float(stats_store["loss"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_store.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_frame_store_budget_fallback():
+    from animatable_nerf_tpu.train.trainer import build_frame_store
+
+    cfg = _tiny_cfg()
+    rng = np.random.RandomState(12)
+    item = _item(rng, cfg)
+    item["frame_index"] = 0
+    ds = _FrameDS([item, item])
+    assert build_frame_store(ds, max_mb=1e-6) is None
+
+
+def test_sdf_pdf_train_step_sharded():
+    """Flagship SDF-PDF model: fused multi-step training over an
+    8-device mesh (frame-axis DP, eikonal double-grad inside scan)."""
+    from animatable_nerf_tpu.models import SDFPDF
+    from animatable_nerf_tpu.parallel import make_mesh, shard_batch
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    cfg = _tiny_cfg(k_steps=2)
+    cfg.N_rand = 16
+    rng = np.random.RandomState(5)
+    model = SDFPDF(num_latents=cfg.num_train_frame)
+    trainer = Trainer(cfg, model)
+    items = [collate_rays(_item(rng, cfg), cfg.N_rand) for _ in range(16)]
+    state = trainer.init_state(jax.random.PRNGKey(0), stack_batch(items[:1]))
+    mesh = make_mesh(8)
+    batches = {
+        k: np.stack([stack_batch(items[s * 8:(s + 1) * 8])[k]
+                     for s in range(2)])
+        for k in items[0]
+    }
+    batches = shard_batch(batches, mesh, leading_steps=True)
+    state, stats = trainer.train_steps(state, batches, jax.random.PRNGKey(2))
+    losses = np.asarray(stats["loss"])
+    assert losses.shape == (2,) and np.isfinite(losses).all()
+    assert int(state.step) == 16
