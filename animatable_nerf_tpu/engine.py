@@ -195,6 +195,29 @@ class Engine:
         self._sdf_sweep_jit = jax.jit(self._sdf_sweep)
         self._observed_grad_jit = jax.jit(self._observed_grad_at)
         self._sdf_at_jit = jax.jit(self._sdf_at)
+        # one-frame device cache: eval iterates view-major within a
+        # frame, and the frame payload (bw volumes, vis masks) is tens
+        # of MB per upload through the remote tunnel
+        self._frame_dev_cache: dict = {}
+
+    def _device_frame(self, item, with_vis: bool = False):
+        """frame_arrays(item) with a 1-frame device cache keyed by
+        (frame_index, latent_index); optionally caches the visibility
+        pack (Ks/RT/msks — constant across views of a frame)."""
+        fid = item.get("frame_index")
+        cache_key = (
+            (int(fid), int(np.asarray(item.get("latent_index", 0))))
+            if fid is not None else None
+        )
+        c = self._frame_dev_cache
+        if cache_key is None or c.get("key") != cache_key:
+            c = {"key": cache_key, "frame": frame_arrays(item)}
+            self._frame_dev_cache = c if cache_key is not None else {}
+        if with_vis and "vis" not in c:
+            c["vis"] = tuple(
+                jnp.asarray(item[k]) for k in ("Ks", "RT", "msks")
+            )
+        return (c["frame"], c.get("vis")) if with_vis else c["frame"]
 
     # ------------------------------------------------- mesh field sweeps
     def _density_sweep(self, params, frame, flat):
@@ -288,17 +311,14 @@ class Engine:
         return self._dense_vis_jit(params, rays, frame, Ks, RT, msks)
 
     def render_item(self, params, item, visibility: bool = False):
-        frame = frame_arrays(item)
-        if visibility and "msks" in item:
+        use_vis = visibility and "msks" in item
+        if use_vis:
+            frame, vis = self._device_frame(item, with_vis=True)
+        else:
+            frame = self._device_frame(item)
+        if use_vis:
             rays, n_valid = eval_rays(item, self.settings.eval_tile)
-            out = self._render_image_vis_jit(
-                params,
-                rays,
-                frame,
-                jnp.asarray(item["Ks"]),
-                jnp.asarray(item["RT"]),
-                jnp.asarray(item["msks"]),
-            )
+            out = self._render_image_vis_jit(params, rays, frame, *vis)
         elif self._mesh is not None:
             from .parallel.eval_sharding import render_image_sharded
 
@@ -327,11 +347,9 @@ class Engine:
                 "eval_keep_frac in the config to keep the fast path"
             )
             rays, n_valid = eval_rays(item, self.settings.eval_tile)
-            if visibility and "msks" in item:
+            if use_vis:
                 out = dict(self._dense_model_render_vis(
-                    params, rays, frame,
-                    jnp.asarray(item["Ks"]), jnp.asarray(item["RT"]),
-                    jnp.asarray(item["msks"]),
+                    params, rays, frame, *vis,
                 ))
             else:
                 out = dict(self._dense_model_render(params, rays, frame))

@@ -134,3 +134,24 @@ def test_loader_deterministic_order(droot):
     a = [it["frame_index"] for it in l1]
     b = [it["frame_index"] for it in l2]
     assert a == b
+
+
+def test_engine_device_frame_cache(droot):
+    """Consecutive eval views of one frame reuse the on-device frame
+    payload (engine.py Engine._device_frame) instead of re-uploading
+    the bw volumes per item."""
+    from animatable_nerf_tpu.engine import Engine, make_dataset
+
+    cfg = make_cfg(droot, N_samples=4, training_view=[0])
+    eng = Engine(cfg)
+    ds = make_dataset(cfg, "test")
+    a, b, c = ds[0], ds[1], ds[2]
+    assert a["frame_index"] == b["frame_index"]
+    assert a["cam_ind"] != b["cam_ind"]
+    fa = eng._device_frame(a)
+    fb = eng._device_frame(b)
+    assert fa is fb  # cache hit: same device dict, no re-upload
+    assert c["frame_index"] != b["frame_index"]
+    fc = eng._device_frame(c)
+    assert fc is not fb  # new frame refreshes the cache
+    np.testing.assert_allclose(np.asarray(fc["A"]), np.asarray(c["A"]))
