@@ -197,6 +197,9 @@ def default_config() -> Config:
             "record_interval": 20,
             # modes
             "aninerf_animation": False,
+            # stage-2 consistency samples per branch per step
+            # (aninerf_animation_trainer.py:131 hard-codes 1024*64)
+            "n_anim_samples": 1024 * 64,
             "init_aninerf": "no_pretrain",
             "init_sdf": "",
             "test_novel_pose": False,

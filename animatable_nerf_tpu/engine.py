@@ -718,7 +718,7 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
     # device-resident frame store: per-frame bw volumes/transforms upload
     # once, steps gather by slot (H2D was the measured train bottleneck)
     store = None
-    if not cfg.aninerf_animation and cfg.train.get("frame_store_mb", 0) > 0:
+    if cfg.train.get("frame_store_mb", 0) > 0:
         from .train.trainer import build_frame_store
 
         store = build_frame_store(
@@ -732,7 +732,7 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
             log_interval=cfg.log_interval, record_interval=cfg.record_interval,
             store=store,
         ) if not cfg.aninerf_animation else _anim_epoch(
-            trainer, state, loader, recorder, key, epoch, cfg
+            trainer, state, loader, recorder, key, epoch, cfg, store=store
         )
         if is_main:
             if (epoch + 1) % cfg.save_ep == 0:
@@ -840,7 +840,8 @@ def _run_evaluate_baseline(cfg: Config, params=None, max_items: int = -1,
     return evaluator.summarize()
 
 
-def _anim_epoch(trainer, state, loader, recorder, key, epoch, cfg):
+def _anim_epoch(trainer, state, loader, recorder, key, epoch, cfg,
+                store=None):
     """Stage-2 epoch: only frame metadata is consumed. K steps fuse into
     one dispatch when cfg.train.steps_per_dispatch > 1 (same scan path
     as stage 1)."""
@@ -864,18 +865,26 @@ def _anim_epoch(trainer, state, loader, recorder, key, epoch, cfg):
     def flush(state, key, pending):
         key, sub = jax.random.split(key)
         if len(pending) == 1:
-            state, stats = trainer.train_step(state, pending[0], sub)
+            state, stats = trainer.train_step(
+                state, pending[0], sub, store=store
+            )
             log_inner({k: float(v) for k, v in stats.items()}, 1)
         else:
             batches = {k: np.stack([b[k] for b in pending])
                        for k in pending[0]}
-            state, stats = trainer.train_steps(state, batches, sub)
+            state, stats = trainer.train_steps(
+                state, batches, sub, store=store
+            )
             log_inner({k: np.asarray(v) for k, v in stats.items()},
                       len(pending))
         return state, key
 
     for item in loader:
-        pending.append(stack_batch([collate_rays(item, cfg.N_rand)]))
+        slot = (store["slot_of"][int(item["frame_index"])]
+                if store is not None else None)
+        pending.append(
+            stack_batch([collate_rays(item, cfg.N_rand, frame_slot=slot)])
+        )
         if len(pending) < k_steps:
             continue
         state, key = flush(state, key, pending)

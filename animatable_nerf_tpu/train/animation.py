@@ -105,13 +105,21 @@ class AnimationTrainer:
     def _build_step(self):
         from .trainer import TrainState
 
-        def step(state, batch, key):
+        n_anim = int(self.cfg.get("n_anim_samples", N_ANIM_SAMPLES))
+
+        def step(state, batch, key, store=None):
+            from .trainer import assemble_from_store
+
+            full = assemble_from_store(batch, store)
+
             def loss_fn(params):
-                B = batch["wbounds"].shape[0]
+                B = full["wbounds"].shape[0]
                 keys = jax.random.split(key, B)
                 losses, stats = jax.vmap(
-                    lambda fb, k: animation_loss(self.model, params, fb, k)
-                )(batch, keys)
+                    lambda fb, k: animation_loss(
+                        self.model, params, fb, k, n_samples=n_anim
+                    )
+                )(full, keys)
                 return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, stats)
 
             (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -121,26 +129,30 @@ class AnimationTrainer:
                 grads, state.opt_state, state.params
             )
             params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-            n_frames = batch["A"].shape[0]
+            n_frames = full["A"].shape[0]
             return TrainState(
                 params, opt_state, state.step + n_frames
             ), stats
 
         self._step_fn = jax.jit(step)
 
-        def steps(state, batches, key):
-            n_steps = batches["A"].shape[0]
+        def steps(state, batches, key, store=None):
+            n_steps = next(iter(batches.values())).shape[0]
             keys = jax.random.split(key, n_steps)
             return jax.lax.scan(
-                lambda st, xs: step(st, xs[0], xs[1]), state,
+                lambda st, xs: step(st, xs[0], xs[1], store), state,
                 (batches, keys),
             )
 
         self._multi_step_fn = jax.jit(steps)
 
-    def train_step(self, state, batch, key):
-        return self._step_fn(state, batch, key)
+    def train_step(self, state, batch, key, store=None):
+        from .trainer import _store_args
 
-    def train_steps(self, state, batches, key):
+        return self._step_fn(state, batch, key, _store_args(store))
+
+    def train_steps(self, state, batches, key, store=None):
         """K stage-2 steps fused into one dispatch (leaves (K, B, ...))."""
-        return self._multi_step_fn(state, batches, key)
+        from .trainer import _store_args
+
+        return self._multi_step_fn(state, batches, key, _store_args(store))
