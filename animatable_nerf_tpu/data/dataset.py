@@ -261,6 +261,25 @@ class TPoseDataset(_BaseDataset):
                 cache[i] = hit
         return hit
 
+    def frame_meta(self, index):
+        """One item's per-frame metadata WITHOUT the image pipeline or
+        ray sampling: no cv2 IO, and the ray-sampling RNG is untouched
+        (consumed by train.trainer.build_frame_store)."""
+        frame_index, i = self.frame_index_of(self.ims[index])
+        wpts, A, pbw, pbounds, wbounds, Rh, Th, Rw = self._frame_inputs(i)
+        return {
+            "frame_index": frame_index,
+            "A": A,
+            "big_A": self.big_A,
+            "pbw": pbw,
+            "tbw": self.tbw,
+            "pbounds": pbounds,
+            "wbounds": wbounds,
+            "tbounds": self.tbounds,
+            "R": Rw,
+            "Th": Th,
+        }
+
     def __getitem__(self, index):
         img, msk, orig_msk, K, R, T, cam_ind, img_path = self.load_image(index)
         frame_index, i = self.frame_index_of(img_path)
@@ -366,6 +385,26 @@ class TPosePDFDataset(_BaseDataset):
             Th,
             R,
         )
+
+    def frame_meta(self, index):
+        """Per-frame metadata without image IO / ray sampling (see
+        TPoseDataset.frame_meta)."""
+        frame_index, i = self.frame_index_of(self.ims[index])
+        wpts, ppts, A, poses, _, Rh, Th, Rw = self.prepare_input(i)
+        return {
+            "frame_index": frame_index,
+            "A": A,
+            "big_A": self.big_A,
+            "poses": poses,
+            "weights": self.weights,
+            "tvertices": self.tpose,
+            "pvertices": ppts,
+            "pbounds": get_bounds(ppts, self.cfg.box_padding),
+            "wbounds": get_bounds(wpts, self.cfg.box_padding),
+            "tbounds": self.tbounds,
+            "R": Rw,
+            "Th": Th,
+        }
 
     def __getitem__(self, index):
         img, msk, orig_msk, K, R, T, cam_ind, img_path = self.load_image(index)

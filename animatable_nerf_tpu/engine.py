@@ -731,8 +731,6 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
             state, loader, recorder, key, epoch, max_iter, mesh=mesh,
             log_interval=cfg.log_interval, record_interval=cfg.record_interval,
             store=store,
-        ) if not cfg.aninerf_animation else _anim_epoch(
-            trainer, state, loader, recorder, key, epoch, cfg, store=store
         )
         if is_main:
             if (epoch + 1) % cfg.save_ep == 0:
@@ -838,58 +836,3 @@ def _run_evaluate_baseline(cfg: Config, params=None, max_items: int = -1,
             save_images=save_images,
         )
     return evaluator.summarize()
-
-
-def _anim_epoch(trainer, state, loader, recorder, key, epoch, cfg,
-                store=None):
-    """Stage-2 epoch: only frame metadata is consumed. K steps fuse into
-    one dispatch when cfg.train.steps_per_dispatch > 1 (same scan path
-    as stage 1)."""
-    loader.set_epoch(epoch)
-    recorder.epoch = epoch
-    k_steps = max(getattr(trainer, "steps_per_dispatch", 1), 1)
-    pending = []
-
-    def log_inner(stats_host, n_inner):
-        nonlocal state
-        for i in range(n_inner):
-            recorder.step += 1
-            recorder.update_stats({
-                k: float(v[i] if np.ndim(v) else v)
-                for k, v in stats_host.items()
-            })
-            if recorder.step % cfg.log_interval == 0:
-                print(recorder.log_line(
-                    0, float(trainer.sched(int(state.step)))))
-
-    def flush(state, key, pending):
-        key, sub = jax.random.split(key)
-        if len(pending) == 1:
-            state, stats = trainer.train_step(
-                state, pending[0], sub, store=store
-            )
-            log_inner({k: float(v) for k, v in stats.items()}, 1)
-        else:
-            batches = {k: np.stack([b[k] for b in pending])
-                       for k in pending[0]}
-            state, stats = trainer.train_steps(
-                state, batches, sub, store=store
-            )
-            log_inner({k: np.asarray(v) for k, v in stats.items()},
-                      len(pending))
-        return state, key
-
-    for item in loader:
-        slot = (store["slot_of"][int(item["frame_index"])]
-                if store is not None else None)
-        pending.append(
-            stack_batch([collate_rays(item, cfg.N_rand, frame_slot=slot)])
-        )
-        if len(pending) < k_steps:
-            continue
-        state, key = flush(state, key, pending)
-        pending = []
-    # tail: run one step at a time (avoids compiling a second scan length)
-    for b in pending:
-        state, key = flush(state, key, [b])
-    return state, key

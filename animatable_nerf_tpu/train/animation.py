@@ -65,10 +65,15 @@ def animation_loss(model, params, frame, key, n_samples: int = N_ANIM_SAMPLES):
     return loss, {"bw_loss0": bw_loss0, "bw_loss1": bw_loss1, "loss": loss}
 
 
-class AnimationTrainer:
-    """Drop-in stage-2 trainer: same TrainState/step interface as
-    train.trainer.Trainer but with the consistency loss and the frozen
-    base network."""
+from .trainer import Trainer
+
+
+class AnimationTrainer(Trainer):
+    """Drop-in stage-2 trainer: same TrainState/step/epoch interface as
+    train.trainer.Trainer (train_epoch with its dispatch-fusion and
+    frame-store machinery is inherited) but with the consistency loss
+    and the frozen base network. The optimizer is built in init_state —
+    the novel_pose_bw trainable mask needs the param tree."""
 
     def __init__(self, cfg, model):
         from .optim import make_optimizer

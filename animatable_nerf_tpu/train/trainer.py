@@ -114,12 +114,20 @@ def build_frame_store(ds, mesh=None, max_mb: float = 4096.0):
     n_frames = max(len(ds) // num_cams, 1)
     payloads = []
     slot_of = {}
+    # prefer the dataset's light metadata accessor (no image decode, no
+    # ray sampling); the full-item fallback must not perturb the
+    # ray-sampling RNG (fix_random reproducibility)
+    meta_fn = getattr(ds, "frame_meta", None)
+    rng = getattr(ds, "_rng", None) if meta_fn is None else None
+    rng_state = rng.get_state() if rng is not None else None
     for f in range(n_frames):
-        item = ds[f * num_cams]
+        item = meta_fn(f * num_cams) if meta_fn else ds[f * num_cams]
         slot_of[int(item["frame_index"])] = f
         payloads.append(
             {k: np.asarray(item[k]) for k in FRAME_STORE_KEYS if k in item}
         )
+    if rng_state is not None:
+        rng.set_state(rng_state)
     static, per_frame = {}, {}
     for k in payloads[0]:
         vals = [p[k] for p in payloads]

@@ -257,3 +257,31 @@ def test_trainable_mask_freezes_params():
     updates, _ = tx.update(grads, state, params)
     assert float(jnp.abs(updates["frozen"]).sum()) == 0.0
     assert float(jnp.abs(updates["train"]).sum()) > 0.0
+
+
+def test_all_shipped_configs_resolve():
+    """Every yaml under configs/ loads through the inheritance chain and
+    names a registered model + dataset (the reference ships 133 per-
+    subject experiment files; ours regenerate via tools/generate_configs
+    and must all stay resolvable)."""
+    import glob
+
+    from animatable_nerf_tpu.engine import DATASETS, _register_baseline_datasets
+    from animatable_nerf_tpu.models.registry import MODELS, is_image_space
+
+    _register_baseline_datasets()
+    paths = sorted(glob.glob("configs/**/*.yaml", recursive=True))
+    assert len(paths) >= 134
+    for p in paths:
+        cfg = load_config(p)
+        if is_image_space(cfg):
+            continue
+        assert cfg.network_module in MODELS, p
+        for mod in (cfg.train_dataset_module, cfg.test_dataset_module):
+            assert mod in DATASETS, (p, mod)
+        # mode overlays must also resolve
+        for overlay in ("novel_view_cfg", "mesh_cfg"):
+            for key in ("test_dataset_module", "renderer_module"):
+                sub = cfg.get(overlay, {})
+                if isinstance(sub, dict) and key in sub and "dataset" in key:
+                    assert sub[key] in DATASETS, (p, overlay, sub[key])

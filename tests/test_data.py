@@ -155,3 +155,67 @@ def test_engine_device_frame_cache(droot):
     fc = eng._device_frame(c)
     assert fc is not fb  # new frame refreshes the cache
     np.testing.assert_allclose(np.asarray(fc["A"]), np.asarray(c["A"]))
+
+
+@pytest.mark.parametrize("cls", [TPoseDataset, TPosePDFDataset])
+def test_frame_meta_matches_item_and_preserves_rng(droot, cls):
+    """frame_meta returns the same per-frame metadata as __getitem__
+    WITHOUT consuming the ray-sampling RNG (build_frame_store must not
+    perturb fix_random trajectories)."""
+    from animatable_nerf_tpu.train.trainer import FRAME_STORE_KEYS
+
+    kw = {"use_bigpose": True} if cls is TPosePDFDataset else {}
+    cfg = make_cfg(droot, **kw)
+    ds = cls(cfg, "train")
+    ds._rng = np.random.RandomState(123)
+    state_before = ds._rng.get_state()
+    meta = ds.frame_meta(2)
+    state_after = ds._rng.get_state()
+    assert str(state_before[1].tolist()) == str(state_after[1].tolist())
+
+    item = ds[2]  # consumes RNG; metadata itself is deterministic
+    assert meta["frame_index"] == item["frame_index"]
+    for k in FRAME_STORE_KEYS:
+        if k in item:
+            assert k in meta, k
+            np.testing.assert_array_equal(
+                np.asarray(meta[k]), np.asarray(item[k]), err_msg=k
+            )
+
+
+def test_build_frame_store_uses_frame_meta(droot):
+    """The store built from frame_meta == the store from full items, and
+    the dataset RNG chain is untouched by store construction."""
+    from animatable_nerf_tpu.train.trainer import build_frame_store
+
+    cfg = make_cfg(droot)
+    ds = TPoseDataset(cfg, "train")
+    ds._rng = np.random.RandomState(0)
+    ref_ray_o = ds[0]["ray_o"]  # RNG draw #1 on a fresh chain
+
+    ds._rng = np.random.RandomState(0)
+    store = build_frame_store(ds)
+    assert store is not None and len(store["slot_of"]) == 3
+    got_ray_o = ds[0]["ray_o"]  # still draw #1 if the store was RNG-free
+    np.testing.assert_array_equal(got_ray_o, ref_ray_o)
+
+    # equality with a store built through the full-item path
+    class _NoMeta:
+        def __init__(self, ds):
+            self._ds = ds
+            self.num_cams = ds.num_cams
+
+        def __len__(self):
+            return len(self._ds)
+
+        def __getitem__(self, i):
+            return self._ds[i]
+
+    store_full = build_frame_store(_NoMeta(ds))
+    for group in ("static", "per_frame"):
+        assert store[group].keys() == store_full[group].keys()
+        for k in store[group]:
+            np.testing.assert_array_equal(
+                np.asarray(store[group][k]), np.asarray(store_full[group][k]),
+                err_msg=k,
+            )

@@ -210,3 +210,63 @@ def test_sdf_pdf_train_step_sharded():
     losses = np.asarray(stats["loss"])
     assert losses.shape == (2,) and np.isfinite(losses).all()
     assert int(state.step) == 16
+
+
+def test_animation_trainer_inherited_epoch(tmp_path):
+    """Stage-2 trainer through the INHERITED Trainer.train_epoch: frame
+    store + steps_per_dispatch fusion, every item consumed, novel_pose_bw
+    is the only subtree that moves (frozen base network)."""
+    from animatable_nerf_tpu.train.animation import AnimationTrainer
+    from animatable_nerf_tpu.train.recorder import Recorder
+    from animatable_nerf_tpu.train.trainer import build_frame_store
+
+    cfg = _tiny_cfg(k_steps=2)
+    cfg.n_anim_samples = 64
+    rng = np.random.RandomState(21)
+    frames = [_synthetic_frame(rng, grid_shape=(8, 8, 8)) for _ in range(3)]
+    items = []
+    for fi, f in enumerate(frames):
+        item = dict(f)
+        item.update(_rays(rng, cfg.N_rand))
+        item["frame_index"] = fi
+        item["bw_latent_index"] = np.asarray(fi % 2, np.int32)
+        items.append(item)
+
+    model = AniNeRF(num_train_frames=cfg.num_train_frame, num_eval_frames=2)
+    trainer = AnimationTrainer(cfg, model)
+    probe = stack_batch([collate_rays(items[0], cfg.N_rand)])
+    state = trainer.init_state(jax.random.PRNGKey(0), probe)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+
+    ds = _FrameDS(items)
+    ds.num_cams = 1  # one view per frame in this fixture
+    store = build_frame_store(ds)
+    assert store is not None and len(store["slot_of"]) == 3
+
+    recorder = Recorder(str(tmp_path / "rec"), resume=False)
+    state, _ = trainer.train_epoch(
+        state, _FakeLoader(items * 2), recorder, jax.random.PRNGKey(1),
+        epoch=0, max_iter=6, log_interval=100, record_interval=100,
+        store=store,
+    )
+    assert int(state.step) == 6
+    assert recorder.step == 6
+    assert np.isfinite(recorder.scalars["loss"].median)
+
+    # frozen base network: only novel_pose_bw params moved
+    def flat(tree, prefix=""):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                out.update(flat(v, prefix + "/" + k))
+            return out
+        return {prefix: tree}
+
+    before, after = flat(p0), flat(
+        jax.tree_util.tree_map(np.asarray, state.params)
+    )
+    moved = {k for k in before
+             if not np.allclose(before[k], after[k], atol=0)}
+    assert moved, "stage-2 trained nothing"
+    assert all("novel_pose_bw" in k for k in moved), sorted(moved - {
+        k for k in moved if "novel_pose_bw" in k})

@@ -106,6 +106,7 @@ def main():
                     st, batches[j], jax.random.fold_in(key, j), store=store)
             jax.block_until_ready(stats["loss"])
         n_disp = -(-args.iters // k_steps)
+        checksum = 0.0
         t0 = time.perf_counter()
         for j in range(n_disp):
             b = batches[2 + j % (len(batches) - 2)]
@@ -116,7 +117,9 @@ def main():
             else:
                 st, stats = trainer.train_steps(
                     st, b, jax.random.fold_in(key, 100 + j), store=store)
-            jax.block_until_ready(stats["loss"])
+            # force a HOST fetch per rep: block_until_ready can return
+            # early for programs containing Pallas calls (CLAUDE.md)
+            checksum += float(np.asarray(stats["loss"]).sum())
         dt = time.perf_counter() - t0
         n_steps = n_disp * k_steps
         results[k_steps] = {
