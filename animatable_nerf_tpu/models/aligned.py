@@ -69,6 +69,11 @@ class _AlignedBase(nn.Module):
     # eval-time survivor compaction (models/aninerf.py); the deform
     # variants re-run their KNN on the small compacted set
     eval_keep_frac: float = 0.25
+    # train-time survivor compaction (see models/pdf.py): the KNN filter
+    # pass stays dense; the warp and canonical MLPs (forward AND
+    # backward) run on the compacted in-shell points. Loss/grads equal
+    # the dense masked path while survivors fit capacity. 0 disables.
+    train_keep_frac: float = 0.0
 
     def _canonical_head(self):
         self.nerf_network = GeometricFieldNetwork()
@@ -210,6 +215,63 @@ class _AlignedBase(nn.Module):
             "compact_overflow": overflow,
         }
 
+    def _train_compacted(self, pose_pts, vd, dists, frame, novel_pose,
+                         n_rays, n_samples):
+        """Training forward with survivor compaction (see models/pdf.py).
+
+        The bw-consistency pair (pbw/tbw) stays on the compacted stream;
+        its selection mask comes from the final alpha exactly like the
+        dense `_bw_mask` (aligned_aninerf_lbw_network.py:137-144). The
+        tbw KNN prior runs the differentiable XLA twin — tpose depends on
+        the params, and the compacted set is small."""
+        from .common import compact_payload, scatter_compacted_raw, eval_capacity
+        from ..ops.knn_pallas import sample_blend_closest_points_fused
+
+        cap = eval_capacity(pose_pts.shape[0], self.train_keep_frac)
+        th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
+        _, pnorm = jax.lax.stop_gradient(
+            sample_blend_closest_points_fused(
+                pose_pts, frame["pvertices"], frame["weights"]
+            )
+        )
+        pind = keep_mask_with_argmin(pnorm[..., 0], th)
+        sidx, sv, (c_pose, c_vd, c_dists), n, ovf = compact_payload(
+            pind, [pose_pts, vd, dists], cap
+        )
+        c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
+        # KNN prior on the compacted set (data-only: pose points are
+        # inputs, not params)
+        c_init_pbw = jax.lax.stop_gradient(
+            sample_blend_closest_points_fused(
+                c_pose, frame["pvertices"], frame["weights"]
+            )[0]
+        )
+        tpose, tdirs, extras = self._deform(
+            c_pose, c_pose_dirs, frame, novel_pose=novel_pose,
+            init_pbw=c_init_pbw,
+        )
+        dirs = tdirs if self.tpose_viewdir else c_vd
+        raw_c = self._head(tpose, dirs, c_dists, frame)
+        inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+        raw_c = jnp.where((sv & inside)[:, None], raw_c, 0.0)
+
+        out = {
+            "raw": scatter_compacted_raw(
+                raw_c, sv, sidx, n, n_rays, n_samples
+            ),
+            "compact_overflow": ovf,
+        }
+        if "pbw" in extras:
+            init_tbw, _ = self._knn_bw(tpose, frame["tvertices"], frame)
+            tbw = self._canonical_bw(tpose, init_tbw, frame)
+            out.update(
+                pbw=extras["pbw"], tbw=tbw,
+                bw_mask=self._bw_mask(raw_c, sv),
+            )
+        if "resd" in extras:
+            out.update(resd=extras["resd"], resd_mask=sv)
+        return out
+
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
                  novel_pose: bool = False, precomposite: bool = False):
         n_rays, n_samples = z_vals.shape
@@ -223,6 +285,10 @@ class _AlignedBase(nn.Module):
             return self._eval_compacted(
                 pose_pts, vd, dists, z_vals.reshape(-1), frame,
                 novel_pose, n_rays, n_samples, precomposite
+            )
+        if train and self.train_keep_frac > 0:
+            return self._train_compacted(
+                pose_pts, vd, dists, frame, novel_pose, n_rays, n_samples
             )
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])

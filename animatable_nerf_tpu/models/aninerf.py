@@ -70,6 +70,16 @@ class AniNeRF(nn.Module):
     # has static capacity). Exact parity while survivors fit the
     # capacity; overflow drops the latest points. 0 disables.
     eval_keep_frac: float = 0.25
+    # Train-time survivor compaction: same two-pass scheme on the
+    # TRAINING path (gather survivors -> MLPs -> scatter raw; the bw
+    # consistency pair stays on the compacted stream). Gradients flow
+    # through the gather, so the loss and its grads equal the dense
+    # masked path exactly while survivors fit the capacity; overflow is
+    # reported per step in `compact_overflow` (raise the frac). Pays
+    # where the pnorm shell is tight (real SMPL data at norm_th 0.05
+    # keeps ~10% of sampled points); off by default because overflow
+    # during training silently subsamples the batch. 0 disables.
+    train_keep_frac: float = 0.0
 
     def setup(self):
         self.bw_field = BlendWeightField(
@@ -218,6 +228,74 @@ class AniNeRF(nn.Module):
             "compact_overflow": overflow,
         }
 
+    def _train_compacted(self, pose_pts, vd, dists, frame, novel_pose,
+                         n_rays, n_samples):
+        """Training forward with survivor compaction.
+
+        Same selection as the dense path (pnorm < norm_th with forced
+        argmin, tpose_nerf_network.py:149-157); the three MLP passes
+        (bw field x2, canonical NeRF) run only on the compacted survivor
+        list. raw scatters back dense for compositing; pbw/tbw/bw_mask
+        stay compacted — the consistency loss is a masked mean, so the
+        compacted stream with dead slots masked off computes the same
+        value as the dense (R*S,) stream."""
+        n = pose_pts.shape[0]
+        cap = eval_capacity(n, self.train_keep_frac)
+
+        dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
+        pnorm = pts_sample_blend_weights_packed(
+            pose_pts, dist_packed, frame["pbounds"], n_channels=1
+        )[..., 0]
+        pind = keep_mask_with_argmin(pnorm, self.norm_th)
+
+        sidx, slot_valid, (c_pose, c_vd, c_dists), n, overflow = (
+            compact_payload(pind, [pose_pts, vd, dists], cap)
+        )
+
+        c_init_pbw = jax.lax.stop_gradient(
+            pts_sample_blend_weights_packed(
+                c_pose, pack_corner_volume(frame["pbw"]), frame["pbounds"],
+                n_channels=frame["pbw"].shape[-1],
+            )
+        )
+        tpose, pbw = self.pose_to_canonical(
+            c_pose, c_init_pbw[..., :24], frame, novel_pose
+        )
+        init_tbw = pts_sample_blend_weights_packed(
+            tpose, pack_corner_volume(frame["tbw"]), frame["tbounds"],
+            n_channels=frame["tbw"].shape[-1],
+        )
+        tbw = self.bw_field(
+            tpose, init_tbw[..., :24], jnp.zeros_like(frame["latent_index"])
+        )
+
+        sigma, rgb_logits = self.tpose_human(tpose, c_vd, frame["latent_index"])
+        sigma = jnp.where(inside_bounds(tpose, frame["tbounds"]), sigma, 0.0)
+        alpha = raw_alpha_from_sigma(sigma, c_dists)
+        raw_c = jnp.concatenate(
+            [jax.nn.sigmoid(rgb_logits), alpha[:, None]], axis=-1
+        )
+        raw = scatter_compacted_raw(
+            raw_c, slot_valid, sidx, n, n_rays, n_samples
+        )
+
+        # consistency selection on the compacted stream: dead slots are
+        # -inf exactly like dense-filtered points, and compaction is
+        # stable, so the forced argmax picks the same point
+        d_sel = jax.lax.stop_gradient(
+            jnp.where(slot_valid, sigma, -jnp.inf)
+        )
+        bw_mask = (d_sel > self.train_th) | jax.nn.one_hot(
+            jnp.argmax(d_sel), d_sel.shape[-1], dtype=bool
+        )
+        return {
+            "raw": raw,
+            "pbw": pbw,
+            "tbw": tbw,
+            "bw_mask": bw_mask & slot_valid,
+            "compact_overflow": overflow,
+        }
+
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
                  novel_pose: bool = False, precomposite: bool = False):
         """wpts (R,S,3), viewdir (R,3), z_vals (R,S) -> dict.
@@ -237,6 +315,10 @@ class AniNeRF(nn.Module):
             return self._eval_compacted(
                 pose_pts, vd, dists, z_vals.reshape(-1), frame,
                 novel_pose, n_rays, n_samples, precomposite
+            )
+        if train and self.train_keep_frac > 0:
+            return self._train_compacted(
+                pose_pts, vd, dists, frame, novel_pose, n_rays, n_samples
             )
 
         # point filter from the precomputed distance channel (:149-157).

@@ -65,6 +65,13 @@ class _PDFBase(nn.Module):
     # savings are larger still — SDF eval runs per-point autograd
     # normals on top of the MLPs. Exact while survivors fit capacity.
     eval_keep_frac: float = 0.25
+    # train-time survivor compaction: the displacement/SDF/color MLPs
+    # and their backward passes run only on in-shell points (the KNN
+    # filter pass stays dense — it IS pass 1). Loss and grads equal the
+    # dense masked path while survivors fit capacity; overflow is
+    # surfaced in the compact_overflow stat. Ignored by NeuSPDF (its
+    # per-ray alpha needs ray-ordered samples). 0 disables.
+    train_keep_frac: float = 0.0
 
     def _warp(self, pose_pts, pose_dirs, frame, pbw=None):
         """posed SMPL -> canonical big pose (+ residual displacement).
@@ -98,24 +105,42 @@ class _PDFBase(nn.Module):
         )
         return keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
 
-    def _compact_eval_inputs(self, pose_pts, vd, dists, z_flat, frame):
+    def _compact_inputs(self, pose_pts, vd, dists, z_flat, frame,
+                        keep_frac):
         """One KNN pass over all points -> filter -> fixed-capacity
         survivor compaction. Returns (sidx, slot_valid, compacted
         pose_pts / WORLD viewdirs / dists / z / pbw, n) where sidx
         routes dead slots to the sorted sentinel row n."""
         from ..ops.knn_pallas import sample_blend_closest_points_fused
 
-        cap = eval_capacity(pose_pts.shape[0], self.eval_keep_frac)
-        # eval path, no gradients: the fused Pallas KNN — the XLA twin
-        # would materialize the (N, 6890) distance matrix
-        pbw_all, pnorm = sample_blend_closest_points_fused(
-            pose_pts, frame["pvertices"], frame["weights"]
+        cap = eval_capacity(pose_pts.shape[0], keep_frac)
+        # the fused Pallas KNN — the XLA twin would materialize the
+        # (N, 6890) distance matrix. pbw/pnorm are data-only (no param
+        # dependence), so the training grad never differentiates it.
+        pbw_all, pnorm = jax.lax.stop_gradient(
+            sample_blend_closest_points_fused(
+                pose_pts, frame["pvertices"], frame["weights"]
+            )
         )
         pind = keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
         sidx, slot_valid, (c_pose, c_vd, c_dists, c_z, c_pbw), n, ovf = (
             compact_payload(pind, [pose_pts, vd, dists, z_flat, pbw_all], cap)
         )
+        # dead slots gathered the zero fill — all-zero blend weights make
+        # the blended LBS matrix singular (NaN), and in training the NaN
+        # poisons the backward pass through 0-cotangent products. Park
+        # dead slots on bone 0 (any valid one-hot); their outputs are
+        # masked everywhere downstream.
+        c_pbw = jnp.where(
+            slot_valid[:, None], c_pbw,
+            jax.nn.one_hot(0, c_pbw.shape[-1], dtype=c_pbw.dtype),
+        )
         return sidx, slot_valid, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf
+
+    def _compact_eval_inputs(self, pose_pts, vd, dists, z_flat, frame):
+        return self._compact_inputs(
+            pose_pts, vd, dists, z_flat, frame, self.eval_keep_frac
+        )
 
     def _compact_finish(self, rgb_alpha, sidx, slot_valid, c_z, n,
                         n_rays, n_samples, precomposite, overflow):
@@ -203,6 +228,29 @@ class NeRFPDF(_PDFBase):
                 raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
                 ovf,
             )
+        if train and self.train_keep_frac > 0:
+            sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf = (
+                self._compact_inputs(
+                    pose_pts, vd, dists, z_vals.reshape(-1), frame,
+                    self.train_keep_frac,
+                )
+            )
+            c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
+            tpose, tdirs, _, resd = self._warp(
+                c_pose, c_pose_dirs, frame, pbw=c_pbw
+            )
+            dirs = tdirs if self.tpose_viewdir else c_vd
+            raw_c = self._eval_head(tpose, dirs, c_dists, frame)
+            inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+            raw_c = jnp.where(inside[:, None], raw_c, 0.0)
+            return {
+                "raw": self._scatter_raw(
+                    raw_c, sv, sidx, n, n_rays, n_samples
+                ),
+                "resd": resd,
+                "resd_mask": sv,
+                "compact_overflow": ovf,
+            }
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame)
@@ -247,29 +295,29 @@ class SDFPDF(_PDFBase):
     def _sdf_and_grad(self, tpose):
         """sdf, feature and d(sdf)/d(point) at canonical points.
 
-        Replaces torch.autograd.grad (anisdf_pdf_network.py:306-321) with
-        per-point reverse-mode AD under vmap — one batched fwd+bwd.
+        Replaces torch.autograd.grad (anisdf_pdf_network.py:306-321).
+        The network is pointwise (no cross-point mixing), so the
+        per-point input gradient equals the gradient of the batched SUM
+        — ONE full-width (N, 256) forward + backward instead of
+        vmap-of-grad's N batched matvecs (M=1 matmuls waste the MXU;
+        measured ~4x whole-step cost on v5e).
         """
-        def sdf_scalar(p):
-            out = self.sdf_network(p[None])[0]
-            return out[0], out[1:]
+        def f(pts):
+            out = self.sdf_network(pts)
+            return jnp.sum(out[..., 0]), out
 
-        # one fused fwd+bwd per point: value_and_grad returns the primal
-        # sdf alongside the gradient (a separate batched forward for the
-        # primal would re-run the whole 9-layer network)
-        (sdf, feats), grads = jax.vmap(
-            jax.value_and_grad(sdf_scalar, has_aux=True)
-        )(tpose)
-        return sdf[:, None], feats, grads
+        (_, out), grads = jax.value_and_grad(f, has_aux=True)(tpose)
+        return out[..., :1], out[..., 1:], grads
 
     def _observed_grad(self, init_bigpose, frame):
         """d/dx [ sdf(x + resd(x)) ] — the eikonal term in observed space
-        (anisdf_pdf_network.py:140-154)."""
-        def deformed_sdf(p):
-            resd = self.resd_field(p[None], frame["poses"])[0]
-            return self.sdf_network((p + resd)[None])[0, 0]
+        (anisdf_pdf_network.py:140-154). Same batched sum-gradient trick
+        as _sdf_and_grad."""
+        def deformed_sdf(pts):
+            resd = self.resd_field(pts, frame["poses"])
+            return jnp.sum(self.sdf_network(pts + resd)[..., 0])
 
-        return jax.vmap(jax.grad(deformed_sdf))(init_bigpose)
+        return jax.grad(deformed_sdf)(init_bigpose)
 
     def sdf(self, wpts, frame):
         """World points -> sdf, filled with +10 outside the filter
@@ -288,10 +336,11 @@ class SDFPDF(_PDFBase):
         return self.resd_field(tpose, frame["poses"])
 
     def canonical_normal(self, tpose):
-        def sdf_scalar(p):
-            return self.sdf_network(p[None])[0, 0]
-
-        return jax.vmap(jax.grad(sdf_scalar))(tpose)
+        # batched sum-gradient (see _sdf_and_grad): pointwise network, so
+        # d sum(sdf)/d pts IS the per-point normal field
+        return jax.grad(lambda pts: jnp.sum(self.sdf_network(pts)[..., 0]))(
+            tpose
+        )
 
     def _eval_head(self, tpose, dirs, dists, frame):
         sdf, feat, gradients = self._sdf_and_grad(tpose)
@@ -302,6 +351,62 @@ class SDFPDF(_PDFBase):
             tpose, gradients, dirs, feat, frame["latent_index"]
         )
         return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
+    def _train_compacted(self, pose_pts, vd, dists, z_vals, frame,
+                         n_rays, n_samples):
+        """Training forward with survivor compaction: displacement MLP,
+        SDF autograd normals, color MLP and the observed-space eikonal
+        run only on the compacted in-shell points. The silhouette loss
+        needs the dense per-ray sdf layout, so the compacted sdf
+        scatters back with the reference's +10 masked fill
+        (anisdf_pdf_network.py:218-219); the point-wise eikonal/resd
+        regularizers stay on the compacted stream (masked means)."""
+        sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf = (
+            self._compact_inputs(
+                pose_pts, vd, dists, z_vals.reshape(-1), frame,
+                self.train_keep_frac,
+            )
+        )
+        c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
+        tpose, tdirs, init_bigpose, resd = self._warp(
+            c_pose, c_pose_dirs, frame, pbw=c_pbw
+        )
+        dirs = tdirs if self.tpose_viewdir else c_vd
+
+        sdf, feat, gradients = self._sdf_and_grad(tpose)
+        beta = self.beta_network()
+        sigma = volsdf_sigma(sdf[..., 0], beta)
+        alpha = sigma_to_alpha(sigma)
+        rgb = self.color_network(
+            tpose, gradients, dirs, feat, frame["latent_index"]
+        )
+        raw_c = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+        inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+        raw_c = jnp.where(inside[:, None], raw_c, 0.0)
+
+        # dense (R, S) sdf for the silhouette tensors; non-survivors and
+        # dead slots carry the +10 fill
+        sdf_c = jnp.where(sv, sdf[..., 0], 10.0)
+        sdf_full = jnp.full((n + 1,), 10.0).at[sidx].set(
+            sdf_c, mode="drop", indices_are_sorted=True
+        )[:n]
+
+        og_mask = sv & (
+            jnp.abs(jax.lax.stop_gradient(sdf[..., 0])) < 0.02
+        )
+        return {
+            "raw": self._scatter_raw(raw_c, sv, sidx, n, n_rays, n_samples),
+            "sdf": sdf_full.reshape(n_rays, n_samples),
+            "resd": resd,
+            "resd_mask": sv,
+            "gradients": gradients,
+            "grad_mask": sv,
+            "observed_gradients": self._observed_grad(
+                jax.lax.stop_gradient(init_bigpose), frame
+            ),
+            "observed_grad_mask": og_mask,
+            "compact_overflow": ovf,
+        }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
                  precomposite: bool = False):
@@ -331,6 +436,10 @@ class SDFPDF(_PDFBase):
             return self._compact_finish(
                 raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
                 ovf,
+            )
+        if train and self.train_keep_frac > 0:
+            return self._train_compacted(
+                pose_pts, vd, dists, z_vals, frame, n_rays, n_samples
             )
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])

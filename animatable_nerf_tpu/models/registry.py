@@ -71,6 +71,7 @@ def make_model(cfg):
             xyz_res=cfg.xyz_res,
             view_res=cfg.view_res,
             eval_keep_frac=keep_frac,
+            train_keep_frac=float(cfg.get("train_keep_frac", 0.0)),
             **kwargs,
         )
     if cls in (NeRFPDF, SDFPDF, NeuSPDF):
@@ -79,6 +80,7 @@ def make_model(cfg):
             tpose_viewdir=cfg.tpose_viewdir,
             xyz_res=cfg.xyz_res,
             eval_keep_frac=keep_frac,
+            train_keep_frac=float(cfg.get("train_keep_frac", 0.0)),
         )
     # aligned family
     return cls(
@@ -88,5 +90,6 @@ def make_model(cfg):
         tpose_viewdir=cfg.tpose_viewdir,
         xyz_res=cfg.xyz_res,
         eval_keep_frac=keep_frac,
+        train_keep_frac=float(cfg.get("train_keep_frac", 0.0)),
         **kwargs,
     )

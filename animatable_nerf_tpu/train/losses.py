@@ -102,6 +102,14 @@ def compute_losses(ret: dict, batch: dict, iter_step):
     stats["img_loss"] = img_loss
     loss += img_loss
 
+    if "compact_overflow" in ret:
+        # fraction of frames whose train-time survivor compaction
+        # overflowed (loss silently subsampled) — monitor and raise
+        # train_keep_frac if nonzero
+        stats["compact_overflow"] = jnp.sum(
+            ret["compact_overflow"].astype(jnp.float32)
+        )
+
     stats["loss"] = loss
     return loss, stats
 

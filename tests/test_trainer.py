@@ -270,3 +270,148 @@ def test_animation_trainer_inherited_epoch(tmp_path):
     assert moved, "stage-2 trained nothing"
     assert all("novel_pose_bw" in k for k in moved), sorted(moved - {
         k for k in moved if "novel_pose_bw" in k})
+
+
+def test_train_compaction_matches_dense():
+    """AniNeRF train_keep_frac: loss AND parameter gradients from the
+    compacted training forward equal the dense masked path while
+    survivors fit the capacity; a too-small capacity raises the
+    compact_overflow stat instead of failing silently."""
+    cfg = _tiny_cfg()
+    cfg.norm_th = 0.4  # random 8^3 grids: keep a healthy survivor set
+    rng = np.random.RandomState(31)
+    item = collate_rays(_item(rng, cfg), cfg.N_rand)
+    batch = stack_batch([item])
+    key = jax.random.PRNGKey(5)
+
+    def run(frac):
+        model = AniNeRF(
+            num_train_frames=cfg.num_train_frame, norm_th=cfg.norm_th,
+            train_keep_frac=frac,
+        )
+        trainer = Trainer(cfg, model)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        new_state, stats = trainer.train_step(state, batch, key)
+        return state, new_state, stats
+
+    s0_d, s1_d, st_d = run(0.0)
+    s0_c, s1_c, st_c = run(0.9)  # capacity >= survivors
+
+    # identical init (same seed/arch) is a precondition of the comparison
+    for a, b in zip(jax.tree_util.tree_leaves(s0_d.params),
+                    jax.tree_util.tree_leaves(s0_c.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert float(st_c.get("compact_overflow", 0.0)) == 0.0
+    np.testing.assert_allclose(
+        float(st_c["loss"]), float(st_d["loss"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(st_c["bw_loss"]), float(st_d["bw_loss"]), rtol=1e-5, atol=1e-6
+    )
+    # equal post-step params == equal gradients through Adam
+    for a, b in zip(jax.tree_util.tree_leaves(s1_d.params),
+                    jax.tree_util.tree_leaves(s1_c.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+    # overflow detection: capacity below the survivor count must flag,
+    # not crash (eval_capacity floors at 512 slots, so use enough points)
+    cfg.N_rand = 512  # 512 rays x 8 samples = 4096 pts, ~40% survive
+    item_big = collate_rays(_item(rng, cfg), cfg.N_rand)
+    batch_big = stack_batch([item_big])
+    model = AniNeRF(num_train_frames=cfg.num_train_frame,
+                    norm_th=cfg.norm_th, train_keep_frac=0.125)
+    trainer = Trainer(cfg, model)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch_big)
+    _, st_tiny = trainer.train_step(state, batch_big, key)
+    assert float(st_tiny["compact_overflow"]) == 1.0
+
+
+@pytest.mark.parametrize("cls_name", ["NeRFPDF", "SDFPDF"])
+def test_pdf_train_compaction_matches_dense(cls_name):
+    """PDF-family train_keep_frac: loss and gradients (via post-Adam
+    params) equal the dense masked path when survivors fit capacity."""
+    from animatable_nerf_tpu import models
+
+    cls = getattr(models, cls_name)
+    cfg = _tiny_cfg()
+    cfg.N_rand = 16
+    rng = np.random.RandomState(41)
+    item = collate_rays(_item(rng, cfg), cfg.N_rand)
+    batch = stack_batch([item])
+    key = jax.random.PRNGKey(6)
+
+    def run(frac):
+        model = cls(num_latents=cfg.num_train_frame, train_keep_frac=frac)
+        trainer = Trainer(cfg, model)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        new_state, stats = trainer.train_step(state, batch, key)
+        return new_state, stats
+
+    s1_d, st_d = run(0.0)
+    s1_c, st_c = run(1.0)  # capacity >= all points >= survivors
+
+    assert float(st_c.get("compact_overflow", 1.0)) == 0.0
+    np.testing.assert_allclose(
+        float(st_c["loss"]), float(st_d["loss"]), rtol=1e-5, atol=1e-6
+    )
+    for k in ("img_loss", "offset_loss"):
+        np.testing.assert_allclose(
+            float(st_c[k]), float(st_d[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    if cls_name == "SDFPDF":
+        for k in ("grad_loss", "ograd_loss", "mask_loss"):
+            np.testing.assert_allclose(
+                float(st_c[k]), float(st_d[k]), rtol=1e-5, atol=1e-6,
+                err_msg=k,
+            )
+    for a, b in zip(jax.tree_util.tree_leaves(s1_d.params),
+                    jax.tree_util.tree_leaves(s1_c.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("cls_name", ["AlignedLBW", "AlignedSMPL",
+                                      "AlignedLBWPDF"])
+def test_aligned_train_compaction_matches_dense(cls_name):
+    """Aligned-family train_keep_frac: loss and post-Adam params equal
+    the dense masked path (covers the bw-consistency pair on the
+    compacted stream and the alpha-derived selection mask)."""
+    from animatable_nerf_tpu import models
+
+    cls = getattr(models, cls_name)
+    cfg = _tiny_cfg()
+    cfg.N_rand = 16
+    rng = np.random.RandomState(51)
+    item = collate_rays(_item(rng, cfg), cfg.N_rand)
+    batch = stack_batch([item])
+    key = jax.random.PRNGKey(8)
+
+    def run(frac):
+        model = cls(num_latents=cfg.num_train_frame, norm_th=0.4,
+                    train_keep_frac=frac)
+        trainer = Trainer(cfg, model)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        new_state, stats = trainer.train_step(state, batch, key)
+        return new_state, stats
+
+    s1_d, st_d = run(0.0)
+    s1_c, st_c = run(1.0)
+
+    assert float(st_c.get("compact_overflow", 1.0)) == 0.0
+    np.testing.assert_allclose(
+        float(st_c["loss"]), float(st_d["loss"]), rtol=1e-5, atol=1e-6
+    )
+    if "bw_loss" in st_d:
+        np.testing.assert_allclose(
+            float(st_c["bw_loss"]), float(st_d["bw_loss"]),
+            rtol=1e-5, atol=1e-6,
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(s1_d.params),
+                    jax.tree_util.tree_leaves(s1_c.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )

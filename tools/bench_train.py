@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--no-store", action="store_true",
                     help="stream full batches per step instead of the "
                          "device-resident frame store")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="config key/value overrides, e.g. "
+                         "--opts norm_th 0.05 train_keep_frac 0.25")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +55,7 @@ def main():
     root = os.path.join(tmp, "human")
     generate_synthetic_dataset(root)
 
-    cfg = load_config("configs/synthetic.yaml", opts=[])
+    cfg = load_config("configs/synthetic.yaml", opts=list(args.opts))
     for split in ("train_dataset", "test_dataset"):
         cfg[split].data_root = root
         cfg[split].ann_file = os.path.join(root, "annots.npy")
