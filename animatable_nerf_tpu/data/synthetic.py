@@ -312,11 +312,25 @@ def generate_synthetic_dataset(
 
             mn, mx = tverts.min(0), tverts.max(0)
             vert_uv = (tverts[:, :2] - mn[:2]) / (mx[:2] - mn[:2] + 1e-8)
-            ras = rasterize_points(
+            args = (
                 wverts.astype(np.float32), vert_uv.astype(np.float32),
                 Ks[v].astype(np.float32), Rs[v].astype(np.float32),
-                (Ts[v] / 1000.0).astype(np.float32), H, W, splat_radius=3,
+                (Ts[v] / 1000.0).astype(np.float32),
             )
+            try:
+                ras = rasterize_points(*args, H, W, splat_radius=3)
+            except ValueError as e:  # pragma: no cover - XLA:CPU quirk
+                # An XLA:CPU executable-cache collision ("supplied N
+                # buffers but compiled program expected N+1") can poison
+                # this compile when certain jitted model programs ran
+                # earlier in the process (order-dependent, CPU tests
+                # only). A cache flush + retry compiles clean.
+                if "buffers" not in str(e):
+                    raise
+                import jax
+
+                jax.clear_caches()
+                ras = rasterize_points(*args, H, W, splat_radius=3)
             uv_map = np.asarray(ras["feature_map"], np.float32)
             os.makedirs(os.path.join(root, "uv"), exist_ok=True)
             np.save(os.path.join(root, "uv", f"{f}_{v}.npy"), uv_map)

@@ -120,6 +120,12 @@ class AnimationTrainer(Trainer):
             def loss_fn(params):
                 B = full["wbounds"].shape[0]
                 keys = jax.random.split(key, B)
+                if B == 1:
+                    # B==1 vmap bypass, as in Trainer._train_step
+                    fb1 = jax.tree_util.tree_map(lambda x: x[0], full)
+                    return animation_loss(
+                        self.model, params, fb1, keys[0], n_samples=n_anim
+                    )
                 losses, stats = jax.vmap(
                     lambda fb, k: animation_loss(
                         self.model, params, fb, k, n_samples=n_anim

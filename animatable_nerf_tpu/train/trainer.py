@@ -245,6 +245,16 @@ class Trainer:
         def loss_fn(params):
             B = full["ray_o"].shape[0]
             keys = jax.random.split(key, B)
+            if B == 1:
+                # bypass vmap for the reference's batch_size-1 regime:
+                # batching the compacted SDF train graph (data-dependent
+                # gather/scatter under double-backward) makes XLA emit a
+                # ~16x slower program on TPU (measured 135 -> 2128 ms);
+                # the unbatched graph compiles clean. Same math: mean
+                # over one frame == the frame.
+                fb1 = jax.tree_util.tree_map(lambda x: x[0], full)
+                loss, stats = self._loss_one(params, fb1, keys[0], state.step)
+                return loss, stats
             losses, stats = jax.vmap(
                 lambda fb, k: self._loss_one(params, fb, k, state.step),
                 in_axes=(0, 0),

@@ -36,7 +36,7 @@ REFERENCE_A100_RAYS_PER_SEC = 20_000.0
 TARGET_FACTOR = 3.0
 N_RAYS = 262144  # one full 512x512 eval frame (aninerf_313: 1024^2 at ratio 0.5)
 N_SAMPLES = 64
-WARMUP = 2
+WARMUP = 5
 REPS = 10
 
 

@@ -98,21 +98,26 @@ def main():
             for j in range(2 + -(-args.iters // k_steps))
         ]
         st = state
-        # warmup: 2 dispatches (compile + steady-state)
-        for j in range(2):
+        # warmup: 5 dispatches — the first is the compile, and the next
+        # executions of a freshly loaded executable are still slow
+        # through the remote relay (measured: a 17 ms/step program reads
+        # as 1200 ms/step when timed right after compile)
+        for j in range(5):
+            bw = batches[j % len(batches)]
             if k_steps == 1:
                 st, stats = trainer.train_step(
-                    st, {kk: v[0] for kk, v in batches[j].items()},
+                    st, {kk: v[0] for kk, v in bw.items()},
                     jax.random.fold_in(key, j), store=store)
             else:
                 st, stats = trainer.train_steps(
-                    st, batches[j], jax.random.fold_in(key, j), store=store)
-            jax.block_until_ready(stats["loss"])
+                    st, bw, jax.random.fold_in(key, j), store=store)
+            # host fetch, not block_until_ready: see CLAUDE.md (Pallas)
+            float(np.asarray(stats["loss"]).sum())
         n_disp = -(-args.iters // k_steps)
         checksum = 0.0
         t0 = time.perf_counter()
         for j in range(n_disp):
-            b = batches[2 + j % (len(batches) - 2)]
+            b = batches[j % len(batches)]
             if k_steps == 1:
                 st, stats = trainer.train_step(
                     st, {kk: v[0] for kk, v in b.items()},
