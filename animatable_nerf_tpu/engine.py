@@ -632,7 +632,8 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
     if cfg.aninerf_animation:
         trainer = AnimationTrainer(cfg, model)
     else:
-        trainer = Trainer(cfg, model)
+        # mesh => explicit-SPMD shard_map DP step (one frame per device)
+        trainer = Trainer(cfg, model, mesh=mesh)
 
     ds = make_dataset(cfg, "train")
     is_main = jax.process_index() == 0
