@@ -203,6 +203,7 @@ class _AlignedBase(nn.Module):
             rgb_map, acc_map, depth_map = composite_compacted(
                 sidx, slot_valid, raw_c[:, :3], raw_c[:, 3], c_z,
                 n_rays, n_samples,
+                ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
             )
             return {
                 "rgb_map": rgb_map, "acc_map": acc_map,

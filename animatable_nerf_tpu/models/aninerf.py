@@ -214,7 +214,8 @@ class AniNeRF(nn.Module):
             from ..core.composite import composite_compacted
 
             rgb_map, acc_map, depth_map = composite_compacted(
-                sidx, slot_valid, rgb, alpha, c_z, n_rays, n_samples
+                sidx, slot_valid, rgb, alpha, c_z, n_rays, n_samples,
+                ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
             )
             return {
                 "rgb_map": rgb_map, "acc_map": acc_map,

@@ -275,3 +275,57 @@ class TestImportanceSampling:
         g = jax.grad(loss)(params)
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_composite_compacted_matches_raw2outputs():
+    """Segmented-scan compositing on a compacted stream == dense
+    raw2outputs on the scattered-back raw, with and without the
+    ray_counts hint, including capacity truncation."""
+    import jax
+    import jax.numpy as jnp
+
+    from animatable_nerf_tpu.core.composite import (
+        composite_compacted, raw2outputs,
+    )
+    from animatable_nerf_tpu.models.common import (
+        compact_payload, scatter_compacted_raw,
+    )
+
+    rng = np.random.RandomState(7)
+    R, S = 40, 16
+    N = R * S
+    keep = rng.rand(N) < 0.3
+    keep[:S] = False  # one ray with zero survivors
+    rgb = rng.rand(N, 3).astype(np.float32)
+    alpha = rng.rand(N).astype(np.float32)
+    z = np.sort(rng.rand(R, S).astype(np.float32), axis=-1).reshape(-1)
+
+    for cap in (512, 128):  # 128 < kept count: truncation
+        sidx, sv, (c_rgb, c_alpha, c_z), n, ovf = compact_payload(
+            jnp.asarray(keep),
+            [jnp.asarray(rgb), jnp.asarray(alpha), jnp.asarray(z)], cap,
+        )
+        c_alpha = jnp.where(sv, c_alpha, 0.0)
+        counts = jnp.asarray(keep.reshape(R, S).sum(-1), jnp.int32)
+        maps_counts = composite_compacted(
+            sidx, sv, c_rgb, c_alpha, c_z, R, S, ray_counts=counts
+        )
+        maps_search = composite_compacted(
+            sidx, sv, c_rgb, c_alpha, c_z, R, S
+        )
+        # dense oracle: scatter raw back (alpha zeroed off-survivors),
+        # composite with raw2outputs
+        raw_c = jnp.concatenate([c_rgb, c_alpha[:, None]], axis=-1)
+        raw = scatter_compacted_raw(raw_c, sv, sidx, n, R, S)
+        dm = raw2outputs(raw, jnp.asarray(z.reshape(R, S)), False)
+        dense = (dm[0], dm[2], dm[4])  # rgb, acc, depth
+        for a, b, name in zip(maps_counts, dense,
+                              ("rgb", "acc", "depth")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"counts {name} cap={cap}",
+            )
+        for a, b in zip(maps_counts, maps_search):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
