@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--opts", nargs="*", default=[],
                     help="config key/value overrides, e.g. "
                          "--opts norm_th 0.05 train_keep_frac 0.25")
+    ap.add_argument("--stage2", action="store_true",
+                    help="benchmark the stage-2 animation trainer "
+                         "(novel-pose blend-weight consistency) instead "
+                         "of stage-1 rendering loss")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +57,9 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="anvtpu_bench_train_")
     root = os.path.join(tmp, "human")
-    generate_synthetic_dataset(root)
+    # enough frames for the stage-2 window (which starts AFTER the
+    # num_train_frame stage-1 frames)
+    generate_synthetic_dataset(root, n_frames=8)
 
     cfg = load_config("configs/synthetic.yaml", opts=list(args.opts))
     for split in ("train_dataset", "test_dataset"):
@@ -62,9 +68,17 @@ def main():
     cfg.N_rand = args.n_rand
     cfg.N_samples = args.n_samples
 
+    if args.stage2:
+        cfg.aninerf_animation = True
+        cfg.init_aninerf = "no_pretrain"
     ds = make_dataset(cfg, "train")
     model = make_model(cfg)
-    trainer = Trainer(cfg, model)
+    if args.stage2:
+        from animatable_nerf_tpu.train.animation import AnimationTrainer
+
+        trainer = AnimationTrainer(cfg, model)
+    else:
+        trainer = Trainer(cfg, model)
     store = None
     if not args.no_store:
         from animatable_nerf_tpu.train.trainer import build_frame_store
