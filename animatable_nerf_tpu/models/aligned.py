@@ -166,29 +166,52 @@ class _AlignedBase(nn.Module):
             jnp.argmax(a_sel), a_sel.shape[-1], dtype=bool
         )
 
-    def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
-                        novel_pose, n_rays, n_samples, precomposite):
-        """Survivor-compacted eval render (see models/aninerf.py)."""
-        from .common import compact_payload, scatter_compacted_raw, eval_capacity
+    def _compact_inputs(self, pose_pts, vd, dists, z_flat, frame,
+                        keep_frac):
+        """Pass 1 shared by the eval AND train compacted paths: fused
+        Pallas KNN distance filter (no (N, 6890) distance-matrix
+        materialization; data-only, so stop_gradient is a no-op the
+        training grad never crosses) + fixed-capacity compaction."""
+        from .common import compact_payload, eval_capacity
         from ..ops.knn_pallas import sample_blend_closest_points_fused
 
-        cap = eval_capacity(pose_pts.shape[0], self.eval_keep_frac)
+        cap = eval_capacity(pose_pts.shape[0], keep_frac)
         th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
-        # eval filter, no gradients: fused Pallas KNN (no (N, 6890)
-        # distance-matrix materialization)
-        _, pnorm = sample_blend_closest_points_fused(
-            pose_pts, frame["pvertices"], frame["weights"]
+        _, pnorm = jax.lax.stop_gradient(
+            sample_blend_closest_points_fused(
+                pose_pts, frame["pvertices"], frame["weights"]
+            )
         )
         pind = keep_mask_with_argmin(pnorm[..., 0], th)
         sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n, overflow = (
             compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
         )
-        c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
+        return (sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n,
+                overflow, pind)
 
-        # KNN prior on the small compacted set (fused kernel, no grads)
-        c_init_pbw, _ = sample_blend_closest_points_fused(
-            c_pose, frame["pvertices"], frame["weights"]
+    def _compact_knn_prior(self, c_pose, frame):
+        """KNN blend-weight prior on the small compacted set (fused
+        kernel; data-only)."""
+        from ..ops.knn_pallas import sample_blend_closest_points_fused
+
+        return jax.lax.stop_gradient(
+            sample_blend_closest_points_fused(
+                c_pose, frame["pvertices"], frame["weights"]
+            )[0]
         )
+
+    def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
+                        novel_pose, n_rays, n_samples, precomposite):
+        """Survivor-compacted eval render (see models/aninerf.py)."""
+        from .common import scatter_compacted_raw
+
+        sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n, overflow, pind = (
+            self._compact_inputs(
+                pose_pts, vd, dists, z_flat, frame, self.eval_keep_frac
+            )
+        )
+        c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
+        c_init_pbw = self._compact_knn_prior(c_pose, frame)
         tpose, tdirs, _ = self._deform(
             c_pose, c_pose_dirs, frame, novel_pose=novel_pose,
             init_pbw=c_init_pbw,
@@ -216,8 +239,8 @@ class _AlignedBase(nn.Module):
             "compact_overflow": overflow,
         }
 
-    def _train_compacted(self, pose_pts, vd, dists, frame, novel_pose,
-                         n_rays, n_samples):
+    def _train_compacted(self, pose_pts, vd, dists, z_flat, frame,
+                         novel_pose, n_rays, n_samples):
         """Training forward with survivor compaction (see models/pdf.py).
 
         The bw-consistency pair (pbw/tbw) stays on the compacted stream;
@@ -225,28 +248,15 @@ class _AlignedBase(nn.Module):
         dense `_bw_mask` (aligned_aninerf_lbw_network.py:137-144). The
         tbw KNN prior runs the differentiable XLA twin — tpose depends on
         the params, and the compacted set is small."""
-        from .common import compact_payload, scatter_compacted_raw, eval_capacity
-        from ..ops.knn_pallas import sample_blend_closest_points_fused
+        from .common import scatter_compacted_raw
 
-        cap = eval_capacity(pose_pts.shape[0], self.train_keep_frac)
-        th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
-        _, pnorm = jax.lax.stop_gradient(
-            sample_blend_closest_points_fused(
-                pose_pts, frame["pvertices"], frame["weights"]
+        sidx, sv, c_pose, c_vd, c_dists, _, n, ovf, _ = (
+            self._compact_inputs(
+                pose_pts, vd, dists, z_flat, frame, self.train_keep_frac
             )
         )
-        pind = keep_mask_with_argmin(pnorm[..., 0], th)
-        sidx, sv, (c_pose, c_vd, c_dists), n, ovf = compact_payload(
-            pind, [pose_pts, vd, dists], cap
-        )
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
-        # KNN prior on the compacted set (data-only: pose points are
-        # inputs, not params)
-        c_init_pbw = jax.lax.stop_gradient(
-            sample_blend_closest_points_fused(
-                c_pose, frame["pvertices"], frame["weights"]
-            )[0]
-        )
+        c_init_pbw = self._compact_knn_prior(c_pose, frame)
         tpose, tdirs, extras = self._deform(
             c_pose, c_pose_dirs, frame, novel_pose=novel_pose,
             init_pbw=c_init_pbw,
@@ -289,7 +299,8 @@ class _AlignedBase(nn.Module):
             )
         if train and self.train_keep_frac > 0:
             return self._train_compacted(
-                pose_pts, vd, dists, frame, novel_pose, n_rays, n_samples
+                pose_pts, vd, dists, z_vals.reshape(-1), frame, novel_pose,
+                n_rays, n_samples
             )
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])

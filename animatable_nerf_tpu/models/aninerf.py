@@ -172,28 +172,38 @@ class AniNeRF(nn.Module):
         keep = jnp.ones(sigma.shape, dtype=bool)
         return pbw, tbw, self._bw_consistency_select(sigma, keep)
 
-    def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
-                        novel_pose, n_rays, n_samples, precomposite):
-        """Eval render with survivor compaction.
-
-        Pass 1 interpolates ONLY the distance channel (cheap 8-float
-        gather rows) to find the points inside the norm_th shell; pass 2
-        runs the full pipeline on a fixed-capacity compacted list.
-        With `precomposite`, the maps are composited directly on the
-        compacted stream (core/composite.py composite_compacted);
-        otherwise raw scatters back densely. Equal to the masked full
-        path while the survivor count fits the capacity.
-        """
-        cap = eval_capacity(pose_pts.shape[0], self.eval_keep_frac)
-
+    def _compact_inputs(self, pose_pts, vd, dists, z_flat, frame,
+                        keep_frac):
+        """Pass 1 shared by the eval AND train compacted paths:
+        interpolate ONLY the distance channel (cheap 8-float gather
+        rows), filter by the norm_th shell (tpose_nerf_network.py:
+        149-157 semantics incl. the forced argmin), compact to a fixed
+        capacity."""
+        cap = eval_capacity(pose_pts.shape[0], keep_frac)
         dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
         pnorm = pts_sample_blend_weights_packed(
             pose_pts, dist_packed, frame["pbounds"], n_channels=1
         )[..., 0]
         pind = keep_mask_with_argmin(pnorm, self.norm_th)
-
         sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n, overflow = (
             compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
+        )
+        return (sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n,
+                overflow, pind)
+
+    def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
+                        novel_pose, n_rays, n_samples, precomposite):
+        """Eval render with survivor compaction: pass 2 runs the full
+        pipeline on the fixed-capacity compacted list from
+        _compact_inputs. With `precomposite`, the maps are composited
+        directly on the compacted stream (core/composite.py
+        composite_compacted); otherwise raw scatters back densely.
+        Equal to the masked full path while survivors fit capacity.
+        """
+        sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n, overflow, pind = (
+            self._compact_inputs(
+                pose_pts, vd, dists, z_flat, frame, self.eval_keep_frac
+            )
         )
 
         pbw_packed = pack_corner_volume(frame["pbw"])
@@ -229,28 +239,22 @@ class AniNeRF(nn.Module):
             "compact_overflow": overflow,
         }
 
-    def _train_compacted(self, pose_pts, vd, dists, frame, novel_pose,
-                         n_rays, n_samples):
+    def _train_compacted(self, pose_pts, vd, dists, z_flat, frame,
+                         novel_pose, n_rays, n_samples):
         """Training forward with survivor compaction.
 
         Same selection as the dense path (pnorm < norm_th with forced
-        argmin, tpose_nerf_network.py:149-157); the three MLP passes
-        (bw field x2, canonical NeRF) run only on the compacted survivor
-        list. raw scatters back dense for compositing; pbw/tbw/bw_mask
-        stay compacted — the consistency loss is a masked mean, so the
-        compacted stream with dead slots masked off computes the same
-        value as the dense (R*S,) stream."""
-        n = pose_pts.shape[0]
-        cap = eval_capacity(n, self.train_keep_frac)
-
-        dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
-        pnorm = pts_sample_blend_weights_packed(
-            pose_pts, dist_packed, frame["pbounds"], n_channels=1
-        )[..., 0]
-        pind = keep_mask_with_argmin(pnorm, self.norm_th)
-
-        sidx, slot_valid, (c_pose, c_vd, c_dists), n, overflow = (
-            compact_payload(pind, [pose_pts, vd, dists], cap)
+        argmin, tpose_nerf_network.py:149-157, via the shared
+        _compact_inputs); the three MLP passes (bw field x2, canonical
+        NeRF) run only on the compacted survivor list. raw scatters back
+        dense for compositing; pbw/tbw/bw_mask stay compacted — the
+        consistency loss is a masked mean, so the compacted stream with
+        dead slots masked off computes the same value as the dense
+        (R*S,) stream."""
+        sidx, slot_valid, c_pose, c_vd, c_dists, _, n, overflow, _ = (
+            self._compact_inputs(
+                pose_pts, vd, dists, z_flat, frame, self.train_keep_frac
+            )
         )
 
         c_init_pbw = jax.lax.stop_gradient(
@@ -319,7 +323,8 @@ class AniNeRF(nn.Module):
             )
         if train and self.train_keep_frac > 0:
             return self._train_compacted(
-                pose_pts, vd, dists, frame, novel_pose, n_rays, n_samples
+                pose_pts, vd, dists, z_vals.reshape(-1), frame, novel_pose,
+                n_rays, n_samples
             )
 
         # point filter from the precomputed distance channel (:149-157).

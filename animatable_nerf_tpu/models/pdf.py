@@ -135,15 +135,11 @@ class _PDFBase(nn.Module):
             slot_valid[:, None], c_pbw,
             jax.nn.one_hot(0, c_pbw.shape[-1], dtype=c_pbw.dtype),
         )
-        return sidx, slot_valid, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf
-
-    def _compact_eval_inputs(self, pose_pts, vd, dists, z_flat, frame):
-        return self._compact_inputs(
-            pose_pts, vd, dists, z_flat, frame, self.eval_keep_frac
-        )
+        return sidx, slot_valid, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf, pind
 
     def _compact_finish(self, rgb_alpha, sidx, slot_valid, c_z, n,
-                        n_rays, n_samples, precomposite, overflow):
+                        n_rays, n_samples, precomposite, overflow,
+                        ray_counts=None):
         """Either segment-composite the maps on the compacted stream or
         scatter raw back densely."""
         rgb, alpha = rgb_alpha[:, :3], rgb_alpha[:, 3]
@@ -151,7 +147,8 @@ class _PDFBase(nn.Module):
             from ..core.composite import composite_compacted
 
             rgb_map, acc_map, depth_map = composite_compacted(
-                sidx, slot_valid, rgb, alpha, c_z, n_rays, n_samples
+                sidx, slot_valid, rgb, alpha, c_z, n_rays, n_samples,
+                ray_counts=ray_counts,
             )
             return {
                 "rgb_map": rgb_map, "acc_map": acc_map,
@@ -211,9 +208,10 @@ class NeRFPDF(_PDFBase):
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
 
         if not train and self.eval_keep_frac > 0:
-            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf = (
-                self._compact_eval_inputs(
-                    pose_pts, vd, dists, z_vals.reshape(-1), frame
+            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf, pind = (
+                self._compact_inputs(
+                    pose_pts, vd, dists, z_vals.reshape(-1), frame,
+                    self.eval_keep_frac,
                 )
             )
             c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
@@ -226,10 +224,10 @@ class NeRFPDF(_PDFBase):
             raw_c = jnp.where(inside[:, None], raw_c, 0.0)
             return self._compact_finish(
                 raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
-                ovf,
+                ovf, ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
             )
         if train and self.train_keep_frac > 0:
-            sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf = (
+            sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _ = (
                 self._compact_inputs(
                     pose_pts, vd, dists, z_vals.reshape(-1), frame,
                     self.train_keep_frac,
@@ -361,7 +359,7 @@ class SDFPDF(_PDFBase):
         scatters back with the reference's +10 masked fill
         (anisdf_pdf_network.py:218-219); the point-wise eikonal/resd
         regularizers stay on the compacted stream (masked means)."""
-        sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf = (
+        sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _ = (
             self._compact_inputs(
                 pose_pts, vd, dists, z_vals.reshape(-1), frame,
                 self.train_keep_frac,
@@ -420,9 +418,10 @@ class SDFPDF(_PDFBase):
         if not train and self.eval_keep_frac > 0:
             # survivor-compacted eval: the SDF autograd normals and all
             # MLPs run only on the in-shell points
-            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf = (
-                self._compact_eval_inputs(
-                    pose_pts, vd, dists, z_vals.reshape(-1), frame
+            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf, pind = (
+                self._compact_inputs(
+                    pose_pts, vd, dists, z_vals.reshape(-1), frame,
+                    self.eval_keep_frac,
                 )
             )
             c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
@@ -435,7 +434,7 @@ class SDFPDF(_PDFBase):
             raw_c = jnp.where(inside[:, None], raw_c, 0.0)
             return self._compact_finish(
                 raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
-                ovf,
+                ovf, ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
             )
         if train and self.train_keep_frac > 0:
             return self._train_compacted(

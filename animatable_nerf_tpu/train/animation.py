@@ -72,22 +72,27 @@ class AnimationTrainer(Trainer):
     """Drop-in stage-2 trainer: same TrainState/step/epoch interface as
     train.trainer.Trainer (train_epoch with its dispatch-fusion and
     frame-store machinery is inherited) but with the consistency loss
-    and the frozen base network. The optimizer is built in init_state —
-    the novel_pose_bw trainable mask needs the param tree."""
+    and the frozen base network. The optimizer is rebuilt in init_state —
+    the novel_pose_bw trainable mask needs the param tree. Under a mesh
+    the vmapped DP path batches `dp` frames per optimizer update with a
+    mean gradient, the same DDP semantics as stage 1 (the reference
+    trains stage 2 single-GPU, one frame per update)."""
 
-    def __init__(self, cfg, model):
+    def __init__(self, cfg, model, mesh=None):
         from .optim import make_optimizer
 
-        self.cfg = cfg
-        self.model = model
+        super().__init__(cfg, model, mesh=None)  # stage-2 has no
+        # shard_map step of its own; mesh DP runs through the vmapped
+        # loss (see class docstring)
+        del mesh
         self._tx_factory = make_optimizer
+        # the real tx/step fns are built in init_state once the
+        # trainable mask is known; poison the base ones so misuse fails
+        # loudly instead of training with an unmasked optimizer
         self.tx = None
         self.sched = None
         self._step_fn = None
         self._multi_step_fn = None
-        self.steps_per_dispatch = int(
-            cfg.train.get("steps_per_dispatch", 1) or 1
-        )
 
     def init_state(self, key, sample_batch):
         from .trainer import TrainState

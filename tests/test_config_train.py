@@ -279,9 +279,11 @@ def test_all_shipped_configs_resolve():
         assert cfg.network_module in MODELS, p
         for mod in (cfg.train_dataset_module, cfg.test_dataset_module):
             assert mod in DATASETS, (p, mod)
-        # mode overlays must also resolve
+        # mode overlays must also name registered datasets (the
+        # renderer_module key is informational here: render dispatch is
+        # by model family + visibility flags, not dynamic import)
         for overlay in ("novel_view_cfg", "mesh_cfg"):
-            for key in ("test_dataset_module", "renderer_module"):
-                sub = cfg.get(overlay, {})
-                if isinstance(sub, dict) and key in sub and "dataset" in key:
+            sub = cfg.get(overlay, {})
+            for key in ("train_dataset_module", "test_dataset_module"):
+                if isinstance(sub, dict) and key in sub:
                     assert sub[key] in DATASETS, (p, overlay, sub[key])
