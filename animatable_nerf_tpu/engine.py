@@ -160,6 +160,31 @@ def eval_rays(item: dict, tile: int):
     return {k: jnp.asarray(v) for k, v in padded.items()}, n_valid
 
 
+def interleave_rays(rays: dict, tile: int):
+    """Stride-permute padded rays so every eval tile samples uniformly
+    across the image.
+
+    Eval rays arrive in scanline order, so consecutive tiles alternate
+    between dense body regions and empty background — and the survivor
+    compaction capacity must fit the WORST tile. Tile k instead gets
+    rays k, k+T, k+2T, ... (T = number of tiles), which equalizes
+    per-tile survivor counts to ~the global fraction and lets the
+    adaptive capacity ladder (Engine.render_item) run low rungs. Rays
+    are independent, so any permutation renders identically.
+
+    Returns (permuted rays, inverse index array or None). Apply the
+    inverse to per-ray outputs: `out_orig = out_permuted[inv]`.
+    """
+    n = int(rays["ray_o"].shape[0])
+    n_tiles = n // tile
+    if n_tiles <= 1:
+        return rays, None
+    perm = np.arange(n).reshape(tile, n_tiles).T.ravel()
+    inv = np.argsort(perm)
+    out = {k: jnp.asarray(np.asarray(v)[perm]) for k, v in rays.items()}
+    return out, inv
+
+
 class Engine:
     """One experiment: model + params + jitted render/eval programs."""
 
@@ -175,19 +200,21 @@ class Engine:
             from .parallel.mesh import make_mesh
 
             self._mesh = make_mesh()
-        self._render_image_jit = jax.jit(
-            lambda params, rays, frame: render_image(
-                self.model, params, rays, frame, self.settings,
-                novel_pose=self.novel_pose,
-            )
-        )
-        self._render_image_vis_jit = jax.jit(
-            lambda params, rays, frame, Ks, RT, msks: render_image(
-                self.model, params, rays, frame, self.settings,
-                novel_pose=self.novel_pose,
-                inside_fn=lambda pts: prepare_inside_mask(pts, Ks, RT, msks),
-            )
-        )
+        # Adaptive eval-capacity ladder. The compacted eval programs run
+        # at a STATIC survivor capacity, but real survivor fractions are
+        # frame-dependent and usually far below the config's
+        # eval_keep_frac (~4-10% of sampled points vs the 25% default) —
+        # dead capacity slots still pay full MLP/compaction/composite
+        # cost. render_item starts at the smallest rung, escalates on
+        # overflow (last rung = dense, always correct), and uses the
+        # measured worst-tile survivor count (`compact_count`) to pick
+        # the rung for the next frame. Programs are built lazily per
+        # rung and cached for the session.
+        f = float(getattr(self.model, "eval_keep_frac", 0.0) or 0.0)
+        self._ladder = sorted({round(f / 4, 6), round(f / 2, 6), f}) if f > 0 else []
+        self._ladder.append(0.0)  # dense rung (no compaction)
+        self._eval_level = 0
+        self._eval_jits: dict = {}
         # mesh-extraction programs, jitted ONCE with params/frame as
         # arguments: per-item jitted closures would bake the weights in
         # as HLO constants and recompile every frame (see CLAUDE.md)
@@ -276,39 +303,50 @@ class Engine:
         return out[0]
 
     # --------------------------------------------------------- render
-    def _dense_model_render(self, params, rays, frame):
-        """Dense (no-compaction) fallback program, built lazily: used
-        when a frame's survivor count overflows the compaction capacity
-        (the compacted result would silently drop samples)."""
-        if not hasattr(self, "_dense_jit"):
-            dense_model = (
-                self.model.clone(eval_keep_frac=0.0)
-                if hasattr(self.model, "eval_keep_frac") else self.model
-            )
-            self._dense_jit = jax.jit(
-                lambda p, r, f: render_image(
-                    dense_model, p, r, f, self.settings,
-                    novel_pose=self.novel_pose,
+    def _eval_program(self, frac: float, vis: bool):
+        """Jitted whole-image program at capacity rung `frac` (0.0 =
+        dense/no compaction), cached per (frac, vis)."""
+        key = (frac, vis)
+        if key not in self._eval_jits:
+            model = self.model
+            if hasattr(model, "eval_keep_frac") and frac != float(
+                model.eval_keep_frac
+            ):
+                model = model.clone(eval_keep_frac=frac)
+            if vis:
+                fn = jax.jit(
+                    lambda p, r, f, Ks, RT, msks: render_image(
+                        model, p, r, f, self.settings,
+                        novel_pose=self.novel_pose,
+                        inside_fn=lambda pts: prepare_inside_mask(
+                            pts, Ks, RT, msks
+                        ),
+                    )
                 )
-            )
-        return self._dense_jit(params, rays, frame)
+            else:
+                fn = jax.jit(
+                    lambda p, r, f: render_image(
+                        model, p, r, f, self.settings,
+                        novel_pose=self.novel_pose,
+                    )
+                )
+            self._eval_jits[key] = fn
+        return self._eval_jits[key]
 
-    def _dense_model_render_vis(self, params, rays, frame, Ks, RT, msks):
-        if not hasattr(self, "_dense_vis_jit"):
-            dense_model = (
-                self.model.clone(eval_keep_frac=0.0)
-                if hasattr(self.model, "eval_keep_frac") else self.model
-            )
-            self._dense_vis_jit = jax.jit(
-                lambda p, r, f, Ks, RT, msks: render_image(
-                    dense_model, p, r, f, self.settings,
-                    novel_pose=self.novel_pose,
-                    inside_fn=lambda pts: prepare_inside_mask(
-                        pts, Ks, RT, msks
-                    ),
-                )
-            )
-        return self._dense_vis_jit(params, rays, frame, Ks, RT, msks)
+    def _pick_level(self, worst_count: int, fallback: int) -> int:
+        """Smallest ladder rung whose per-tile capacity holds the
+        measured worst-tile survivor count with 25% headroom; `fallback`
+        (a rung known to work) when none does."""
+        from .models.common import eval_capacity
+
+        pts_per_tile = self.settings.eval_tile * (
+            self.settings.n_samples + self.settings.n_importance
+        )
+        need = int(worst_count * 1.25) + 1
+        for i, frac in enumerate(self._ladder[:-1]):
+            if eval_capacity(pts_per_tile, frac) >= need:
+                return i
+        return fallback
 
     def render_item(self, params, item, visibility: bool = False):
         use_vis = visibility and "msks" in item
@@ -316,10 +354,8 @@ class Engine:
             frame, vis = self._device_frame(item, with_vis=True)
         else:
             frame = self._device_frame(item)
-        if use_vis:
-            rays, n_valid = eval_rays(item, self.settings.eval_tile)
-            out = self._render_image_vis_jit(params, rays, frame, *vis)
-        elif self._mesh is not None:
+
+        if self._mesh is not None and not use_vis:
             from .parallel.eval_sharding import render_image_sharded
 
             n_dev = self._mesh.shape["dp"]
@@ -328,33 +364,60 @@ class Engine:
             rays, n_valid = eval_rays(
                 item, self.settings.eval_tile * n_dev
             )
-            out, _ = render_image_sharded(
+            out = dict(render_image_sharded(
                 self.model, params, rays, frame, self.settings,
                 self._mesh, novel_pose=self.novel_pose,
+            )[0])
+            out.pop("compact_count", None)
+            if bool(np.asarray(out.pop("compact_overflow", False))):
+                # sharded program overflowed its capacity: re-render
+                # through the (unsharded) dense rung — correct, slower
+                print(
+                    "[render] survivor compaction overflowed in the "
+                    "sharded eval; falling back to the dense render for "
+                    "this frame"
+                )
+                rays, n_valid = eval_rays(item, self.settings.eval_tile)
+                out = dict(self._eval_program(0.0, False)(params, rays, frame))
+                out.pop("compact_overflow", None)
+                out.pop("compact_count", None)
+            return (
+                {k: np.asarray(v)[:n_valid] for k, v in out.items()},
+                n_valid,
             )
-        else:
-            rays, n_valid = eval_rays(item, self.settings.eval_tile)
-            out = self._render_image_jit(params, rays, frame)
-        out = dict(out)
-        if bool(np.asarray(out.pop("compact_overflow", False))):
-            # survivors exceeded the compaction capacity: the compacted
-            # render dropped samples. Re-render densely (correct, slower)
-            # and tell the user to raise eval_keep_frac.
-            print(
-                "[render] survivor compaction overflowed "
-                f"(eval_keep_frac={getattr(self.model, 'eval_keep_frac', '?')}); "
-                "falling back to the dense render for this frame — raise "
-                "eval_keep_frac in the config to keep the fast path"
+
+        rays, n_valid = eval_rays(item, self.settings.eval_tile)
+        rays, inv = interleave_rays(rays, self.settings.eval_tile)
+        level = min(self._eval_level, len(self._ladder) - 1)
+        last_count = None
+        while True:
+            fn = self._eval_program(self._ladder[level], use_vis)
+            out = dict(
+                fn(params, rays, frame, *vis) if use_vis
+                else fn(params, rays, frame)
             )
-            rays, n_valid = eval_rays(item, self.settings.eval_tile)
-            if use_vis:
-                out = dict(self._dense_model_render_vis(
-                    params, rays, frame, *vis,
-                ))
-            else:
-                out = dict(self._dense_model_render(params, rays, frame))
-            out.pop("compact_overflow", None)
-        return {k: np.asarray(v)[:n_valid] for k, v in out.items()}, n_valid
+            count = out.pop("compact_count", None)
+            if count is not None:
+                last_count = int(np.asarray(count))
+            if not bool(np.asarray(out.pop("compact_overflow", False))):
+                break
+            # `compact_count` is the TRUE worst-tile survivor count even
+            # on overflow — jump straight to a rung that fits
+            dense = len(self._ladder) - 1
+            level = max(
+                level + 1,
+                self._pick_level(last_count, dense)
+                if last_count is not None else dense,
+            )
+        # start the next frame at the best-fitting rung
+        self._eval_level = (
+            self._pick_level(last_count, level)
+            if last_count is not None else level
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if inv is not None:
+            out = {k: v[inv] for k, v in out.items()}
+        return {k: v[:n_valid] for k, v in out.items()}, n_valid
 
     # --------------------------------------------------------- mesh
     def extract_mesh(self, params, item):

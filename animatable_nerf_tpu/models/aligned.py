@@ -203,7 +203,7 @@ class _AlignedBase(nn.Module):
     def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
                         novel_pose, n_rays, n_samples, precomposite):
         """Survivor-compacted eval render (see models/aninerf.py)."""
-        from .common import scatter_compacted_raw
+        from .common import scatter_compacted_raw, survivor_count
 
         sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n, overflow, pind = (
             self._compact_inputs(
@@ -231,12 +231,14 @@ class _AlignedBase(nn.Module):
             return {
                 "rgb_map": rgb_map, "acc_map": acc_map,
                 "depth_map": depth_map, "compact_overflow": overflow,
+                "compact_count": survivor_count(pind),
             }
         return {
             "raw": scatter_compacted_raw(
                 raw_c, slot_valid, sidx, n, n_rays, n_samples
             ),
             "compact_overflow": overflow,
+            "compact_count": survivor_count(pind),
         }
 
     def _train_compacted(self, pose_pts, vd, dists, z_flat, frame,

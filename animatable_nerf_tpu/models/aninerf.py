@@ -39,6 +39,7 @@ from .common import (
     compact_payload,
     scatter_compacted_raw,
     eval_capacity,
+    survivor_count,
 )
 
 
@@ -230,6 +231,7 @@ class AniNeRF(nn.Module):
             return {
                 "rgb_map": rgb_map, "acc_map": acc_map,
                 "depth_map": depth_map, "compact_overflow": overflow,
+                "compact_count": survivor_count(pind),
             }
         raw_c = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
         return {
@@ -237,6 +239,7 @@ class AniNeRF(nn.Module):
                 raw_c, slot_valid, sidx, n, n_rays, n_samples
             ),
             "compact_overflow": overflow,
+            "compact_count": survivor_count(pind),
         }
 
     def _train_compacted(self, pose_pts, vd, dists, z_flat, frame,

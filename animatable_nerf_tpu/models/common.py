@@ -41,6 +41,17 @@ def raw_alpha_from_sigma(sigma, dists):
     return 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
 
 
+def survivor_count(pind):
+    """(1,)-shaped true survivor count (pre-capacity-truncation).
+
+    Returned as `compact_count` from the compacted eval paths so the
+    engine's adaptive capacity ladder (engine.render_item) can pick the
+    smallest capacity that fits the scene; (1,)-shaped so it survives
+    sharded-eval out_specs like `compact_overflow`.
+    """
+    return jnp.reshape(jnp.sum(pind.astype(jnp.int32)), (1,))
+
+
 def compact_indices(keep, capacity: int):
     """Stable fixed-capacity compaction of a boolean mask.
 

@@ -50,6 +50,7 @@ from .common import (
     compact_payload,
     scatter_compacted_raw,
     eval_capacity,
+    survivor_count,
 )
 
 NORM_TH = 0.1  # hard-coded in the pdf models (anisdf_pdf_network.py:172)
@@ -139,10 +140,13 @@ class _PDFBase(nn.Module):
 
     def _compact_finish(self, rgb_alpha, sidx, slot_valid, c_z, n,
                         n_rays, n_samples, precomposite, overflow,
-                        ray_counts=None):
+                        ray_counts=None, pind=None):
         """Either segment-composite the maps on the compacted stream or
         scatter raw back densely."""
         rgb, alpha = rgb_alpha[:, :3], rgb_alpha[:, 3]
+        extras = {"compact_overflow": overflow}
+        if pind is not None:
+            extras["compact_count"] = survivor_count(pind)
         if precomposite:
             from ..core.composite import composite_compacted
 
@@ -152,13 +156,13 @@ class _PDFBase(nn.Module):
             )
             return {
                 "rgb_map": rgb_map, "acc_map": acc_map,
-                "depth_map": depth_map, "compact_overflow": overflow,
+                "depth_map": depth_map, **extras,
             }
         return {
             "raw": self._scatter_raw(
                 rgb_alpha, slot_valid, sidx, n, n_rays, n_samples
             ),
-            "compact_overflow": overflow,
+            **extras,
         }
 
     def _scatter_raw(self, raw_c, slot_valid, sidx, n, n_rays, n_samples):
@@ -225,6 +229,7 @@ class NeRFPDF(_PDFBase):
             return self._compact_finish(
                 raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
                 ovf, ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
+                pind=pind,
             )
         if train and self.train_keep_frac > 0:
             sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _ = (
@@ -435,6 +440,7 @@ class SDFPDF(_PDFBase):
             return self._compact_finish(
                 raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
                 ovf, ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
+                pind=pind,
             )
         if train and self.train_keep_frac > 0:
             return self._train_compacted(

@@ -56,12 +56,11 @@ def render_image_sharded(
     def shard_fn_wrapped(params, frame, shard_rays):
         out = shard_fn(params, frame, shard_rays)
         # scalar flags cannot shard over dp; lift to (1,)
-        if "compact_overflow" in out:
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
-            out["compact_overflow"] = jnp.reshape(
-                out["compact_overflow"], (1,)
-            )
+        for k in ("compact_overflow", "compact_count"):
+            if k in out:
+                out[k] = jnp.reshape(out[k], (1,))
         return out
 
     # run one abstract eval to learn the output keys
@@ -94,4 +93,6 @@ def render_image_sharded(
     out = fn(params, frame, padded)
     if "compact_overflow" in out:
         out["compact_overflow"] = out["compact_overflow"].any()
+    if "compact_count" in out:
+        out["compact_count"] = out["compact_count"].max()
     return out, n_valid

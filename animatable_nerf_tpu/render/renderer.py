@@ -233,6 +233,8 @@ def render_image(
         keep = {k: out[k] for k in _IMAGE_OUTPUTS}
         if "compact_overflow" in out:
             keep["compact_overflow"] = out["compact_overflow"]
+        if "compact_count" in out:
+            keep["compact_count"] = out["compact_count"]
         return keep
 
     out = jax.lax.map(body, tiled)
@@ -242,4 +244,8 @@ def render_image(
     if "compact_overflow" in out:
         # (n_tiles, 1) -> any tile overflowed its survivor capacity
         result["compact_overflow"] = jnp.any(out["compact_overflow"])
+    if "compact_count" in out:
+        # worst tile's survivor count: capacity is per tile, so this is
+        # what the engine's adaptive ladder must fit
+        result["compact_count"] = jnp.max(out["compact_count"])
     return result

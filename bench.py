@@ -71,6 +71,27 @@ def main():
         )
     )()
 
+    # Adaptive survivor capacity (mirrors Engine.render_item's ladder):
+    # probe the true survivor count at the config capacity, then run the
+    # timed renders at the smallest capacity that holds it with 25%
+    # headroom — dead capacity slots pay full MLP/compaction cost.
+    from animatable_nerf_tpu.models.common import eval_capacity
+
+    probe = jax.jit(
+        lambda p, r: render_rays(
+            model, p, r, frame, settings, train=False
+        )["compact_count"]
+    )
+    count = int(np.asarray(probe(params, rays))[0])
+    need = int(count * 1.25) + 1
+    keep_frac = model.eval_keep_frac
+    for frac in (keep_frac / 8, keep_frac / 4, keep_frac / 2):
+        if eval_capacity(N_RAYS * N_SAMPLES, frac) >= need:
+            keep_frac = frac
+            break
+    model = model.clone(eval_keep_frac=keep_frac)
+    model_fast = model_fast.clone(eval_keep_frac=keep_frac)
+
     def make_render(m):
         @jax.jit
         def render(params, rays):
@@ -130,6 +151,8 @@ def main():
                     "median_ms_f32": round(dt_f32 * 1e3, 2),
                     "compute_dtype": "bfloat16" if use_fast else "float32",
                     "bf16_max_rgb_delta": round(rgb_delta, 5),
+                    "keep_frac": keep_frac,
+                    "survivors": count,
                     "sec_per_1024sq_frame": round(sec_per_frame, 3),
                     "device": str(jax.devices()[0]),
                     "baseline_rays_per_sec": baseline,

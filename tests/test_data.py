@@ -219,3 +219,52 @@ def test_build_frame_store_uses_frame_meta(droot):
                 np.asarray(store[group][k]), np.asarray(store_full[group][k]),
                 err_msg=k,
             )
+
+
+def test_engine_capacity_ladder_and_interleave(droot):
+    """Engine.render_item's adaptive eval-capacity ladder: the laddered
+    render equals the dense rung exactly even when the starting rung
+    overflows (escalation, no silent sample drops), the interleave
+    permutation round-trips, and the measured survivor count steers the
+    next frame onto a compacted rung below the config capacity."""
+    import jax
+    from animatable_nerf_tpu.engine import (
+        Engine, make_dataset, eval_rays, interleave_rays,
+    )
+
+    cfg = make_cfg(droot, N_samples=8, training_view=[0])
+    cfg.norm_th = 0.25          # synthetic blobs' filter shell
+    cfg.eval_keep_frac = 0.02   # every compacted rung overflows
+    eng = Engine(cfg)
+    assert eng._ladder[-1] == 0.0 and len(eng._ladder) >= 2
+
+    ds = make_dataset(cfg, "test")
+    item = ds[0]
+    params = eng.init_params(jax.random.PRNGKey(0), dataset=ds)
+
+    rays, _ = eval_rays(item, eng.settings.eval_tile)
+    permuted, inv = interleave_rays(rays, eng.settings.eval_tile)
+    if inv is not None:
+        np.testing.assert_array_equal(
+            np.asarray(permuted["near"])[inv], np.asarray(rays["near"])
+        )
+
+    out, n_valid = eng.render_item(params, item)
+    frame = eng._device_frame(item)
+    dense = eng._eval_program(0.0, False)(params, rays, frame)
+    np.testing.assert_allclose(
+        out["rgb_map"], np.asarray(dense["rgb_map"])[:n_valid],
+        rtol=1e-5, atol=2e-5,
+    )
+
+    # generous capacity: the measured count picks a compacted rung
+    # BELOW the configured one for the next frame
+    cfg2 = make_cfg(droot, N_samples=8, training_view=[0])
+    cfg2.norm_th = 0.25
+    cfg2.eval_keep_frac = 0.9
+    eng2 = Engine(cfg2)
+    out2, n_valid2 = eng2.render_item(params, item)
+    assert eng2._eval_level < len(eng2._ladder) - 1  # not the dense rung
+    np.testing.assert_allclose(
+        out2["rgb_map"], out["rgb_map"], rtol=1e-5, atol=2e-5
+    )
