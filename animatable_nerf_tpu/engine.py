@@ -211,7 +211,10 @@ class Engine:
         # the rung for the next frame. Programs are built lazily per
         # rung and cached for the session.
         f = float(getattr(self.model, "eval_keep_frac", 0.0) or 0.0)
-        self._ladder = sorted({round(f / 4, 6), round(f / 2, 6), f}) if f > 0 else []
+        self._ladder = (
+            sorted({round(f / 8, 6), round(f / 4, 6), round(f / 2, 6), f})
+            if f > 0 else []
+        )
         self._ladder.append(0.0)  # dense rung (no compaction)
         self._eval_level = 0
         self._eval_jits: dict = {}
@@ -335,14 +338,14 @@ class Engine:
 
     def _pick_level(self, worst_count: int, fallback: int) -> int:
         """Smallest ladder rung whose per-tile capacity holds the
-        measured worst-tile survivor count with 25% headroom; `fallback`
+        measured worst-tile survivor count with 15% headroom; `fallback`
         (a rung known to work) when none does."""
         from .models.common import eval_capacity
 
         pts_per_tile = self.settings.eval_tile * (
             self.settings.n_samples + self.settings.n_importance
         )
-        need = int(worst_count * 1.25) + 1
+        need = int(worst_count * 1.15) + 1
         for i, frac in enumerate(self._ladder[:-1]):
             if eval_capacity(pts_per_tile, frac) >= need:
                 return i

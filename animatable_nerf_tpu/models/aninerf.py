@@ -42,6 +42,13 @@ from .common import (
     survivor_count,
 )
 
+# Segment capacity headroom of the hierarchical eval pre-filter: the
+# conservative Lipschitz-margin candidate set measures ~2x the exact
+# survivor count, so the segment-level capacity covers this multiple of
+# the point-level keep fraction (engine ladder escalation covers the
+# rest).
+_SEG_CAPACITY_FACTOR = 4
+
 
 class AniNeRF(nn.Module):
     """Grid-based blend-weight AniNeRF.
@@ -71,6 +78,22 @@ class AniNeRF(nn.Module):
     # has static capacity). Exact parity while survivors fit the
     # capacity; overflow drops the latest points. 0 disables.
     eval_keep_frac: float = 0.25
+    # Hierarchical eval pre-filter: group each ray's samples into
+    # seg_filter-sample segments and test each ONCE at its midpoint
+    # with a certified Lipschitz margin (common.py segment_prefilter)
+    # before the exact per-point filter runs on the candidate set.
+    # OFF by default after end-to-end measurement (v5e, whole-frame
+    # realistic scene): at eval sample spacing (~3cm) the conservative
+    # margin (lip * segment half-extent) dwarfs the 5cm shell, so the
+    # candidate set inflates 7-8x over the exact survivors and the win
+    # over the flat pass-1 is <=10% (159.5 vs 175.4 ms at the 3.125%
+    # capacity rung, seg_filter=8) — before accounting for the larger
+    # capacity rung its segment stream forces the engine ladder onto.
+    # seg_filter=4 additionally CRASHES the TPU backend compiler
+    # (regalloc RET_CHECK in scalar-address-calculation) at whole-frame
+    # shapes. Kept as a tested opt-in for workloads with finer sample
+    # spacing (where half-extent << shell thickness the math favors it).
+    seg_filter: int = 0
     # Train-time survivor compaction: same two-pass scheme on the
     # TRAINING path (gather survivors -> MLPs -> scatter raw; the bw
     # consistency pair stays on the compacted stream). Gradients flow
@@ -174,23 +197,155 @@ class AniNeRF(nn.Module):
         return pbw, tbw, self._bw_consistency_select(sigma, keep)
 
     def _compact_inputs(self, pose_pts, vd, dists, z_flat, frame,
-                        keep_frac):
+                        keep_frac, conservative: bool = False):
         """Pass 1 shared by the eval AND train compacted paths:
         interpolate ONLY the distance channel (cheap 8-float gather
         rows), filter by the norm_th shell (tpose_nerf_network.py:
         149-157 semantics incl. the forced argmin), compact to a fixed
-        capacity."""
+        capacity.
+
+        `conservative` (eval path) gathers bf16 distance rows — half
+        the gather row bytes of the dominant pass-1 cost — and widens
+        the threshold by a bound on the bf16 rounding of the corners
+        near the shell (|corner| <= th + lip * cell diagonal for a
+        lip-Lipschitz field, certified from the volume itself), so the
+        survivor set is a SUPERSET of the exact one; _eval_finish then
+        re-applies the exact f32 filter from the 25-channel pass-2
+        gather it already pays for. Exact end to end (empty-frame
+        forced-argmin caveat as in segment_prefilter)."""
+        from .common import volume_lipschitz_bound
+
         cap = eval_capacity(pose_pts.shape[0], keep_frac)
-        dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
+        dist_vol = frame["pbw"][..., 24:25]
+        th = jnp.float32(self.norm_th)
+        if conservative:
+            dist_packed = pack_corner_volume(dist_vol).astype(jnp.bfloat16)
+            lip = volume_lipschitz_bound(dist_vol[..., 0], frame["pbounds"])
+            cell = (frame["pbounds"][1] - frame["pbounds"][0]) / (
+                jnp.array(dist_vol.shape[:3], jnp.float32) - 1.0
+            )
+            corner_bound = self.norm_th + lip * jnp.linalg.norm(cell)
+            th = th + corner_bound * (2.0 ** -8)
+        else:
+            dist_packed = pack_corner_volume(dist_vol)
         pnorm = pts_sample_blend_weights_packed(
             pose_pts, dist_packed, frame["pbounds"], n_channels=1
         )[..., 0]
-        pind = keep_mask_with_argmin(pnorm, self.norm_th)
+        pind = keep_mask_with_argmin(pnorm, th)
         sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n, overflow = (
             compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
         )
         return (sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n,
                 overflow, pind)
+
+    def _eval_compacted_hier(self, wpts, viewdir, z_vals, frame,
+                             novel_pose, precomposite):
+        """Hierarchical eval render: conservative segment pre-filter ->
+        exact per-point filter on the candidates -> pass-2 pipeline.
+
+        The flat compacted path interpolates the distance channel at all
+        R*S points and sorts R*S keys — at whole-frame scale (16.8M
+        points) those two ARE the render cost (measured ~60 + ~33 ms of
+        a 206 ms frame, v5e). Here each ray's samples are grouped into
+        `seg_filter`-sample segments tested once at their midpoint with
+        a certified Lipschitz margin (common.py segment_prefilter):
+        pass 1 shrinks seg_filter-fold and the exact filter + both
+        compactions run only on the ~2x-of-exact candidate stream. The
+        dense wpts tensor is never materialized (only wpts[:, 0] is
+        read to recover ray origins; XLA DCEs the rest).
+
+        Numerics: the candidate set provably contains every point with
+        pnorm < norm_th, and the exact filter re-runs on candidates, so
+        the survivor set — and the render — equals the flat/dense paths'
+        (empty-frame forced-argmin caveat: see segment_prefilter).
+        """
+        from .common import segment_prefilter, take_rows, volume_lipschitz_bound
+
+        n_rays, n_samples = z_vals.shape
+        seg = self.seg_filter
+        n_pts = n_rays * n_samples
+        n_segments = n_pts // seg
+        cap = eval_capacity(n_pts, self.eval_keep_frac)
+        seg_cap = eval_capacity(
+            n_pts, min(1.0, _SEG_CAPACITY_FACTOR * self.eval_keep_frac)
+        ) // seg
+
+        # ray origins from the first sample; the rest of wpts is dead
+        ray_o = wpts[:, 0, :] - viewdir * z_vals[:, 0:1]
+
+        dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
+        lip = volume_lipschitz_bound(frame["pbw"][..., 24], frame["pbounds"])
+
+        def mid_dist(p):
+            pp = world_points_to_pose_points(p, frame["R"], frame["Th"])
+            return pts_sample_blend_weights_packed(
+                pp, dist_packed, frame["pbounds"], n_channels=1
+            )[..., 0]
+
+        seg_sidx, seg_valid, seg_count = segment_prefilter(
+            ray_o, viewdir, z_vals, mid_dist, self.norm_th, lip,
+            seg, seg_cap,
+        )
+
+        # expand surviving segments to candidate points; all gathers run
+        # at segment granularity (seg_cap rows), not point granularity
+        dists_rows = z_vals_to_dists(z_vals).reshape(n_segments, seg)
+        c_z_seg = take_rows(z_vals.reshape(n_segments, seg), seg_sidx)
+        c_dists_seg = take_rows(dists_rows, seg_sidx)
+        ray_id = seg_sidx // (n_samples // seg)
+        c_o = take_rows(ray_o, ray_id)
+        c_d = take_rows(viewdir, ray_id)
+        cand_w = c_o[:, None, :] + c_d[:, None, :] * c_z_seg[..., None]
+        cand_pose = world_points_to_pose_points(
+            cand_w.reshape(-1, 3), frame["R"], frame["Th"]
+        )
+        cand_valid = jnp.repeat(seg_valid, seg)
+        cand_pidx = jnp.minimum(
+            (seg_sidx[:, None] * seg
+             + jnp.arange(seg, dtype=seg_sidx.dtype)).reshape(-1),
+            n_pts,
+        )
+
+        # exact per-point filter on the candidates (pass 1b)
+        pnorm = pts_sample_blend_weights_packed(
+            cand_pose, dist_packed, frame["pbounds"], n_channels=1
+        )[..., 0]
+        pnorm = jnp.where(cand_valid, pnorm, jnp.inf)
+        keep_cand = keep_mask_with_argmin(pnorm, self.norm_th)
+        exact_count = jnp.sum((pnorm < self.norm_th).astype(jnp.int32))
+
+        # final point compaction (candidate stream -> capacity); the
+        # candidate stream is ascending in original point index, so the
+        # stable compaction keeps sidx sorted as composite requires
+        cand_vd = jnp.repeat(c_d, seg, axis=0)
+        sidx_c, slot_valid, (c_pose, c_vd, c_dists, c_z), _, overflow = (
+            compact_payload(
+                keep_cand,
+                [cand_pose, cand_vd, c_dists_seg.reshape(-1),
+                 c_z_seg.reshape(-1)],
+                cap,
+            )
+        )
+        sidx = take_rows(
+            jnp.concatenate(
+                [cand_pidx, jnp.array([n_pts], cand_pidx.dtype)]
+            ),
+            jnp.minimum(sidx_c, cand_pidx.shape[0]),
+        )
+        overflow = overflow | jnp.full((1,), seg_count > seg_cap)
+        count = jnp.reshape(
+            jnp.maximum(
+                exact_count,
+                (seg_count * seg + _SEG_CAPACITY_FACTOR - 1)
+                // _SEG_CAPACITY_FACTOR,
+            ),
+            (1,),
+        )
+        return self._eval_finish(
+            sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n_pts,
+            overflow, count, frame, novel_pose, n_rays, n_samples,
+            precomposite, ray_counts=None,
+        )
 
     def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
                         novel_pose, n_rays, n_samples, precomposite):
@@ -203,10 +358,21 @@ class AniNeRF(nn.Module):
         """
         sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n, overflow, pind = (
             self._compact_inputs(
-                pose_pts, vd, dists, z_flat, frame, self.eval_keep_frac
+                pose_pts, vd, dists, z_flat, frame, self.eval_keep_frac,
+                conservative=True,
             )
         )
+        return self._eval_finish(
+            sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n, overflow,
+            survivor_count(pind), frame, novel_pose, n_rays, n_samples,
+            precomposite,
+            ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
+        )
 
+    def _eval_finish(self, sidx, slot_valid, c_pose, c_vd, c_dists, c_z,
+                     n, overflow, count, frame, novel_pose, n_rays,
+                     n_samples, precomposite, ray_counts=None):
+        """Shared pass 2: full pipeline on the compacted survivor list."""
         pbw_packed = pack_corner_volume(frame["pbw"])
         c_init_pbw = pts_sample_blend_weights_packed(
             c_pose, pbw_packed, frame["pbounds"],
@@ -219,6 +385,13 @@ class AniNeRF(nn.Module):
             tpose, c_vd, frame["latent_index"]
         )
         sigma = jnp.where(inside_bounds(tpose, frame["tbounds"]), sigma, 0.0)
+        # exact f32 re-check of the shell filter (pass 1 may be a
+        # conservative superset: bf16 rows or the segment pre-filter);
+        # the distance channel comes with the 25-ch gather already paid
+        # for. Idempotent when pass 1 was exact.
+        c_pnorm = jnp.where(slot_valid, c_init_pbw[..., 24], jnp.inf)
+        exact_keep = keep_mask_with_argmin(c_pnorm, self.norm_th)
+        sigma = jnp.where(exact_keep, sigma, 0.0)
         alpha = raw_alpha_from_sigma(sigma, c_dists)
         rgb = jax.nn.sigmoid(rgb_logits)
         if precomposite:
@@ -226,12 +399,12 @@ class AniNeRF(nn.Module):
 
             rgb_map, acc_map, depth_map = composite_compacted(
                 sidx, slot_valid, rgb, alpha, c_z, n_rays, n_samples,
-                ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
+                ray_counts=ray_counts,
             )
             return {
                 "rgb_map": rgb_map, "acc_map": acc_map,
                 "depth_map": depth_map, "compact_overflow": overflow,
-                "compact_count": survivor_count(pind),
+                "compact_count": count,
             }
         raw_c = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
         return {
@@ -239,7 +412,7 @@ class AniNeRF(nn.Module):
                 raw_c, slot_valid, sidx, n, n_rays, n_samples
             ),
             "compact_overflow": overflow,
-            "compact_count": survivor_count(pind),
+            "compact_count": count,
         }
 
     def _train_compacted(self, pose_pts, vd, dists, z_flat, frame,
@@ -312,6 +485,14 @@ class AniNeRF(nn.Module):
         filtered points produce raw == 0 exactly.
         """
         n_rays, n_samples = z_vals.shape
+        if (
+            not train and self.eval_keep_frac > 0 and self.seg_filter > 1
+            and n_samples % self.seg_filter == 0
+        ):
+            # hierarchical path never materializes the dense point set
+            return self._eval_compacted_hier(
+                wpts, viewdir, z_vals, frame, novel_pose, precomposite
+            )
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)
         dists = z_vals_to_dists(z_vals).reshape(-1)

@@ -52,6 +52,82 @@ def survivor_count(pind):
     return jnp.reshape(jnp.sum(pind.astype(jnp.int32)), (1,))
 
 
+def volume_lipschitz_bound(vol, bounds):
+    """Certified Lipschitz bound of a trilinearly-interpolated volume.
+
+    vol (D, H, W) scalar samples on a uniform grid over `bounds` (2, 3).
+    The interpolant's per-axis derivative is bounded by the max adjacent
+    -sample difference over the cell size, so for per-axis bounds L_i,
+    |f(x) - f(y)| <= sum_i L_i |dx_i| <= ||L||_2 ||dx||_2.
+    For a true distance field every L_i ~ 1 and the bound ~ sqrt(3).
+    Used to make the segment pre-filter provably conservative without
+    trusting the data to be a metric distance.
+    """
+    sizes = jnp.array(vol.shape, dtype=vol.dtype)
+    cell = (bounds[1] - bounds[0]) / jnp.maximum(sizes - 1.0, 1.0)
+    lx = jnp.max(jnp.abs(jnp.diff(vol, axis=0))) / cell[0]
+    ly = jnp.max(jnp.abs(jnp.diff(vol, axis=1))) / cell[1]
+    lz = jnp.max(jnp.abs(jnp.diff(vol, axis=2))) / cell[2]
+    return jnp.sqrt(lx * lx + ly * ly + lz * lz)
+
+
+def segment_prefilter(ray_o, ray_d, z_vals, mid_dist_fn, threshold,
+                      lip_bound, seg: int, seg_capacity: int):
+    """Conservative segment-level pre-filter for the compacted eval path.
+
+    Splits each ray's S samples into S/seg consecutive segments and
+    tests each segment ONCE at its midpoint: the segment can contain an
+    exact survivor only if
+
+        mid_dist < threshold + lip_bound * half_extent
+
+    where half_extent is the world distance from the midpoint to the
+    segment's farthest sample and `lip_bound` a Lipschitz bound of the
+    distance field (exactly 1 for point-cloud/KNN distance since
+    d(., V) is 1-Lipschitz; `volume_lipschitz_bound` for grid fields;
+    rigid world->pose warps preserve it). The surviving segments are a
+    SUPERSET of the segments containing exact survivors, so callers
+    re-apply the exact per-point filter on the expanded candidates and
+    the final survivor set equals the dense path's.
+
+    Deviation from keep_mask_with_argmin (documented): in a frame where
+    NO point passes the threshold, the reference still evaluates the
+    single argmin point; here the forced segment is the one with the
+    lowest possible bound, whose pass-2 argmin may be a different —
+    equally out-of-shell — point. At most one sample of an empty frame
+    differs.
+
+    Returns (seg_sidx (seg_capacity,) int32 surviving segment indices,
+    ascending with sentinel n_segments on dead slots; seg_valid bool;
+    seg_count () true surviving-segment count pre-truncation).
+    """
+    n_rays, S = z_vals.shape
+    per_ray = S // seg
+    n_segments = n_rays * per_ray
+    zs = z_vals.reshape(n_rays, per_ray, seg)
+    z_mid = 0.5 * (zs[..., 0] + zs[..., -1])
+    half = 0.5 * (zs[..., -1] - zs[..., 0])
+    # z units are world units only for unit ray dirs; scale by |d|
+    half = half * jnp.linalg.norm(ray_d, axis=-1)[:, None]
+    mid = ray_o[:, None, :] + ray_d[:, None, :] * z_mid[..., None]
+    d_mid = mid_dist_fn(mid.reshape(-1, 3))
+    bound = d_mid - lip_bound * half.reshape(-1)  # lowest possible dist
+    keep = keep_mask_with_argmin(bound, threshold)
+    idx, n_kept = compact_indices(keep, seg_capacity)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (seg_capacity, 1), 0)[:, 0]
+    seg_valid = slot < n_kept
+    seg_sidx = jnp.where(seg_valid, idx, n_segments)
+    seg_count = jnp.sum(keep.astype(jnp.int32))
+    return seg_sidx, seg_valid, seg_count
+
+
+def take_rows(arr, idx):
+    """Sorted gather with out-of-bounds sentinel rows filled with 0."""
+    return arr.at[idx].get(
+        mode="fill", fill_value=0, indices_are_sorted=True
+    )
+
+
 def compact_indices(keep, capacity: int):
     """Stable fixed-capacity compaction of a boolean mask.
 

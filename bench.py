@@ -51,11 +51,15 @@ def main():
     import __graft_entry__ as ge
 
     rng = np.random.RandomState(0)
-    frame = {
+    frame_np = ge._synthetic_frame(rng, grid_shape=(64, 64, 24))
+    frame = {k: jnp.asarray(v) for k, v in frame_np.items()}
+    # eval-protocol rays: aimed at the body box, near/far from the
+    # ray-AABB slab test (the reference renders exactly the mask_at_box
+    # rays with slab near/far)
+    rays = {
         k: jnp.asarray(v)
-        for k, v in ge._synthetic_frame(rng, grid_shape=(64, 64, 24)).items()
+        for k, v in ge._rays(rng, N_RAYS, bounds=frame_np["pbounds"]).items()
     }
-    rays = {k: jnp.asarray(v) for k, v in ge._rays(rng, N_RAYS).items()}
 
     model = AniNeRF(num_train_frames=60)
     # eval hot path: bf16 MLP trunks (params stay f32; geometry,
@@ -73,7 +77,7 @@ def main():
 
     # Adaptive survivor capacity (mirrors Engine.render_item's ladder):
     # probe the true survivor count at the config capacity, then run the
-    # timed renders at the smallest capacity that holds it with 25%
+    # timed renders at the smallest capacity that holds it with 15%
     # headroom — dead capacity slots pay full MLP/compaction cost.
     from animatable_nerf_tpu.models.common import eval_capacity
 
@@ -83,7 +87,7 @@ def main():
         )["compact_count"]
     )
     count = int(np.asarray(probe(params, rays))[0])
-    need = int(count * 1.25) + 1
+    need = int(count * 1.15) + 1
     keep_frac = model.eval_keep_frac
     for frac in (keep_frac / 8, keep_frac / 4, keep_frac / 2):
         if eval_capacity(N_RAYS * N_SAMPLES, frac) >= need:

@@ -308,3 +308,72 @@ def test_aligned_eval_compaction_matches_full_path(cls, data):
         np.asarray(out_comp["raw"]), np.asarray(out_full["raw"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_eval_hier_segment_prefilter_matches_full_path(data, rng):
+    """The hierarchical segment pre-filter (seg_filter opt-in) must
+    equal the masked full path: the certified Lipschitz margin makes
+    the candidate set a superset of the exact survivors and pass 2
+    re-applies the exact filter. Exercised both on the noise volume
+    (Lipschitz bound huge -> keeps everything -> trivially exact) and
+    on a true distance field (selective pre-filter). wpts must satisfy
+    the renderer's invariant wpts = ray_o + viewdir * z (the hier path
+    recomputes candidate points from the rays instead of materializing
+    the dense point set)."""
+    frame, (_, vd, z) = data
+    ray_o = jnp.asarray(rng.randn(vd.shape[0], 3).astype(np.float32) * 0.1)
+    wpts = ray_o[:, None, :] + vd[:, None, :] * z[..., None]
+    # realistic distance channel: true distance to the vertex cloud
+    verts = np.asarray(frame["pvertices"])
+    b = np.asarray(frame["pbounds"])
+    axes = [np.linspace(b[0][i], b[1][i], 16) for i in range(3)]
+    g = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    d = np.sqrt(
+        ((g[:, None, :] - verts[None]) ** 2).sum(-1).min(-1)
+    ).reshape(16, 16, 16)
+    pbw = np.concatenate(
+        [rng.rand(16, 16, 16, 24).astype(np.float32), d[..., None]], -1
+    ).astype(np.float32)
+    frame = dict(frame)
+    frame["pbw"] = jnp.asarray(pbw)
+
+    m_full = models.AniNeRF(num_train_frames=3, eval_keep_frac=0.0,
+                            norm_th=0.2)
+    m_hier = models.AniNeRF(num_train_frames=3, eval_keep_frac=0.5,
+                            norm_th=0.2, seg_filter=4)
+    params = m_full.init(
+        jax.random.PRNGKey(0), wpts, vd, z, frame, train=False
+    )
+    out_full = jax.jit(
+        lambda p: m_full.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    out_hier = jax.jit(
+        lambda p: m_hier.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    assert not bool(np.asarray(out_hier["compact_overflow"]).any())
+    np.testing.assert_allclose(
+        np.asarray(out_hier["raw"]), np.asarray(out_full["raw"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_volume_lipschitz_bound_certifies_distance_field(rng):
+    """A true distance field certifies at ~<=sqrt(3); the bound is an
+    upper bound on the interpolant's Lipschitz constant."""
+    from animatable_nerf_tpu.models.common import volume_lipschitz_bound
+
+    verts = rng.randn(64, 3).astype(np.float32) * 0.3
+    b = np.stack([verts.min(0) - 0.1, verts.max(0) + 0.1])
+    axes = [np.linspace(b[0][i], b[1][i], 12) for i in range(3)]
+    g = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    d = np.sqrt(((g[:, None, :] - verts[None]) ** 2).sum(-1).min(-1))
+    lip = float(volume_lipschitz_bound(
+        jnp.asarray(d.reshape(12, 12, 12)), jnp.asarray(b)
+    ))
+    assert lip <= np.sqrt(3.0) + 1e-3
+    # noise certifies much higher — the margin self-protects
+    lip_noise = float(volume_lipschitz_bound(
+        jnp.asarray(rng.rand(12, 12, 12).astype(np.float32)),
+        jnp.asarray(b),
+    ))
+    assert lip_noise > lip
