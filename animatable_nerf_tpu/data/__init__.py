@@ -6,6 +6,6 @@ stability, and per-host sharding for multi-process training."""
 from .dataset import TPoseDataset, TPosePDFDataset
 from .novel_view import NovelViewDataset, PoseSequenceDataset
 from .mesh_dataset import MeshDataset
-from .loader import Loader, FrameSampler
+from .loader import Loader, FrameSampler, ImageSizeBatchSampler
 from .synthetic import generate_synthetic_dataset
 from .utils import pad_volume_to, sample_rays_image

@@ -37,6 +37,56 @@ class FrameSampler:
         return len(self.inds)
 
 
+class ImageSizeBatchSampler:
+    """Batches of (index, h, w) with a shared random crop size per batch
+    (samplers.py:10-47). The reference keeps this from its ancestor
+    codebase but no shipped config selects it (`train.batch_sampler` is
+    'default' everywhere, config.py:70) and the shipped datasets index
+    by plain int — ported for parity/completeness.
+
+    strategy 'origin' yields (-1, -1) sizes (use the native image size);
+    'range' draws h/w uniformly from [min_hw, max_hw] and rounds UP to
+    the next multiple of 32 via the reference's bit trick
+    ((x | 31) + 1)."""
+
+    def __init__(self, sampler, batch_size: int, drop_last: bool,
+                 min_hw=(256, 256), max_hw=(480, 640),
+                 strategy: str = "range", seed=None):
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.strategy = strategy
+        self.hmin, self.wmin = min_hw
+        self.hmax, self.wmax = max_hw
+        self.divisor = 32
+        self._rng = np.random.RandomState(seed)
+
+    def _hw(self):
+        if self.strategy == "origin":
+            return -1, -1
+        h = self._rng.randint(self.hmin, self.hmax + 1)
+        w = self._rng.randint(self.wmin, self.wmax + 1)
+        return (h | (self.divisor - 1)) + 1, (w | (self.divisor - 1)) + 1
+
+    def __iter__(self):
+        batch = []
+        h, w = self._hw()
+        for idx in self.sampler:
+            batch.append((idx, h, w))
+            if len(batch) == self.batch_size:
+                yield batch
+                h, w = self._hw()
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __len__(self):
+        n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+
 class Loader:
     """Iterates a dataset with shuffling, iteration-based epochs and
     per-host sharding; prefetches `prefetch` items ahead on threads."""

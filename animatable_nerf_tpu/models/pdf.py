@@ -107,26 +107,59 @@ class _PDFBase(nn.Module):
         return keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
 
     def _compact_inputs(self, pose_pts, vd, dists, z_flat, frame,
-                        keep_frac):
+                        keep_frac, conservative: bool = False):
         """One KNN pass over all points -> filter -> fixed-capacity
         survivor compaction. Returns (sidx, slot_valid, compacted
-        pose_pts / WORLD viewdirs / dists / z / pbw, n) where sidx
-        routes dead slots to the sorted sentinel row n."""
-        from ..ops.knn_pallas import sample_blend_closest_points_fused
+        pose_pts / WORLD viewdirs / dists / z / pbw, n, overflow, pind,
+        c_keep) where sidx routes dead slots to the sorted sentinel
+        row n.
+
+        `conservative` (eval path): pass 1 runs the min-distance-only
+        Pallas kernel — the k-selection loop and one-hot value matmuls
+        of the full KNN are ~2/3 of its time, and min distance is a
+        lower bound of the IDW-weighted filter distance, so
+        {weighted < th} is a subset of {min < th}. The full KNN then
+        runs only on the compacted survivors and `c_keep` carries the
+        EXACT weighted-distance filter for the callers to re-apply
+        (None on the exact dense pass). All KNN outputs are data-only
+        (no param dependence), so the training grad never crosses them.
+        """
+        from ..ops.knn_pallas import (
+            sample_blend_closest_points_fused, nearest_distance_fused,
+        )
 
         cap = eval_capacity(pose_pts.shape[0], keep_frac)
-        # the fused Pallas KNN — the XLA twin would materialize the
-        # (N, 6890) distance matrix. pbw/pnorm are data-only (no param
-        # dependence), so the training grad never differentiates it.
-        pbw_all, pnorm = jax.lax.stop_gradient(
-            sample_blend_closest_points_fused(
-                pose_pts, frame["pvertices"], frame["weights"]
+        c_keep = None
+        if conservative:
+            min_d = jax.lax.stop_gradient(
+                nearest_distance_fused(pose_pts, frame["pvertices"])
             )
-        )
-        pind = keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
-        sidx, slot_valid, (c_pose, c_vd, c_dists, c_z, c_pbw), n, ovf = (
-            compact_payload(pind, [pose_pts, vd, dists, z_flat, pbw_all], cap)
-        )
+            pind = keep_mask_with_argmin(min_d, NORM_TH)
+            sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n, ovf = (
+                compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
+            )
+            c_pbw, c_pnorm = jax.lax.stop_gradient(
+                sample_blend_closest_points_fused(
+                    c_pose, frame["pvertices"], frame["weights"]
+                )
+            )
+            c_keep = keep_mask_with_argmin(
+                jnp.where(slot_valid, c_pnorm[..., 0], jnp.inf), NORM_TH
+            )
+        else:
+            # the fused Pallas KNN — the XLA twin would materialize the
+            # (N, 6890) distance matrix
+            pbw_all, pnorm = jax.lax.stop_gradient(
+                sample_blend_closest_points_fused(
+                    pose_pts, frame["pvertices"], frame["weights"]
+                )
+            )
+            pind = keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
+            sidx, slot_valid, (c_pose, c_vd, c_dists, c_z, c_pbw), n, ovf = (
+                compact_payload(
+                    pind, [pose_pts, vd, dists, z_flat, pbw_all], cap
+                )
+            )
         # dead slots gathered the zero fill — all-zero blend weights make
         # the blended LBS matrix singular (NaN), and in training the NaN
         # poisons the backward pass through 0-cotangent products. Park
@@ -136,7 +169,8 @@ class _PDFBase(nn.Module):
             slot_valid[:, None], c_pbw,
             jax.nn.one_hot(0, c_pbw.shape[-1], dtype=c_pbw.dtype),
         )
-        return sidx, slot_valid, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf, pind
+        return (sidx, slot_valid, c_pose, c_vd, c_dists, c_z, c_pbw, n,
+                ovf, pind, c_keep)
 
     def _compact_finish(self, rgb_alpha, sidx, slot_valid, c_z, n,
                         n_rays, n_samples, precomposite, overflow,
@@ -212,11 +246,10 @@ class NeRFPDF(_PDFBase):
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
 
         if not train and self.eval_keep_frac > 0:
-            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf, pind = (
-                self._compact_inputs(
-                    pose_pts, vd, dists, z_vals.reshape(-1), frame,
-                    self.eval_keep_frac,
-                )
+            (sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf,
+             pind, c_keep) = self._compact_inputs(
+                pose_pts, vd, dists, z_vals.reshape(-1), frame,
+                self.eval_keep_frac, conservative=True,
             )
             c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
             tpose, tdirs, _, _ = self._warp(
@@ -225,14 +258,16 @@ class NeRFPDF(_PDFBase):
             dirs = tdirs if self.tpose_viewdir else c_vd
             raw_c = self._eval_head(tpose, dirs, c_dists, frame)
             inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
-            raw_c = jnp.where(inside[:, None], raw_c, 0.0)
+            # exact weighted-distance filter on the compacted stream
+            # (pass 1 was the conservative min-distance superset)
+            raw_c = jnp.where((inside & c_keep)[:, None], raw_c, 0.0)
             return self._compact_finish(
                 raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
                 ovf, ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
                 pind=pind,
             )
         if train and self.train_keep_frac > 0:
-            sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _ = (
+            sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _, _ = (
                 self._compact_inputs(
                     pose_pts, vd, dists, z_vals.reshape(-1), frame,
                     self.train_keep_frac,
@@ -364,7 +399,7 @@ class SDFPDF(_PDFBase):
         scatters back with the reference's +10 masked fill
         (anisdf_pdf_network.py:218-219); the point-wise eikonal/resd
         regularizers stay on the compacted stream (masked means)."""
-        sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _ = (
+        sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _, _ = (
             self._compact_inputs(
                 pose_pts, vd, dists, z_vals.reshape(-1), frame,
                 self.train_keep_frac,
@@ -423,11 +458,10 @@ class SDFPDF(_PDFBase):
         if not train and self.eval_keep_frac > 0:
             # survivor-compacted eval: the SDF autograd normals and all
             # MLPs run only on the in-shell points
-            sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf, pind = (
-                self._compact_inputs(
-                    pose_pts, vd, dists, z_vals.reshape(-1), frame,
-                    self.eval_keep_frac,
-                )
+            (sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf,
+             pind, c_keep) = self._compact_inputs(
+                pose_pts, vd, dists, z_vals.reshape(-1), frame,
+                self.eval_keep_frac, conservative=True,
             )
             c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
             tpose, tdirs, _, _ = self._warp(
@@ -436,7 +470,9 @@ class SDFPDF(_PDFBase):
             dirs = tdirs if self.tpose_viewdir else c_vd
             raw_c = self._eval_head(tpose, dirs, c_dists, frame)
             inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
-            raw_c = jnp.where(inside[:, None], raw_c, 0.0)
+            # exact weighted-distance filter on the compacted stream
+            # (pass 1 was the conservative min-distance superset)
+            raw_c = jnp.where((inside & c_keep)[:, None], raw_c, 0.0)
             return self._compact_finish(
                 raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
                 ovf, ray_counts=pind.reshape(n_rays, n_samples).sum(-1),

@@ -136,6 +136,72 @@ def knn_blend_pallas(src, ref, values, k: int = 5, eps: float = 1e-8,
     return sampled[:N], wdist[:N]
 
 
+def _min_dist_kernel(src_ref, ref_ref, out_ref):
+    """One query tile: nearest-vertex distance only — no top-k loop, no
+    one-hot value matmuls. The k-iteration selection and the (T, M) x
+    (M, C) gathers are ~2/3 of the full kernel's time; the eval filter
+    only needs a LOWER BOUND on the IDW-weighted distance, and the
+    plain min distance is one (weighted mean of the 5 nearest >= min)."""
+    src = src_ref[:]
+    refT = ref_ref[:]
+    dx = src[:, 0:1] - refT[0:1, :]
+    dy = src[:, 1:2] - refT[1:2, :]
+    dz = src[:, 2:3] - refT[2:3, :]
+    d2 = dx * dx + dy * dy + dz * dz
+    out_ref[:] = jnp.sqrt(jnp.min(d2, axis=1, keepdims=True))
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def min_dist_pallas(src, ref, tile: int = 256, interpret: bool = False):
+    """(N, 3) queries, (M, 3) vertices -> (N,) nearest distances."""
+    N, _ = src.shape
+    M, _ = ref.shape
+    Np = _round_up(max(N, tile), tile)
+    Mp = _round_up(M, 128)
+    src_p = jnp.zeros((Np, 3), jnp.float32).at[:N].set(src.astype(jnp.float32))
+    ref_p = jnp.full((Mp, 3), _FAR_COORD, jnp.float32).at[:M].set(
+        ref.astype(jnp.float32)
+    )
+    out = pl.pallas_call(
+        _min_dist_kernel,
+        grid=(Np // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Mp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * Np * Mp,
+            bytes_accessed=4 * (Np * 3 + Mp * 3 + Np),
+            transcendentals=Np,
+        ),
+        interpret=interpret,
+    )(src_p, ref_p.T)
+    return out[:N, 0]
+
+
+def nearest_distance_fused(src, ref, chunk: int = 4096):
+    """Nearest-vertex distance: Pallas kernel on TPU, chunked XLA twin
+    elsewhere (bounds the (chunk, M) matrix instead of (N, M); small
+    inputs pad to one chunk, so keep it modest)."""
+    if jax.default_backend() == "tpu":
+        return min_dist_pallas(src, ref)
+    N = src.shape[0]
+    Np = _round_up(max(N, chunk), chunk)
+    src_p = jnp.zeros((Np, 3), src.dtype).at[:N].set(src)
+
+    def chunk_min(s):
+        d2 = jnp.sum((s[:, None, :] - ref[None]) ** 2, axis=-1)
+        return jnp.sqrt(jnp.min(d2, axis=-1))
+
+    out = jax.lax.map(chunk_min, src_p.reshape(-1, chunk, 3))
+    return out.reshape(-1)[:N]
+
+
 def sample_blend_closest_points_fused(src, ref, values, k: int = 5,
                                       eps: float = 1e-8):
     """Dispatch: Pallas kernel on TPU, XLA twin elsewhere.

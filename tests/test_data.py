@@ -268,3 +268,28 @@ def test_engine_capacity_ladder_and_interleave(droot):
     np.testing.assert_allclose(
         out2["rgb_map"], out["rgb_map"], rtol=1e-5, atol=2e-5
     )
+
+
+def test_image_size_batch_sampler():
+    """Ported-for-parity ImageSizeBatchSampler (samplers.py:10-47):
+    per-batch shared (h, w), divisor-32 round-up, origin strategy."""
+    from animatable_nerf_tpu.data.loader import ImageSizeBatchSampler
+
+    s = ImageSizeBatchSampler(range(7), batch_size=3, drop_last=False,
+                              min_hw=(100, 100), max_hw=(200, 300), seed=0)
+    batches = list(s)
+    assert len(batches) == len(s) == 3
+    assert [len(b) for b in batches] == [3, 3, 1]
+    for b in batches:
+        hws = {(h, w) for _, h, w in b}
+        assert len(hws) == 1          # shared size within a batch
+        (h, w), = hws
+        assert h % 32 == 0 and w % 32 == 0
+        assert 100 <= h <= 224 and 100 <= w <= 320
+    assert [i for b in batches for i, _, _ in b] == list(range(7))
+
+    s2 = ImageSizeBatchSampler(range(7), batch_size=3, drop_last=True,
+                               strategy="origin")
+    batches2 = list(s2)
+    assert len(batches2) == len(s2) == 2
+    assert all(h == -1 and w == -1 for b in batches2 for _, h, w in b)

@@ -215,3 +215,30 @@ class TestRasterize:
 
         g = jax.grad(loss)(feats)
         assert float(g[0, 0]) == pytest.approx(6.0)
+
+
+def test_min_dist_pallas_interpret_matches_xla():
+    """min_dist_pallas (the eval filter's min-distance-only kernel) vs
+    the chunked XLA twin and a brute-force oracle, interpret mode."""
+    from animatable_nerf_tpu.ops.knn_pallas import (
+        min_dist_pallas, nearest_distance_fused,
+    )
+
+    rng = np.random.RandomState(7)
+    src = jnp.asarray(rng.randn(300, 3).astype(np.float32))
+    ref = jnp.asarray(rng.randn(97, 3).astype(np.float32))
+    oracle = np.sqrt(
+        ((np.asarray(src)[:, None] - np.asarray(ref)[None]) ** 2)
+        .sum(-1).min(-1)
+    )
+    out = np.asarray(min_dist_pallas(src, ref, interpret=True))
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-6)
+    out2 = np.asarray(nearest_distance_fused(src, ref, chunk=128))
+    np.testing.assert_allclose(out2, oracle, rtol=1e-5, atol=1e-6)
+    # the min distance lower-bounds the IDW-weighted KNN distance (the
+    # conservative-filter invariant, models/pdf.py _compact_inputs)
+    from animatable_nerf_tpu.core.knn import sample_blend_closest_points
+
+    vals = jnp.asarray(rng.rand(97, 24).astype(np.float32))
+    _, wd = sample_blend_closest_points(src, ref, vals)
+    assert np.all(out <= np.asarray(wd)[:, 0] + 1e-6)
