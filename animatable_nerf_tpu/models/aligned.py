@@ -167,22 +167,35 @@ class _AlignedBase(nn.Module):
         )
 
     def _compact_inputs(self, pose_pts, vd, dists, z_flat, frame,
-                        keep_frac):
+                        keep_frac, conservative: bool = False):
         """Pass 1 shared by the eval AND train compacted paths: fused
         Pallas KNN distance filter (no (N, 6890) distance-matrix
         materialization; data-only, so stop_gradient is a no-op the
-        training grad never crosses) + fixed-capacity compaction."""
+        training grad never crosses) + fixed-capacity compaction.
+
+        `conservative` (eval): the min-distance-only kernel replaces the
+        full KNN in pass 1 (min distance lower-bounds the IDW-weighted
+        filter distance; see models/pdf.py _compact_inputs) — the eval
+        path already runs the full KNN on the compacted set for the
+        blend-weight prior and re-applies the exact filter there."""
         from .common import compact_payload, eval_capacity
-        from ..ops.knn_pallas import sample_blend_closest_points_fused
+        from ..ops.knn_pallas import (
+            sample_blend_closest_points_fused, nearest_distance_fused,
+        )
 
         cap = eval_capacity(pose_pts.shape[0], keep_frac)
         th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
-        _, pnorm = jax.lax.stop_gradient(
-            sample_blend_closest_points_fused(
-                pose_pts, frame["pvertices"], frame["weights"]
+        if conservative:
+            pn = jax.lax.stop_gradient(
+                nearest_distance_fused(pose_pts, frame["pvertices"])
             )
-        )
-        pind = keep_mask_with_argmin(pnorm[..., 0], th)
+        else:
+            pn = jax.lax.stop_gradient(
+                sample_blend_closest_points_fused(
+                    pose_pts, frame["pvertices"], frame["weights"]
+                )[1]
+            )[..., 0]
+        pind = keep_mask_with_argmin(pn, th)
         sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n, overflow = (
             compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
         )
@@ -190,14 +203,14 @@ class _AlignedBase(nn.Module):
                 overflow, pind)
 
     def _compact_knn_prior(self, c_pose, frame):
-        """KNN blend-weight prior on the small compacted set (fused
-        kernel; data-only)."""
+        """KNN blend-weight prior + weighted distance on the small
+        compacted set (fused kernel; data-only)."""
         from ..ops.knn_pallas import sample_blend_closest_points_fused
 
         return jax.lax.stop_gradient(
             sample_blend_closest_points_fused(
                 c_pose, frame["pvertices"], frame["weights"]
-            )[0]
+            )
         )
 
     def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
@@ -207,11 +220,12 @@ class _AlignedBase(nn.Module):
 
         sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n, overflow, pind = (
             self._compact_inputs(
-                pose_pts, vd, dists, z_flat, frame, self.eval_keep_frac
+                pose_pts, vd, dists, z_flat, frame, self.eval_keep_frac,
+                conservative=True,
             )
         )
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
-        c_init_pbw = self._compact_knn_prior(c_pose, frame)
+        c_init_pbw, c_pnorm = self._compact_knn_prior(c_pose, frame)
         tpose, tdirs, _ = self._deform(
             c_pose, c_pose_dirs, frame, novel_pose=novel_pose,
             init_pbw=c_init_pbw,
@@ -219,7 +233,13 @@ class _AlignedBase(nn.Module):
         dirs = tdirs if self.tpose_viewdir else c_vd
         raw_c = self._head(tpose, dirs, c_dists, frame)
         inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
-        raw_c = jnp.where(inside[:, None], raw_c, 0.0)
+        # exact weighted-distance filter on the stream (pass 1 was the
+        # conservative min-distance superset)
+        th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
+        c_keep = keep_mask_with_argmin(
+            jnp.where(slot_valid, c_pnorm[..., 0], jnp.inf), th
+        )
+        raw_c = jnp.where((inside & c_keep)[:, None], raw_c, 0.0)
         if precomposite:
             from ..core.composite import composite_compacted
 
@@ -258,7 +278,7 @@ class _AlignedBase(nn.Module):
             )
         )
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
-        c_init_pbw = self._compact_knn_prior(c_pose, frame)
+        c_init_pbw = self._compact_knn_prior(c_pose, frame)[0]
         tpose, tdirs, extras = self._deform(
             c_pose, c_pose_dirs, frame, novel_pose=novel_pose,
             init_pbw=c_init_pbw,

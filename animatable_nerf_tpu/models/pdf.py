@@ -540,15 +540,73 @@ class NeuSPDF(SDFPDF):
             use_viewdir=self.color_with_viewdir,
         )
 
+    def _eval_compacted_neus(self, pose_pts, vd, z_flat, frame, n_rays,
+                             n_samples):
+        """Eval compaction for the NeuS variant.
+
+        NeuS opacity needs the ray-ordered DENSE sdf grid (the reference
+        computes it with masked points filled to +10 and scatters
+        through batch['pind'], sdf_utils.py:40-61 +
+        anisdf_neus_pdf_network.py:231-261) — so the alpha conversion
+        itself cannot run on the compacted stream. But the expensive
+        per-point work CAN: the SDF MLP, its autograd normals and the
+        color net run only on the compacted survivors, and the scalar
+        sdf / rgb scatter back densely (+10 / 0 fills) for the cheap
+        elementwise per-ray CDF-residual alpha."""
+        (sidx, sv, c_pose, c_vd, _, _, c_pbw, n, ovf, pind, c_keep) = (
+            self._compact_inputs(
+                pose_pts, vd, jnp.zeros_like(z_flat), z_flat, frame,
+                self.eval_keep_frac, conservative=True,
+            )
+        )
+        c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
+        tpose, tdirs, _, _ = self._warp(c_pose, c_pose_dirs, frame, pbw=c_pbw)
+        dirs = tdirs if self.tpose_viewdir else c_vd
+
+        sdf, feat, gradients = self._sdf_and_grad(tpose)
+        rgb = self.color_network(
+            tpose, gradients, dirs, feat, frame["latent_index"]
+        )
+        inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+        keep = c_keep & inside
+
+        # dense sdf grid with the reference's +10 fill: scatter
+        # (sdf - 10) with zero fill, then shift back
+        sdf_c = jnp.where(c_keep, sdf[..., 0], 10.0)
+        payload = jnp.concatenate(
+            [jnp.where(keep[:, None], rgb, 0.0), (sdf_c - 10.0)[:, None],
+             keep[:, None].astype(rgb.dtype)],
+            axis=-1,
+        )
+        dense = scatter_compacted_raw(payload, sv, sidx, n, n_rays, n_samples)
+        sdf_full = dense[..., 3] + 10.0
+        inv_var = self.variance_network()
+        alpha = neus_alpha(sdf_full, inv_var)
+        # the reference zeroes masked points' raw exactly (:256-258)
+        alpha = alpha * dense[..., 4]
+        raw = jnp.concatenate([dense[..., :3], alpha[..., None]], axis=-1)
+        return {
+            "raw": raw,
+            "sdf": sdf_full,
+            "compact_overflow": ovf,
+            "compact_count": survivor_count(pind),
+        }
+
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
                  precomposite: bool = False):
-        # NeuS alpha needs per-ray consecutive samples — no compaction
+        # NeuS alpha needs per-ray consecutive samples — the compacted
+        # eval path scatters the sdf back densely for the alpha
+        # conversion (precomposite is never applicable)
         del precomposite
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)
 
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
+        if not train and self.eval_keep_frac > 0:
+            return self._eval_compacted_neus(
+                pose_pts, vd, z_vals.reshape(-1), frame, n_rays, n_samples
+            )
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame)
 
