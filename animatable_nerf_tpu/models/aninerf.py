@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from ..core import (
     world_points_to_pose_points,
+    world_dirs_to_pose_dirs,
     pose_points_to_tpose_points,
     tpose_points_to_pose_points,
     pts_sample_blend_weights,
@@ -48,6 +49,11 @@ from .common import (
 # the point-level keep fraction (engine ladder escalation covers the
 # rest).
 _SEG_CAPACITY_FACTOR = 4
+# The slab pre-filter's candidate set is tighter (measured 31-41% of
+# segments at a 9%-in-shell scene vs the ladder's 12.5% rung,
+# tools/bench_ray_carve_probe.py), and every unused capacity slot pays
+# full pass-1b + compaction cost — so its headroom factor is smaller.
+_SLAB_SEG_FACTOR = 3
 
 
 class AniNeRF(nn.Module):
@@ -94,6 +100,30 @@ class AniNeRF(nn.Module):
     # shapes. Kept as a tested opt-in for workloads with finer sample
     # spacing (where half-extent << shell thickness the math favors it).
     seg_filter: int = 0
+    # Slab segment pre-filter (pass 0): the production eval fast path.
+    # Occupied-supercell boxes of the distance volume (EXACT conservative
+    # — trilerp is multilinear, so a cell can contain an in-shell point
+    # only if a corner is in-shell; common.py occupied_supercell_boxes)
+    # + a per-ray slab-test union span; only segments whose z range
+    # overlaps the span become candidates (~31% of segments at 9%
+    # in-shell samples on the representative scene, measured by
+    # tools/bench_ray_carve_probe.py). No gathers, no Lipschitz margin:
+    # pass 1 and both compactions then run on the candidate stream only.
+    # REQUIRES the renderer invariant wpts = ray_o + viewdir * z (holds
+    # for render_rays/render_image; NOT for arbitrary wpts — hence off
+    # by default at the model level and enabled by make_model/bench).
+    # Value = samples per segment (0 disables); takes precedence over
+    # seg_filter.
+    slab_filter: int = 0
+    # Edge length of a supercell in cells (4 -> ~10 cm at the
+    # reference's 2.5 cm voxels) and the static capacity of the
+    # occupied-box list (box-list overflow keeps every segment —
+    # conservative, just slow). The slab test costs rays x capacity
+    # VPU flops per frame: s=2 needs ~3k boxes and measured ~25 ms at
+    # whole-frame scale for ~10% tighter candidates than s=4's ~500
+    # boxes at ~6 ms — s=4 wins end to end.
+    slab_supercell: int = 4
+    slab_box_capacity: int = 1024
     # Train-time survivor compaction: same two-pass scheme on the
     # TRAINING path (gather survivors -> MLPs -> scatter raw; the bw
     # consistency pair stays on the compacted stream). Gradients flow
@@ -216,18 +246,11 @@ class AniNeRF(nn.Module):
         from .common import volume_lipschitz_bound
 
         cap = eval_capacity(pose_pts.shape[0], keep_frac)
-        dist_vol = frame["pbw"][..., 24:25]
-        th = jnp.float32(self.norm_th)
         if conservative:
-            dist_packed = pack_corner_volume(dist_vol).astype(jnp.bfloat16)
-            lip = volume_lipschitz_bound(dist_vol[..., 0], frame["pbounds"])
-            cell = (frame["pbounds"][1] - frame["pbounds"][0]) / (
-                jnp.array(dist_vol.shape[:3], jnp.float32) - 1.0
-            )
-            corner_bound = self.norm_th + lip * jnp.linalg.norm(cell)
-            th = th + corner_bound * (2.0 ** -8)
+            dist_packed, th = self._conservative_dist_rows(frame)
         else:
-            dist_packed = pack_corner_volume(dist_vol)
+            dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
+            th = jnp.float32(self.norm_th)
         pnorm = pts_sample_blend_weights_packed(
             pose_pts, dist_packed, frame["pbounds"], n_channels=1
         )[..., 0]
@@ -238,8 +261,28 @@ class AniNeRF(nn.Module):
         return (sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n,
                 overflow, pind)
 
+    def _conservative_dist_rows(self, frame):
+        """bf16 corner-packed distance rows + a certified widened
+        threshold: half the gather row bytes of the dominant pass-1
+        cost, survivor set a SUPERSET of the exact one (bf16 rounding of
+        corners near the shell is bounded by |corner| <= norm_th +
+        lip * cell diagonal for a lip-Lipschitz field, certified from
+        the volume itself); pass 2 re-applies the exact f32 filter."""
+        from .common import volume_lipschitz_bound
+
+        dist_vol = frame["pbw"][..., 24:25]
+        dist_packed = pack_corner_volume(dist_vol).astype(jnp.bfloat16)
+        lip = volume_lipschitz_bound(dist_vol[..., 0], frame["pbounds"])
+        cell = (frame["pbounds"][1] - frame["pbounds"][0]) / (
+            jnp.array(dist_vol.shape[:3], jnp.float32) - 1.0
+        )
+        corner_bound = self.norm_th + lip * jnp.linalg.norm(cell)
+        return dist_packed, jnp.float32(self.norm_th) + corner_bound * (
+            2.0 ** -8
+        )
+
     def _eval_compacted_hier(self, wpts, viewdir, z_vals, frame,
-                             novel_pose, precomposite):
+                             novel_pose, precomposite, mode: str = "lip"):
         """Hierarchical eval render: conservative segment pre-filter ->
         exact per-point filter on the candidates -> pass-2 pipeline.
 
@@ -259,42 +302,89 @@ class AniNeRF(nn.Module):
         the survivor set — and the render — equals the flat/dense paths'
         (empty-frame forced-argmin caveat: see segment_prefilter).
         """
-        from .common import segment_prefilter, take_rows, volume_lipschitz_bound
+        from .common import (
+            compact_segments,
+            occupied_supercell_boxes,
+            segment_prefilter,
+            slab_segment_keep,
+            slab_span,
+            take_rows,
+            volume_lipschitz_bound,
+        )
 
         n_rays, n_samples = z_vals.shape
-        seg = self.seg_filter
+        seg = self.slab_filter if mode == "slab" else self.seg_filter
+        factor = _SLAB_SEG_FACTOR if mode == "slab" else _SEG_CAPACITY_FACTOR
         n_pts = n_rays * n_samples
         n_segments = n_pts // seg
         cap = eval_capacity(n_pts, self.eval_keep_frac)
         seg_cap = eval_capacity(
-            n_pts, min(1.0, _SEG_CAPACITY_FACTOR * self.eval_keep_frac)
+            n_pts, min(1.0, factor * self.eval_keep_frac)
         ) // seg
 
         # ray origins from the first sample; the rest of wpts is dead
         ray_o = wpts[:, 0, :] - viewdir * z_vals[:, 0:1]
 
-        dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
-        lip = volume_lipschitz_bound(frame["pbw"][..., 24], frame["pbounds"])
+        if mode == "slab":
+            # pass 0: occupied-supercell boxes + per-ray slab spans (no
+            # gathers; exact-conservative, see the slab_filter field doc)
+            lo, hi, box_overflow = occupied_supercell_boxes(
+                frame["pbw"][..., 24], frame["pbounds"], self.norm_th,
+                self.slab_supercell, self.slab_box_capacity,
+            )
+            pose_o = world_points_to_pose_points(
+                ray_o, frame["R"], frame["Th"]
+            )
+            pose_d = world_dirs_to_pose_dirs(viewdir, frame["R"])
+            span_lo, span_hi = slab_span(pose_o, pose_d, lo, hi)
+            keep = slab_segment_keep(span_lo, span_hi, z_vals, seg)
+            # box-list overflow: the box set is not conservative — keep
+            # every segment (the seg-capacity overflow then escalates
+            # the engine ladder to a correct rung)
+            keep = keep | box_overflow[0]
+            seg_sidx, seg_valid, seg_count = compact_segments(
+                keep, seg_cap, n_segments
+            )
+            # pass 1b runs on bf16 rows with the certified widened
+            # threshold (pass 2 re-applies the exact f32 filter)
+            dist_packed, th1 = self._conservative_dist_rows(frame)
+        else:
+            dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
+            th1 = jnp.float32(self.norm_th)
+            lip = volume_lipschitz_bound(
+                frame["pbw"][..., 24], frame["pbounds"]
+            )
 
-        def mid_dist(p):
-            pp = world_points_to_pose_points(p, frame["R"], frame["Th"])
-            return pts_sample_blend_weights_packed(
-                pp, dist_packed, frame["pbounds"], n_channels=1
-            )[..., 0]
+            def mid_dist(p):
+                pp = world_points_to_pose_points(p, frame["R"], frame["Th"])
+                return pts_sample_blend_weights_packed(
+                    pp, dist_packed, frame["pbounds"], n_channels=1
+                )[..., 0]
 
-        seg_sidx, seg_valid, seg_count = segment_prefilter(
-            ray_o, viewdir, z_vals, mid_dist, self.norm_th, lip,
-            seg, seg_cap,
-        )
+            seg_sidx, seg_valid, seg_count = segment_prefilter(
+                ray_o, viewdir, z_vals, mid_dist, self.norm_th, lip,
+                seg, seg_cap,
+            )
 
         # expand surviving segments to candidate points; all gathers run
-        # at segment granularity (seg_cap rows), not point granularity
-        dists_rows = z_vals_to_dists(z_vals).reshape(n_segments, seg)
-        c_z_seg = take_rows(z_vals.reshape(n_segments, seg), seg_sidx)
-        c_dists_seg = take_rows(dists_rows, seg_sidx)
+        # at segment granularity (seg_cap rows), not point granularity.
+        # TPU gathers cost per ROW (core/grid.py), so the per-segment
+        # payloads are packed into ONE row each: (z, dists) 2*seg floats
+        # and (ray_o, viewdir) 6 floats.
+        zd_pack = jnp.concatenate(
+            [
+                z_vals.reshape(n_segments, seg),
+                z_vals_to_dists(z_vals).reshape(n_segments, seg),
+            ],
+            axis=-1,
+        )
+        c_zd = take_rows(zd_pack, seg_sidx)
+        c_z_seg, c_dists_seg = c_zd[:, :seg], c_zd[:, seg:]
         ray_id = seg_sidx // (n_samples // seg)
-        c_o = take_rows(ray_o, ray_id)
-        c_d = take_rows(viewdir, ray_id)
+        c_ray = take_rows(
+            jnp.concatenate([ray_o, viewdir], axis=-1), ray_id
+        )
+        c_o, c_d = c_ray[:, :3], c_ray[:, 3:]
         cand_w = c_o[:, None, :] + c_d[:, None, :] * c_z_seg[..., None]
         cand_pose = world_points_to_pose_points(
             cand_w.reshape(-1, 3), frame["R"], frame["Th"]
@@ -306,13 +396,14 @@ class AniNeRF(nn.Module):
             n_pts,
         )
 
-        # exact per-point filter on the candidates (pass 1b)
+        # per-point filter on the candidates (pass 1b; exact in lip mode,
+        # certified-conservative bf16 in slab mode — pass 2 re-checks)
         pnorm = pts_sample_blend_weights_packed(
             cand_pose, dist_packed, frame["pbounds"], n_channels=1
-        )[..., 0]
+        )[..., 0].astype(jnp.float32)
         pnorm = jnp.where(cand_valid, pnorm, jnp.inf)
-        keep_cand = keep_mask_with_argmin(pnorm, self.norm_th)
-        exact_count = jnp.sum((pnorm < self.norm_th).astype(jnp.int32))
+        keep_cand = keep_mask_with_argmin(pnorm, th1)
+        exact_count = jnp.sum((pnorm < th1).astype(jnp.int32))
 
         # final point compaction (candidate stream -> capacity); the
         # candidate stream is ascending in original point index, so the
@@ -336,8 +427,7 @@ class AniNeRF(nn.Module):
         count = jnp.reshape(
             jnp.maximum(
                 exact_count,
-                (seg_count * seg + _SEG_CAPACITY_FACTOR - 1)
-                // _SEG_CAPACITY_FACTOR,
+                (seg_count * seg + factor - 1) // factor,
             ),
             (1,),
         )
@@ -485,14 +575,19 @@ class AniNeRF(nn.Module):
         filtered points produce raw == 0 exactly.
         """
         n_rays, n_samples = z_vals.shape
-        if (
-            not train and self.eval_keep_frac > 0 and self.seg_filter > 1
-            and n_samples % self.seg_filter == 0
-        ):
-            # hierarchical path never materializes the dense point set
-            return self._eval_compacted_hier(
-                wpts, viewdir, z_vals, frame, novel_pose, precomposite
+        if not train and self.eval_keep_frac > 0:
+            use_slab = (
+                self.slab_filter > 1 and n_samples % self.slab_filter == 0
             )
+            use_lip = (
+                self.seg_filter > 1 and n_samples % self.seg_filter == 0
+            )
+            if use_slab or use_lip:
+                # hierarchical paths never materialize the dense point set
+                return self._eval_compacted_hier(
+                    wpts, viewdir, z_vals, frame, novel_pose, precomposite,
+                    mode="slab" if use_slab else "lip",
+                )
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)
         dists = z_vals_to_dists(z_vals).reshape(-1)

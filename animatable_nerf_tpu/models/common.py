@@ -113,12 +113,161 @@ def segment_prefilter(ray_o, ray_d, z_vals, mid_dist_fn, threshold,
     d_mid = mid_dist_fn(mid.reshape(-1, 3))
     bound = d_mid - lip_bound * half.reshape(-1)  # lowest possible dist
     keep = keep_mask_with_argmin(bound, threshold)
+    return compact_segments(keep, seg_capacity, n_segments)
+
+
+def compact_segments(keep, seg_capacity: int, n_segments: int):
+    """Fixed-capacity compaction of a segment keep mask.
+
+    Shared tail of the segment pre-filters: returns (seg_sidx
+    (seg_capacity,) int32 surviving segment indices, ascending with
+    sentinel n_segments on dead slots; seg_valid bool; seg_count ()
+    true surviving-segment count pre-truncation).
+    """
     idx, n_kept = compact_indices(keep, seg_capacity)
     slot = jax.lax.broadcasted_iota(jnp.int32, (seg_capacity, 1), 0)[:, 0]
     seg_valid = slot < n_kept
     seg_sidx = jnp.where(seg_valid, idx, n_segments)
     seg_count = jnp.sum(keep.astype(jnp.int32))
     return seg_sidx, seg_valid, seg_count
+
+
+# Sentinel "infinity" for slab boxes: far beyond any scene coordinate or
+# ray parameter, small enough that f32 slab arithmetic stays finite.
+_SLAB_BIG = 1e8
+# Absolute world-space box inflation absorbing f32 rounding of the slab
+# arithmetic and of the renderer's wpts = ray_o + viewdir * z recompute
+# (scene scale is ~1 unit; f32 noise is ~1e-6).
+_SLAB_EPS = 1e-4
+
+
+def occupied_supercell_boxes(dist_vol, bounds, threshold,
+                             supercell: int, capacity: int):
+    """Conservative occupied-supercell AABBs of a trilerp distance volume.
+
+    dist_vol (D, H, W) sampled over `bounds` (2, 3) with the grid_sample
+    convention of core/grid.py (axis 0 indexed by x, align_corners=True,
+    border padding). A point p can have trilerp(p) < threshold only if
+    its containing cell has min(corner values) < threshold: the
+    interpolant is multilinear, so its extremum over a cell is attained
+    at a corner — an EXACT conservative cell set, no Lipschitz margin.
+    Cells are grouped into supercell^3 blocks; occupied blocks compact
+    to `capacity` world-space boxes (lo, hi).
+
+    Border padding means an out-of-bounds point samples the border cell,
+    so boxes touching the volume boundary extend to +-_SLAB_BIG along
+    the clamped axes. Boxes are inflated by _SLAB_EPS against f32
+    rounding. Dead slots return never-hit boxes (lo > hi).
+
+    Returns (lo (capacity, 3), hi (capacity, 3), overflow (1,) bool).
+    On overflow some occupied blocks were dropped and the box set is NOT
+    conservative — callers must keep every segment in that case.
+    """
+    D, H, W = dist_vol.shape
+    cmin = jnp.minimum(dist_vol[:-1], dist_vol[1:])
+    cmin = jnp.minimum(cmin[:, :-1], cmin[:, 1:])
+    cmin = jnp.minimum(cmin[:, :, :-1], cmin[:, :, 1:])
+    occ = cmin < threshold  # (D-1, H-1, W-1) cells
+    cells = jnp.array([D - 1, H - 1, W - 1], jnp.int32)
+    s = supercell
+    nd, nh, nw = [-(-int(c) // s) for c in (D - 1, H - 1, W - 1)]
+    occ = jnp.pad(
+        occ,
+        [(0, nd * s - (D - 1)), (0, nh * s - (H - 1)), (0, nw * s - (W - 1))],
+    )
+    sup = occ.reshape(nd, s, nh, s, nw, s).any(axis=(1, 3, 5)).reshape(-1)
+
+    idx, n_kept = compact_indices(sup, capacity)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    valid = slot < n_kept
+    i = idx // (nh * nw)
+    j = (idx // nw) % nh
+    k = idx % nw
+    lo_c = jnp.stack([i, j, k], axis=-1) * s
+    hi_c = jnp.minimum(lo_c + s, cells[None, :])
+
+    cell_size = (bounds[1] - bounds[0]) / (
+        jnp.array([D, H, W], dist_vol.dtype) - 1.0
+    )
+    lo = bounds[0] + lo_c.astype(dist_vol.dtype) * cell_size - _SLAB_EPS
+    hi = bounds[0] + hi_c.astype(dist_vol.dtype) * cell_size + _SLAB_EPS
+    # border clamping: extend boundary-touching faces to infinity
+    lo = jnp.where(lo_c == 0, -_SLAB_BIG, lo)
+    hi = jnp.where(hi_c == cells[None, :], _SLAB_BIG, hi)
+    # dead slots: lo > hi on every axis -> slab never hits
+    lo = jnp.where(valid[:, None], lo, _SLAB_BIG)
+    hi = jnp.where(valid[:, None], hi, -_SLAB_BIG)
+    overflow = jnp.reshape(jnp.sum(sup.astype(jnp.int32)) > capacity, (1,))
+    return lo, hi, overflow
+
+
+def slab_span(ray_o, ray_d, lo, hi, chunk: int = 512):
+    """Per-ray union span of slab intersections with a set of AABBs.
+
+    ray_o/ray_d (R, 3); lo/hi (B, 3). Returns (span_lo, span_hi) (R,):
+    the smallest entry and largest exit ray parameter over all boxes the
+    ray hits (t in the same units as z_vals: point = ray_o + t*ray_d).
+    Rays hitting nothing get (+inf, -inf). Scans the boxes in chunks so
+    the (R, chunk) slab tensors stay fused into their min/max reduces.
+    """
+    B = lo.shape[0]
+    n_chunks = max(1, -(-B // chunk))
+    pad = n_chunks * chunk - B
+    if pad:
+        lo = jnp.concatenate(
+            [lo, jnp.full((pad, 3), _SLAB_BIG, lo.dtype)], axis=0
+        )
+        hi = jnp.concatenate(
+            [hi, jnp.full((pad, 3), -_SLAB_BIG, hi.dtype)], axis=0
+        )
+    inv = 1.0 / jnp.where(jnp.abs(ray_d) < 1e-12, 1e-12, ray_d)
+
+    pos = (inv >= 0)[:, None, :]
+
+    def body(carry, box):
+        blo, bhi = box  # (chunk, 3)
+        t0 = (blo[None, :, :] - ray_o[:, None, :]) * inv[:, None, :]
+        t1 = (bhi[None, :, :] - ray_o[:, None, :]) * inv[:, None, :]
+        # pick enter/exit by the DIRECTION SIGN, not by value: dead
+        # slots are lo > hi boxes, and a value sort (min/max) would
+        # re-order them into infinite boxes that hit every ray
+        enter = jnp.where(pos, t0, t1).max(-1)  # (R, chunk)
+        exit_ = jnp.where(pos, t1, t0).min(-1)
+        hit = exit_ >= enter
+        enter = jnp.where(hit, enter, jnp.inf)
+        exit_ = jnp.where(hit, exit_, -jnp.inf)
+        span_lo, span_hi = carry
+        return (
+            jnp.minimum(span_lo, enter.min(-1)),
+            jnp.maximum(span_hi, exit_.max(-1)),
+        ), None
+
+    n = ray_o.shape[0]
+    init = (jnp.full((n,), jnp.inf), jnp.full((n,), -jnp.inf))
+    (span_lo, span_hi), _ = jax.lax.scan(
+        body, init,
+        (lo.reshape(n_chunks, chunk, 3), hi.reshape(n_chunks, chunk, 3)),
+    )
+    return span_lo, span_hi
+
+
+def slab_segment_keep(span_lo, span_hi, z_vals, seg: int):
+    """Segment keep mask from per-ray slab spans.
+
+    A sample at parameter z can pass the exact filter only if it lies
+    inside an occupied box, hence z in [span_lo, span_hi] of its ray; a
+    segment of `seg` consecutive samples can contain a survivor only if
+    its [z_first, z_last] overlaps the span. At least one segment is
+    force-kept so downstream compaction never runs empty (empty-frame
+    forced-argmin caveat as in segment_prefilter).
+
+    Returns (n_rays * S/seg,) bool, flattened row-major like z_vals.
+    """
+    n_rays, S = z_vals.shape
+    zs = z_vals.reshape(n_rays, S // seg, seg)
+    keep = (span_lo[:, None] <= zs[..., -1]) & (span_hi[:, None] >= zs[..., 0])
+    keep = keep.reshape(-1)
+    return keep | jax.nn.one_hot(jnp.argmax(keep), keep.shape[0], dtype=bool)
 
 
 def take_rows(arr, idx):

@@ -72,6 +72,14 @@ def make_model(cfg):
             view_res=cfg.view_res,
             eval_keep_frac=keep_frac,
             train_keep_frac=float(cfg.get("train_keep_frac", 0.0)),
+            # slab pre-filter (render_rays/render_image satisfy the
+            # wpts = ray_o + viewdir * z invariant it requires). Opt-in
+            # while its measured overhead (candidate expansion + second
+            # compaction) still outweighs the pass-1 savings at
+            # whole-frame scale — see BASELINE.md.
+            slab_filter=int(cfg.get("slab_filter", 0)),
+            slab_supercell=int(cfg.get("slab_supercell", 4)),
+            slab_box_capacity=int(cfg.get("slab_box_capacity", 1024)),
             **kwargs,
         )
     if cls in (NeRFPDF, SDFPDF, NeuSPDF):

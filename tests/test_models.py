@@ -367,6 +367,148 @@ def test_eval_hier_segment_prefilter_matches_full_path(data, rng):
     )
 
 
+def test_eval_slab_prefilter_matches_full_path(data, rng):
+    """The slab segment pre-filter (slab_filter, the production eval
+    fast path) must equal the masked full path: occupied-supercell
+    boxes are exact-conservative (trilerp is multilinear, so a cell can
+    contain an in-shell point only if a corner is in-shell), the slab
+    span covers every in-box sample, and pass 2 re-applies the exact
+    f32 filter. wpts must satisfy the renderer invariant
+    wpts = ray_o + viewdir * z."""
+    frame, (_, vd, z) = data
+    ray_o = jnp.asarray(rng.randn(vd.shape[0], 3).astype(np.float32) * 0.1)
+    wpts = ray_o[:, None, :] + vd[:, None, :] * z[..., None]
+    verts = np.asarray(frame["pvertices"])
+    b = np.asarray(frame["pbounds"])
+    axes = [np.linspace(b[0][i], b[1][i], 16) for i in range(3)]
+    g = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    d = np.sqrt(
+        ((g[:, None, :] - verts[None]) ** 2).sum(-1).min(-1)
+    ).reshape(16, 16, 16)
+    pbw = np.concatenate(
+        [rng.rand(16, 16, 16, 24).astype(np.float32), d[..., None]], -1
+    ).astype(np.float32)
+    frame = dict(frame)
+    frame["pbw"] = jnp.asarray(pbw)
+
+    m_full = models.AniNeRF(num_train_frames=3, eval_keep_frac=0.0,
+                            norm_th=0.2)
+    params = m_full.init(
+        jax.random.PRNGKey(0), wpts, vd, z, frame, train=False
+    )
+    out_full = jax.jit(
+        lambda p: m_full.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    for supercell in (1, 2):
+        m_slab = models.AniNeRF(
+            num_train_frames=3, eval_keep_frac=0.5, norm_th=0.2,
+            slab_filter=4, slab_supercell=supercell,
+        )
+        out_slab = jax.jit(
+            lambda p: m_slab.apply(p, wpts, vd, z, frame, train=False)
+        )(params)
+        assert not bool(np.asarray(out_slab["compact_overflow"]).any())
+        np.testing.assert_allclose(
+            np.asarray(out_slab["raw"]), np.asarray(out_full["raw"]),
+            rtol=1e-5, atol=1e-5,
+        )
+        # the pre-filter must actually FILTER (conservative != keep-all:
+        # the dead-slot infinite-box failure mode keeps every segment)
+        n_pts = int(np.prod(z.shape))
+        assert int(np.asarray(out_slab["compact_count"])[0]) < n_pts
+    # tiny box capacity -> box-list overflow -> every segment becomes a
+    # candidate (conservative, just slow). Here the segment capacity
+    # still holds them all, so the render must stay exact with no
+    # overflow flag; at scale the seg-capacity overflow flag escalates
+    # the engine ladder instead.
+    m_of = models.AniNeRF(
+        num_train_frames=3, eval_keep_frac=0.5, norm_th=0.2,
+        slab_filter=4, slab_box_capacity=1,
+    )
+    out_of = jax.jit(
+        lambda p: m_of.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    assert not bool(np.asarray(out_of["compact_overflow"]).any())
+    np.testing.assert_allclose(
+        np.asarray(out_of["raw"]), np.asarray(out_full["raw"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_occupied_supercell_boxes_conservative(rng):
+    """Every point with trilerped distance < th must lie inside one of
+    the returned boxes — including out-of-bounds points, which clamp to
+    the border cell (boxes touching the boundary extend to infinity)."""
+    from animatable_nerf_tpu.core.grid import (
+        pack_corner_volume, pts_sample_blend_weights_packed,
+    )
+    from animatable_nerf_tpu.models.common import occupied_supercell_boxes
+
+    vol = rng.rand(9, 7, 8).astype(np.float32) * 0.3
+    bounds = jnp.asarray(
+        np.array([[-0.4, -0.3, -0.2], [0.5, 0.4, 0.6]], np.float32)
+    )
+    th = 0.1
+    lo, hi, overflow = map(
+        np.asarray,
+        occupied_supercell_boxes(jnp.asarray(vol), bounds, th, 2, 64),
+    )
+    assert not overflow.any()
+    # sample points well beyond the bounds to exercise border clamping
+    pts = (rng.rand(20000, 3).astype(np.float32) * 2.4 - 1.2)
+    dvals = np.asarray(
+        pts_sample_blend_weights_packed(
+            jnp.asarray(pts),
+            pack_corner_volume(jnp.asarray(vol)[..., None]),
+            bounds, n_channels=1,
+        )
+    )[..., 0]
+    inside_any = (
+        (pts[:, None, :] >= lo[None]) & (pts[:, None, :] <= hi[None])
+    ).all(-1).any(-1)
+    passing = dvals < th
+    assert passing.any(), "test scene must have in-shell points"
+    assert not (passing & ~inside_any).any()
+
+
+def test_slab_span_covers_in_box_samples(rng):
+    """Any sample with parameter z inside a box must satisfy
+    span_lo <= z <= span_hi for its ray."""
+    from animatable_nerf_tpu.models.common import slab_span
+
+    lo = rng.rand(5, 3).astype(np.float32) * 0.4 - 0.5
+    hi = lo + rng.rand(5, 3).astype(np.float32) * 0.6 + 0.05
+    o = rng.randn(64, 3).astype(np.float32) * 2.0
+    d = rng.randn(64, 3).astype(np.float32)
+    span_lo, span_hi = map(
+        np.asarray,
+        slab_span(jnp.asarray(o), jnp.asarray(d), jnp.asarray(lo),
+                  jnp.asarray(hi)),
+    )
+    t = np.linspace(-3.0, 3.0, 41, dtype=np.float32)
+    pts = o[:, None, :] + d[:, None, :] * t[None, :, None]
+    in_any = (
+        (pts[:, :, None, :] >= lo[None, None])
+        & (pts[:, :, None, :] <= hi[None, None])
+    ).all(-1).any(-1)
+    covered = (t[None, :] >= span_lo[:, None] - 1e-4) & (
+        t[None, :] <= span_hi[:, None] + 1e-4
+    )
+    assert not (in_any & ~covered).any()
+    # selectivity: a ray that misses every box must get an EMPTY span
+    # (this catches the dead-slot/padded-box failure mode where value-
+    # sorted slabs turn lo > hi boxes into infinite ones)
+    center = 0.5 * (lo.mean(0) + hi.mean(0))
+    away_o = (center + np.array([0.0, 10.0, 0.0], np.float32))[None]
+    away_d = np.array([[1.0, 0.0, 0.0]], np.float32)  # line misses all boxes
+    slo, shi = map(
+        np.asarray,
+        slab_span(jnp.asarray(away_o), jnp.asarray(away_d),
+                  jnp.asarray(lo), jnp.asarray(hi)),
+    )
+    assert slo[0] > shi[0]
+
+
 def test_volume_lipschitz_bound_certifies_distance_field(rng):
     """A true distance field certifies at ~<=sqrt(3); the bound is an
     upper bound on the interpolant's Lipschitz constant."""

@@ -216,6 +216,56 @@ class TestPrecomposite:
                 rtol=1e-4, atol=1e-5,
             )
 
+    def test_slab_prefilter_matches_dense_through_renderer(self):
+        """The production eval path (slab_filter, as make_model builds
+        it) must match the dense render through render_rays — the
+        renderer guarantees the wpts = ray_o + viewdir * z invariant
+        the slab pre-filter requires."""
+        import jax
+        import jax.numpy as jnp
+        import sys, os
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __graft_entry__ as ge
+        from animatable_nerf_tpu.models import AniNeRF
+        from animatable_nerf_tpu.render import RenderSettings
+        from animatable_nerf_tpu.render.renderer import render_rays
+
+        rng = np.random.RandomState(0)
+        frame = {
+            k: jnp.asarray(v)
+            for k, v in ge._synthetic_frame(rng, grid_shape=(8, 8, 8)).items()
+        }
+        rays = {
+            k: jnp.asarray(v)
+            for k, v in ge._rays(
+                rng, 64, bounds=np.asarray(frame["pbounds"])
+            ).items()
+        }
+        settings = RenderSettings(n_samples=16, perturb=False)
+        z = jnp.ones((64, 16))
+        m_dense = AniNeRF(num_train_frames=2, eval_keep_frac=0.0)
+        m_slab = AniNeRF(num_train_frames=2, eval_keep_frac=1.0,
+                         slab_filter=8)
+        params = m_dense.init(
+            jax.random.PRNGKey(0), jnp.zeros((*z.shape, 3)), rays["ray_d"],
+            z, frame, train=False,
+        )
+        out_d = jax.jit(
+            lambda p: render_rays(m_dense, p, rays, frame, settings,
+                                  train=False)
+        )(params)
+        out_s = jax.jit(
+            lambda p: render_rays(m_slab, p, rays, frame, settings,
+                                  train=False)
+        )(params)
+        assert not bool(np.asarray(out_s["compact_overflow"]).any())
+        for k in ("rgb_map", "acc_map", "depth_map"):
+            np.testing.assert_allclose(
+                np.asarray(out_s[k]), np.asarray(out_d[k]),
+                rtol=1e-4, atol=1e-5,
+            )
+
 
 class TestImportanceSampling:
     def test_hierarchical_render(self):
