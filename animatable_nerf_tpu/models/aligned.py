@@ -306,7 +306,8 @@ class _AlignedBase(nn.Module):
         return out
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
-                 novel_pose: bool = False, precomposite: bool = False):
+                 novel_pose: bool = False, precomposite: bool = False,
+                 analytic_z: bool = False):
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)

@@ -282,7 +282,7 @@ class AniNeRF(nn.Module):
         )
 
     def _eval_compacted_hier(self, wpts, viewdir, z_vals, frame,
-                             novel_pose, precomposite, mode: str = "lip"):
+                             novel_pose, precomposite):
         """Hierarchical eval render: conservative segment pre-filter ->
         exact per-point filter on the candidates -> pass-2 pipeline.
 
@@ -303,18 +303,14 @@ class AniNeRF(nn.Module):
         (empty-frame forced-argmin caveat: see segment_prefilter).
         """
         from .common import (
-            compact_segments,
-            occupied_supercell_boxes,
             segment_prefilter,
-            slab_segment_keep,
-            slab_span,
             take_rows,
             volume_lipschitz_bound,
         )
 
         n_rays, n_samples = z_vals.shape
-        seg = self.slab_filter if mode == "slab" else self.seg_filter
-        factor = _SLAB_SEG_FACTOR if mode == "slab" else _SEG_CAPACITY_FACTOR
+        seg = self.seg_filter
+        factor = _SEG_CAPACITY_FACTOR
         n_pts = n_rays * n_samples
         n_segments = n_pts // seg
         cap = eval_capacity(n_pts, self.eval_keep_frac)
@@ -325,46 +321,22 @@ class AniNeRF(nn.Module):
         # ray origins from the first sample; the rest of wpts is dead
         ray_o = wpts[:, 0, :] - viewdir * z_vals[:, 0:1]
 
-        if mode == "slab":
-            # pass 0: occupied-supercell boxes + per-ray slab spans (no
-            # gathers; exact-conservative, see the slab_filter field doc)
-            lo, hi, box_overflow = occupied_supercell_boxes(
-                frame["pbw"][..., 24], frame["pbounds"], self.norm_th,
-                self.slab_supercell, self.slab_box_capacity,
-            )
-            pose_o = world_points_to_pose_points(
-                ray_o, frame["R"], frame["Th"]
-            )
-            pose_d = world_dirs_to_pose_dirs(viewdir, frame["R"])
-            span_lo, span_hi = slab_span(pose_o, pose_d, lo, hi)
-            keep = slab_segment_keep(span_lo, span_hi, z_vals, seg)
-            # box-list overflow: the box set is not conservative — keep
-            # every segment (the seg-capacity overflow then escalates
-            # the engine ladder to a correct rung)
-            keep = keep | box_overflow[0]
-            seg_sidx, seg_valid, seg_count = compact_segments(
-                keep, seg_cap, n_segments
-            )
-            # pass 1b runs on bf16 rows with the certified widened
-            # threshold (pass 2 re-applies the exact f32 filter)
-            dist_packed, th1 = self._conservative_dist_rows(frame)
-        else:
-            dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
-            th1 = jnp.float32(self.norm_th)
-            lip = volume_lipschitz_bound(
-                frame["pbw"][..., 24], frame["pbounds"]
-            )
+        dist_packed = pack_corner_volume(frame["pbw"][..., 24:25])
+        th1 = jnp.float32(self.norm_th)
+        lip = volume_lipschitz_bound(
+            frame["pbw"][..., 24], frame["pbounds"]
+        )
 
-            def mid_dist(p):
-                pp = world_points_to_pose_points(p, frame["R"], frame["Th"])
-                return pts_sample_blend_weights_packed(
-                    pp, dist_packed, frame["pbounds"], n_channels=1
-                )[..., 0]
+        def mid_dist(p):
+            pp = world_points_to_pose_points(p, frame["R"], frame["Th"])
+            return pts_sample_blend_weights_packed(
+                pp, dist_packed, frame["pbounds"], n_channels=1
+            )[..., 0]
 
-            seg_sidx, seg_valid, seg_count = segment_prefilter(
-                ray_o, viewdir, z_vals, mid_dist, self.norm_th, lip,
-                seg, seg_cap,
-            )
+        seg_sidx, seg_valid, seg_count = segment_prefilter(
+            ray_o, viewdir, z_vals, mid_dist, self.norm_th, lip,
+            seg, seg_cap,
+        )
 
         # expand surviving segments to candidate points; all gathers run
         # at segment granularity (seg_cap rows), not point granularity.
@@ -435,6 +407,178 @@ class AniNeRF(nn.Module):
             sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n_pts,
             overflow, count, frame, novel_pose, n_rays, n_samples,
             precomposite, ray_counts=None,
+        )
+
+    def _eval_slab(self, wpts, viewdir, z_vals, frame, novel_pose,
+                   precomposite):
+        """Slab-prefilter eval render (the production fast path).
+
+        Pass 0: occupied-supercell boxes of the distance volume (exact
+        conservative — common.py occupied_supercell_boxes) + per-ray
+        slab union spans; only segments whose z range overlaps the span
+        become candidates. Pass 1b: conservative bf16 distance rows on
+        the candidate stream. Point compaction sorts INDICES only; the
+        winners' geometry is rebuilt from packed 32-byte per-ray rows
+        (o, d, near, far) and an analytic z recompute — measured on v5e,
+        the wide-payload gather through the compaction and the (z,
+        dists) segment-row gathers cost 3-4x more than the sort itself
+        (tools/bench_slab_ablation.py).
+
+        REQUIRES (dispatch-gated by `analytic_z` in __call__):
+          * wpts = ray_o + viewdir * z (renderer invariant), and
+          * z_vals = near*(1-t) + far*t with t = linspace(0, 1, S)
+            (core/sampling.py stratified_z_vals, eval path).
+        The recomputed z/dists are then BIT-EXACT vs the dense path:
+        identical expressions over identical values, with t values
+        routed through one-hot HIGHEST-precision matmuls (exact: a
+        single 1.0 product per output; the MXU's default f32 path
+        rounds operands through bf16). End-to-end output still differs
+        from the dense path by float-rounding noise (4e-5 max rgb
+        delta measured on TPU): XLA may fuse the point rebuild's
+        mul+add into an fma differently across the two programs.
+        Exactness caveat on empty frames as in segment_prefilter.
+        """
+        from .common import (
+            compact_indices,
+            compact_segments,
+            occupied_supercell_boxes,
+            slab_segment_keep,
+            slab_span,
+        )
+
+        n_rays, n_samples = z_vals.shape
+        seg = self.slab_filter
+        per_ray_segs = n_samples // seg
+        n_pts = n_rays * n_samples
+        n_segments = n_pts // seg
+        cap = eval_capacity(n_pts, self.eval_keep_frac)
+        seg_cap = eval_capacity(
+            n_pts, min(1.0, _SLAB_SEG_FACTOR * self.eval_keep_frac)
+        ) // seg
+
+        # ray origins from the first sample; the rest of wpts is dead
+        ray_o = wpts[:, 0, :] - viewdir * z_vals[:, 0:1]
+        # same constant as stratified_z_vals; z_vals[:, 0/-1] ARE
+        # near/far bitwise (t=0 and t=1 rows of the affine form)
+        t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+        near, far = z_vals[:, 0:1], z_vals[:, -1:]
+
+        # ---- pass 0: boxes + spans + segment keep -------------------
+        lo, hi, box_overflow = occupied_supercell_boxes(
+            frame["pbw"][..., 24], frame["pbounds"], self.norm_th,
+            self.slab_supercell, self.slab_box_capacity,
+        )
+        pose_o = world_points_to_pose_points(ray_o, frame["R"], frame["Th"])
+        pose_d = world_dirs_to_pose_dirs(viewdir, frame["R"])
+        span_lo, span_hi = slab_span(pose_o, pose_d, lo, hi)
+        keep = slab_segment_keep(span_lo, span_hi, z_vals, seg)
+        # box-list overflow: the box set is not conservative — keep
+        # every segment (the seg-capacity overflow then escalates the
+        # engine ladder to a correct rung)
+        keep = keep | box_overflow[0]
+        seg_sidx, seg_valid, seg_count = compact_segments(
+            keep, seg_cap, n_segments
+        )
+
+        # ---- candidate expansion: ONE packed ray-row gather ---------
+        ray_pack = jnp.concatenate([ray_o, viewdir, near, far], axis=-1)
+        ray_id = seg_sidx // per_ray_segs  # dead (n_segments) -> n_rays
+        c_ray = ray_pack.at[ray_id].get(
+            mode="fill", fill_value=0.0, indices_are_sorted=True
+        )
+        c_o, c_d = c_ray[:, :3], c_ray[:, 3:6]
+        c_near, c_far = c_ray[:, 6:7], c_ray[:, 7:8]
+        # exact t values of this segment's samples via one-hot matmul
+        seg_onehot = (
+            (seg_sidx % per_ray_segs)[:, None]
+            == jnp.arange(per_ray_segs)[None, :]
+        ).astype(jnp.float32)
+        # HIGHEST precision: the TPU MXU's default f32 path rounds the
+        # t operand through bf16 (measured 8.8e-3 rgb delta); the exact
+        # multi-pass product keeps the 1.0-one-hot selection bit-exact
+        t_seg = jnp.matmul(
+            seg_onehot, t.reshape(per_ray_segs, seg),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (seg_cap, seg)
+        c_z_seg = c_near * (1.0 - t_seg) + c_far * t_seg
+        cand_w = c_o[:, None, :] + c_d[:, None, :] * c_z_seg[..., None]
+        cand_pose = world_points_to_pose_points(
+            cand_w.reshape(-1, 3), frame["R"], frame["Th"]
+        )
+        cand_valid = jnp.repeat(seg_valid, seg)
+
+        # ---- pass 1b: conservative bf16 distance filter -------------
+        dist_packed, th1 = self._conservative_dist_rows(frame)
+        pnorm = pts_sample_blend_weights_packed(
+            cand_pose, dist_packed, frame["pbounds"], n_channels=1
+        )[..., 0].astype(jnp.float32)
+        pnorm = jnp.where(cand_valid, pnorm, jnp.inf)
+        keep_cand = keep_mask_with_argmin(pnorm, th1)
+        cons_count = jnp.sum((pnorm < th1).astype(jnp.int32))
+
+        # pre-truncation survivor counts per ray (for the composite's
+        # exact end offsets): per-segment counts scattered back to the
+        # dense segment grid (seg_cap rows — cheap), then reduced
+        seg_counts = jnp.sum(
+            keep_cand.reshape(seg_cap, seg).astype(jnp.int32), axis=-1
+        )
+        dense_counts = (
+            jnp.zeros((n_segments + 1,), jnp.int32)
+            .at[seg_sidx]
+            .set(seg_counts, mode="drop", indices_are_sorted=True)
+        )[:n_segments]
+        ray_counts = dense_counts.reshape(n_rays, per_ray_segs).sum(-1)
+
+        # ---- point compaction: indices only + winner rebuild --------
+        idx, n_kept = compact_indices(keep_cand, cap)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+        slot_valid = slot < n_kept
+        cidx = jnp.where(slot_valid, idx, seg_cap * seg)
+        # original point index: candidate slot -> segment -> sample
+        w_seg = jnp.concatenate(
+            [seg_sidx, jnp.array([n_segments], seg_sidx.dtype)]
+        ).at[cidx // seg].get(mode="fill", fill_value=n_segments)
+        sidx = jnp.minimum(w_seg * seg + cidx % seg, n_pts)
+        # winners' geometry from the packed ray rows + analytic z
+        w_ray_id = jnp.where(slot_valid, sidx // n_samples, n_rays)
+        w_ray = ray_pack.at[w_ray_id].get(
+            mode="fill", fill_value=0.0, indices_are_sorted=True
+        )
+        w_o, w_d = w_ray[:, :3], w_ray[:, 3:6]
+        w_near, w_far = w_ray[:, 6], w_ray[:, 7]
+        j = sidx % n_samples
+        # (S, 3) table of (t_j, t_{j1-1}, t_{j1}) with j1 = min(j+1, S-1);
+        # dists_j = z(t_{j1}) - z(t_{j1-1}) reproduces z_vals_to_dists
+        # incl. the repeated last interval
+        ar = jnp.arange(n_samples)
+        a1 = jnp.minimum(ar + 1, n_samples - 1)
+        t_table = jnp.stack([t, t[a1 - 1], t[a1]], axis=-1)
+        onehot = (j[:, None] == ar[None, :]).astype(jnp.float32)
+        tt = jnp.matmul(
+            onehot, t_table, precision=jax.lax.Precision.HIGHEST
+        )  # (cap, 3), exact t values (see t_seg precision note)
+        z_of = lambda tv: w_near * (1.0 - tv) + w_far * tv
+        c_z = z_of(tt[:, 0])
+        c_dists = z_of(tt[:, 2]) - z_of(tt[:, 1])
+        c_pose = world_points_to_pose_points(
+            w_o + w_d * c_z[:, None], frame["R"], frame["Th"]
+        )
+
+        overflow = jnp.full(
+            (1,), jnp.sum(keep_cand.astype(jnp.int32)) > cap
+        ) | jnp.full((1,), seg_count > seg_cap)
+        count = jnp.reshape(
+            jnp.maximum(
+                cons_count,
+                (seg_count * seg + _SLAB_SEG_FACTOR - 1)
+                // _SLAB_SEG_FACTOR,
+            ),
+            (1,),
+        )
+        return self._eval_finish(
+            sidx, slot_valid, c_pose, w_d, c_dists, c_z, n_pts,
+            overflow, count, frame, novel_pose, n_rays, n_samples,
+            precomposite, ray_counts=ray_counts,
         )
 
     def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
@@ -568,25 +712,31 @@ class AniNeRF(nn.Module):
         }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
-                 novel_pose: bool = False, precomposite: bool = False):
+                 novel_pose: bool = False, precomposite: bool = False,
+                 analytic_z: bool = False):
         """wpts (R,S,3), viewdir (R,3), z_vals (R,S) -> dict.
 
         Mirrors tpose_nerf_network.py:139-215 with masked compute:
         filtered points produce raw == 0 exactly.
+
+        `analytic_z`: promise that z_vals is the unperturbed stratified
+        eval grid (z = near*(1-t) + far*t, t = linspace) AND wpts lies
+        on the rays — set by render_rays on the eval path; it gates the
+        slab pre-filter, whose winner rebuild recomputes z analytically.
         """
         n_rays, n_samples = z_vals.shape
         if not train and self.eval_keep_frac > 0:
-            use_slab = (
-                self.slab_filter > 1 and n_samples % self.slab_filter == 0
-            )
-            use_lip = (
-                self.seg_filter > 1 and n_samples % self.seg_filter == 0
-            )
-            if use_slab or use_lip:
+            if (
+                analytic_z and self.slab_filter > 1
+                and n_samples % self.slab_filter == 0
+            ):
+                return self._eval_slab(
+                    wpts, viewdir, z_vals, frame, novel_pose, precomposite
+                )
+            if self.seg_filter > 1 and n_samples % self.seg_filter == 0:
                 # hierarchical paths never materialize the dense point set
                 return self._eval_compacted_hier(
-                    wpts, viewdir, z_vals, frame, novel_pose, precomposite,
-                    mode="slab" if use_slab else "lip",
+                    wpts, viewdir, z_vals, frame, novel_pose, precomposite
                 )
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)

@@ -237,7 +237,7 @@ class NeRFPDF(_PDFBase):
         return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
-                 precomposite: bool = False):
+                 precomposite: bool = False, analytic_z: bool = False):
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)
@@ -447,7 +447,7 @@ class SDFPDF(_PDFBase):
         }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
-                 precomposite: bool = False):
+                 precomposite: bool = False, analytic_z: bool = False):
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)
@@ -593,7 +593,7 @@ class NeuSPDF(SDFPDF):
         }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
-                 precomposite: bool = False):
+                 precomposite: bool = False, analytic_z: bool = False):
         # NeuS alpha needs per-ray consecutive samples — the compacted
         # eval path scatters the sdf back densely for the alpha
         # conversion (precomposite is never applicable)

@@ -123,6 +123,11 @@ def render_rays(
         # survivor stream (composite_compacted) instead of scattering
         # raw back densely; visibility carving needs per-sample raw
         kwargs["precomposite"] = True
+    if not train and settings.n_importance == 0:
+        # z_vals is the plain affine stratified grid and wpts lies on
+        # the rays — the promise the slab pre-filter's analytic winner
+        # rebuild needs (models/aninerf.py _eval_slab)
+        kwargs["analytic_z"] = True
     ret = model.apply(
         params, wpts, ray_d, z_vals, frame, train=train, **kwargs
     )

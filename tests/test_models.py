@@ -375,8 +375,16 @@ def test_eval_slab_prefilter_matches_full_path(data, rng):
     span covers every in-box sample, and pass 2 re-applies the exact
     f32 filter. wpts must satisfy the renderer invariant
     wpts = ray_o + viewdir * z."""
-    frame, (_, vd, z) = data
-    ray_o = jnp.asarray(rng.randn(vd.shape[0], 3).astype(np.float32) * 0.1)
+    frame, (_, vd, _) = data
+    rngs = np.random.RandomState(11)
+    ray_o = jnp.asarray(rngs.randn(vd.shape[0], 3).astype(np.float32) * 0.1)
+    # the slab path's analytic_z contract: z is the affine stratified
+    # eval grid and wpts lies on the rays (render_rays guarantees both)
+    from animatable_nerf_tpu.core.sampling import stratified_z_vals
+
+    near = jnp.asarray(rngs.rand(vd.shape[0]).astype(np.float32) + 0.5)
+    far = near + jnp.asarray(rngs.rand(vd.shape[0]).astype(np.float32) + 0.5)
+    z = stratified_z_vals(near, far, S, key=None, perturb=False)
     wpts = ray_o[:, None, :] + vd[:, None, :] * z[..., None]
     verts = np.asarray(frame["pvertices"])
     b = np.asarray(frame["pbounds"])
@@ -405,7 +413,8 @@ def test_eval_slab_prefilter_matches_full_path(data, rng):
             slab_filter=4, slab_supercell=supercell,
         )
         out_slab = jax.jit(
-            lambda p: m_slab.apply(p, wpts, vd, z, frame, train=False)
+            lambda p: m_slab.apply(p, wpts, vd, z, frame, train=False,
+                                   analytic_z=True)
         )(params)
         assert not bool(np.asarray(out_slab["compact_overflow"]).any())
         np.testing.assert_allclose(
@@ -416,6 +425,17 @@ def test_eval_slab_prefilter_matches_full_path(data, rng):
         # the dead-slot infinite-box failure mode keeps every segment)
         n_pts = int(np.prod(z.shape))
         assert int(np.asarray(out_slab["compact_count"])[0]) < n_pts
+    # without the analytic_z promise the slab path must NOT engage
+    # (arbitrary z/wpts callers fall back to the flat compacted path)
+    m_slab = models.AniNeRF(num_train_frames=3, eval_keep_frac=0.5,
+                            norm_th=0.2, slab_filter=4)
+    out_flat = jax.jit(
+        lambda p: m_slab.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    np.testing.assert_allclose(
+        np.asarray(out_flat["raw"]), np.asarray(out_full["raw"]),
+        rtol=1e-5, atol=1e-5,
+    )
     # tiny box capacity -> box-list overflow -> every segment becomes a
     # candidate (conservative, just slow). Here the segment capacity
     # still holds them all, so the render must stay exact with no
@@ -426,7 +446,8 @@ def test_eval_slab_prefilter_matches_full_path(data, rng):
         slab_filter=4, slab_box_capacity=1,
     )
     out_of = jax.jit(
-        lambda p: m_of.apply(p, wpts, vd, z, frame, train=False)
+        lambda p: m_of.apply(p, wpts, vd, z, frame, train=False,
+                             analytic_z=True)
     )(params)
     assert not bool(np.asarray(out_of["compact_overflow"]).any())
     np.testing.assert_allclose(
