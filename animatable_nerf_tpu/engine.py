@@ -10,6 +10,7 @@ resolve unchanged.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -229,6 +230,20 @@ class Engine:
         # frame, and the frame payload (bw volumes, vis masks) is tens
         # of MB per upload through the remote tunnel
         self._frame_dev_cache: dict = {}
+        # KNN-family eval pass-1 acceleration: a per-frame packed
+        # nearest-vertex distance grid (ops/knn_pallas.py
+        # build_pdist_payload) built once per frame and trilerp-gathered
+        # by the render programs instead of sweeping all 6890 vertices
+        # per sampled point. knn_grid_res 0 disables.
+        res = int(cfg.get("knn_grid_res", 64))
+        self._pdist_jit = None
+        if (res > 1 and getattr(self.model, "knn_pass1", False)
+                and getattr(self.model, "eval_keep_frac", 0.0)):
+            from .ops.knn_pallas import build_pdist_payload
+
+            self._pdist_jit = jax.jit(
+                functools.partial(build_pdist_payload, res=res)
+            )
 
     def _device_frame(self, item, with_vis: bool = False):
         """frame_arrays(item) with a 1-frame device cache keyed by
@@ -241,7 +256,12 @@ class Engine:
         )
         c = self._frame_dev_cache
         if cache_key is None or c.get("key") != cache_key:
-            c = {"key": cache_key, "frame": frame_arrays(item)}
+            frame = frame_arrays(item)
+            if self._pdist_jit is not None and "pvertices" in frame:
+                packed, margin, bnds = self._pdist_jit(frame["pvertices"])
+                frame = {**frame, "pdist_packed": packed,
+                         "pdist_margin": margin, "pdist_bounds": bnds}
+            c = {"key": cache_key, "frame": frame}
             self._frame_dev_cache = c if cache_key is not None else {}
         if with_vis and "vis" not in c:
             c["vis"] = tuple(

@@ -60,6 +60,9 @@ class PoseCondBWField(nn.Module):
 class _AlignedBase(nn.Module):
     """Shared plumbing: KNN filter, canonical head, masked raw assembly."""
 
+    # engine gate: see models/pdf.py _PDFBase.knn_pass1
+    knn_pass1 = True
+
     num_latents: int
     num_eval_frames: int = 0
     norm_th: float = 0.05
@@ -173,18 +176,27 @@ class _AlignedBase(nn.Module):
         materialization; data-only, so stop_gradient is a no-op the
         training grad never crosses) + fixed-capacity compaction.
 
-        `conservative` (eval): the min-distance-only kernel replaces the
-        full KNN in pass 1 (min distance lower-bounds the IDW-weighted
-        filter distance; see models/pdf.py _compact_inputs) — the eval
-        path already runs the full KNN on the compacted set for the
-        blend-weight prior and re-applies the exact filter there."""
-        from .common import compact_payload, eval_capacity
+        `conservative` (eval): the per-frame packed distance grid (when
+        the engine attached one) or the min-distance-only kernel
+        replaces the full KNN in pass 1 (both lower-bound the
+        IDW-weighted filter distance; see models/pdf.py
+        _compact_inputs) — the eval path already runs the full KNN on
+        the compacted set for the blend-weight prior and re-applies the
+        exact filter there."""
+        from .common import compact_payload, eval_capacity, grid_pdist_keep
         from ..ops.knn_pallas import (
             sample_blend_closest_points_fused, nearest_distance_fused,
         )
 
         cap = eval_capacity(pose_pts.shape[0], keep_frac)
         th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
+        if conservative and "pdist_packed" in frame:
+            pind = grid_pdist_keep(pose_pts, frame, th)
+            sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n, overflow = (
+                compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
+            )
+            return (sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n,
+                    overflow, pind)
         if conservative:
             pn = jax.lax.stop_gradient(
                 nearest_distance_fused(pose_pts, frame["pvertices"])

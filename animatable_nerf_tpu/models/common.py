@@ -19,6 +19,29 @@ def keep_mask_with_argmin(norm_vals, threshold):
     return mask | forced
 
 
+def grid_pdist_keep(pose_pts, frame, threshold):
+    """Conservative pass-1 keep mask from the per-frame packed
+    nearest-vertex distance grid (ops/knn_pallas.py
+    `build_pdist_payload`; present in `frame` only when the engine
+    attached it).
+
+    keep is a certified SUPERSET of {min-dist < threshold} and hence of
+    the exact IDW-weighted filter set (weighted mean of the 5 nearest
+    >= min) — callers re-apply the exact filter on the compacted
+    survivors, exactly like the min-distance pass-1 it replaces. The
+    widening covers the trilerp cell margin, bf16 corner round-off
+    (relative 2^-9 -> factor 1 + 2^-8 with headroom) and f32 trilerp
+    arithmetic (absolute 1e-5).
+    """
+    from ..core.grid import grid_trilerp_packed
+
+    mn, mx = frame["pdist_bounds"][0], frame["pdist_bounds"][1]
+    pts01 = (pose_pts - mn) / (mx - mn)
+    t = grid_trilerp_packed(frame["pdist_packed"], pts01, 1)[..., 0]
+    wth = (threshold + frame["pdist_margin"]) * (1.0 + 2.0 ** -8) + 1e-5
+    return keep_mask_with_argmin(t, wth)
+
+
 def inside_bounds(pts, bounds, pad: float = 0.0):
     """All-axes AABB membership: (N, 3), (2, 3) -> (N,) bool.
 

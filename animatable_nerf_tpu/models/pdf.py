@@ -44,6 +44,7 @@ from ..fields import (
 )
 from .common import (
     keep_mask_with_argmin,
+    grid_pdist_keep,
     inside_bounds,
     broadcast_viewdirs,
     raw_alpha_from_sigma,
@@ -58,6 +59,11 @@ NORM_TH = 0.1  # hard-coded in the pdf models (anisdf_pdf_network.py:172)
 
 class _PDFBase(nn.Module):
     """Shared displacement-field deformation."""
+
+    # engine gate: eval pass-1 filters by KNN distance, so a per-frame
+    # packed distance grid (ops/knn_pallas.py build_pdist_payload)
+    # accelerates it when attached to the frame dict
+    knn_pass1 = True
 
     num_latents: int
     tpose_viewdir: bool = True
@@ -114,15 +120,19 @@ class _PDFBase(nn.Module):
         c_keep) where sidx routes dead slots to the sorted sentinel
         row n.
 
-        `conservative` (eval path): pass 1 runs the min-distance-only
-        Pallas kernel — the k-selection loop and one-hot value matmuls
-        of the full KNN are ~2/3 of its time, and min distance is a
-        lower bound of the IDW-weighted filter distance, so
-        {weighted < th} is a subset of {min < th}. The full KNN then
-        runs only on the compacted survivors and `c_keep` carries the
-        EXACT weighted-distance filter for the callers to re-apply
-        (None on the exact dense pass). All KNN outputs are data-only
-        (no param dependence), so the training grad never crosses them.
+        `conservative` (eval path): pass 1 runs on the per-frame packed
+        distance grid when the engine attached one (`pdist_packed` —
+        ops/knn_pallas.py build_pdist_payload; one 16-byte gather/point
+        instead of a 6890-vertex sweep) and otherwise the
+        min-distance-only Pallas kernel — the k-selection loop and
+        one-hot value matmuls of the full KNN are ~2/3 of its time.
+        Both are certified lower bounds of the IDW-weighted filter
+        distance, so {weighted < th} is a subset of the pass-1 keep.
+        The full KNN then runs only on the compacted survivors and
+        `c_keep` carries the EXACT weighted-distance filter for the
+        callers to re-apply (None on the exact dense pass). All KNN
+        outputs are data-only (no param dependence), so the training
+        grad never crosses them.
         """
         from ..ops.knn_pallas import (
             sample_blend_closest_points_fused, nearest_distance_fused,
@@ -131,10 +141,13 @@ class _PDFBase(nn.Module):
         cap = eval_capacity(pose_pts.shape[0], keep_frac)
         c_keep = None
         if conservative:
-            min_d = jax.lax.stop_gradient(
-                nearest_distance_fused(pose_pts, frame["pvertices"])
-            )
-            pind = keep_mask_with_argmin(min_d, NORM_TH)
+            if "pdist_packed" in frame:
+                pind = grid_pdist_keep(pose_pts, frame, NORM_TH)
+            else:
+                min_d = jax.lax.stop_gradient(
+                    nearest_distance_fused(pose_pts, frame["pvertices"])
+                )
+                pind = keep_mask_with_argmin(min_d, NORM_TH)
             sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n, ovf = (
                 compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
             )

@@ -202,6 +202,46 @@ def nearest_distance_fused(src, ref, chunk: int = 4096):
     return out.reshape(-1)[:N]
 
 
+def build_pdist_payload(vertices, res: int = 96, pad: float = 0.05):
+    """Per-frame conservative nearest-vertex distance grid, corner-packed.
+
+    Built ONCE per frame (engine._device_frame caches it across the
+    frame's views) and trilerp-gathered by the KNN-family eval pass-1
+    (models/common.py `grid_pdist_keep`) instead of running the
+    min-distance kernel over every sampled point: at whole-frame point
+    counts the min-distance sweep costs ~41 ms/M points vs ~4 ms/M for a
+    16-byte bf16 packed-row gather, and a 96^3 build is a fixed ~36 ms
+    per frame.
+
+    Conservativeness (certified, no data assumptions): d(., V) is
+    exactly 1-Lipschitz, grid nodes hold exact distances, and trilinear
+    interpolation satisfies |T(x) - d(x)| <= sum_i w_i |x - c_i| <=
+    0.5 * ||cell||_2 (per-axis marginal weights f(1-f) <= 1/4). Points
+    outside the grid clamp to the border; every vertex lies inside the
+    grid bounds, so the clamp projection onto the bounding box is
+    distance-nonincreasing toward every vertex and the border value
+    still lower-bounds d. bf16 corner storage adds a relative 2^-9
+    round-off absorbed by the reader's threshold widening.
+
+    Returns (packed (res-1,)^3 x8 bf16, margin () f32 = half cell
+    diagonal, bounds (2, 3) f32). Filter contract: a point can have
+    min-dist < th only if its trilerp < (th + margin)*(1 + 2^-8) + 1e-5.
+    """
+    from ..core.grid import pack_corner_volume
+
+    mn = vertices.min(axis=0) - pad
+    mx = vertices.max(axis=0) + pad
+    axes = [jnp.linspace(mn[a], mx[a], res) for a in range(3)]
+    gx, gy, gz = jnp.meshgrid(*axes, indexing="ij")
+    nodes = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    d = nearest_distance_fused(nodes, vertices).reshape(res, res, res)
+    packed = pack_corner_volume(d[..., None]).astype(jnp.bfloat16)
+    cell = (mx - mn) / (res - 1.0)
+    margin = 0.5 * jnp.linalg.norm(cell)
+    bounds = jnp.stack([mn, mx]).astype(jnp.float32)
+    return packed, margin.astype(jnp.float32), bounds
+
+
 def sample_blend_closest_points_fused(src, ref, values, k: int = 5,
                                       eps: float = 1e-8):
     """Dispatch: Pallas kernel on TPU, XLA twin elsewhere.

@@ -85,3 +85,58 @@ def test_overfit_one_frame_converges(synth_root, tmp_path):
     assert out["mse"] < 0.6 * early, (
         f"eval mse {out['mse']:.4f} vs initial train loss {early:.4f}"
     )
+
+
+def test_overfit_sdf_pdf_converges(synth_root, tmp_path):
+    """Flagship SDF-PDF end-to-end: the composite loss (img MSE + resd
+    reg + eikonal + SDF mask BCE) must drop while overfitting one
+    frame/view, and eval must run finite through the KNN/grid-filtered
+    compacted render. The geometric init starts as a sphere, so the
+    criterion is a solid decrease rather than AniNeRF's halving."""
+    opts = [
+        "train_dataset.data_root", synth_root,
+        "train_dataset.ann_file", os.path.join(synth_root, "annots.npy"),
+        "test_dataset.data_root", synth_root,
+        "test_dataset.ann_file", os.path.join(synth_root, "annots.npy"),
+        "network_module", "sdf_pdf",
+        "train_dataset_module", "tpose_pdf",
+        "test_dataset_module", "tpose_pdf",
+        "use_bigpose", "True",
+        "tpose_viewdir", "True",
+        "init_sdf", "",
+        "training_view", "[0]",
+        "test_view", "[0]",
+        "num_train_frame", "1",
+        "num_latent_code", "1",
+        "H", "48", "W", "48",
+        "N_rand", "128",
+        "N_samples", "32",
+        "ep_iter", "25",
+        "log_interval", "25",
+        "record_interval", "1",
+        "exp_name", "test_convergence_sdf",
+        "record_dir", str(tmp_path / "record_sdf"),
+        "trained_model_dir", str(tmp_path / "model_sdf"),
+        "result_dir", str(tmp_path / "result_sdf"),
+        "resume", "False",
+        "fix_random", "True",
+    ]
+    cfg = load_config("configs/synthetic.yaml", opts=list(opts))
+    engine.run_train(cfg, epochs=2)
+
+    losses = _img_losses(cfg.record_dir)
+    assert len(losses) >= 40, f"expected ~50 logged steps, got {len(losses)}"
+    early = float(np.mean(losses[:5]))
+    late = float(np.mean(losses[-5:]))
+    assert late < 0.75 * early, (
+        f"SDF-PDF img_loss did not drop while overfitting: "
+        f"{early:.4f} -> {late:.4f}"
+    )
+
+    cfg2 = cfg.clone()
+    cfg2.eval = True
+    out = engine.run_evaluate(cfg2, max_items=1, save_images=False)
+    assert np.isfinite(out["psnr"]) and np.isfinite(out["ssim"])
+    assert out["mse"] < 1.2 * early, (
+        f"eval mse {out['mse']:.4f} vs initial train loss {early:.4f}"
+    )

@@ -270,6 +270,42 @@ def test_engine_capacity_ladder_and_interleave(droot):
     )
 
 
+def test_engine_pdf_grid_pass1_render(droot):
+    """KNN-family engines attach the per-frame packed distance grid
+    (knn_grid_res, engine._device_frame) and the grid-accelerated
+    compacted render equals the dense rung; the grid payload is cached
+    across views of the frame."""
+    import jax
+    from animatable_nerf_tpu.engine import Engine, make_dataset, eval_rays
+
+    cfg = make_cfg(droot, N_samples=8, training_view=[0],
+                   use_bigpose=True, eval_keep_frac=0.9)
+    cfg.num_latent_code = 3  # make_cfg bypasses the -1 resolver
+    cfg.network_module = "nerf_pdf"
+    cfg.train_dataset_module = "tpose_pdf"
+    cfg.test_dataset_module = "tpose_pdf"
+    eng = Engine(cfg)
+    assert eng._pdist_jit is not None
+    ds = make_dataset(cfg, "test")
+    item = ds[0]
+    params = eng.init_params(jax.random.PRNGKey(0), dataset=ds)
+
+    out, n_valid = eng.render_item(params, item)
+    frame = eng._device_frame(item)
+    assert "pdist_packed" in frame and "pdist_bounds" in frame
+
+    rays, _ = eval_rays(item, eng.settings.eval_tile)
+    dense = eng._eval_program(0.0, False)(params, rays, frame)
+    np.testing.assert_allclose(
+        out["rgb_map"], np.asarray(dense["rgb_map"])[:n_valid],
+        rtol=1e-5, atol=2e-5,
+    )
+
+    # aninerf (grid-family) engines must NOT build the payload
+    cfg2 = make_cfg(droot, N_samples=8, training_view=[0])
+    assert Engine(cfg2)._pdist_jit is None
+
+
 def test_image_size_batch_sampler():
     """Ported-for-parity ImageSizeBatchSampler (samplers.py:10-47):
     per-batch shared (h, w), divisor-32 round-up, origin strategy."""

@@ -293,6 +293,42 @@ def test_pdf_eval_compaction_matches_full_path(cls, data):
 
 
 @pytest.mark.parametrize(
+    "cls", [models.NeRFPDF, models.SDFPDF, models.NeuSPDF,
+            models.AlignedLBW]
+)
+def test_eval_compaction_grid_pass1_matches_full_path(cls, data):
+    """With the per-frame packed distance grid attached (the engine's
+    knn_grid_res fast path), pass 1 keeps a certified superset and the
+    exact filter is re-applied on the compacted stream — the eval output
+    must equal the dense masked path bit-for-bit at test tolerance."""
+    import functools
+    from animatable_nerf_tpu.ops.knn_pallas import build_pdist_payload
+
+    frame, (wpts, vd, z) = data
+    packed, margin, bounds = jax.jit(
+        functools.partial(build_pdist_payload, res=12)
+    )(frame["pvertices"])
+    gframe = {**frame, "pdist_packed": packed, "pdist_margin": margin,
+              "pdist_bounds": bounds}
+    kw = {} if cls is not models.AlignedLBW else {"norm_th": 0.3}
+    m_full = cls(num_latents=3, eval_keep_frac=0.0, **kw)
+    m_comp = cls(num_latents=3, eval_keep_frac=1.0, **kw)
+    params = m_full.init(
+        jax.random.PRNGKey(0), wpts, vd, z, frame, train=False
+    )
+    out_full = jax.jit(
+        lambda p: m_full.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    out_comp = jax.jit(
+        lambda p: m_comp.apply(p, wpts, vd, z, gframe, train=False)
+    )(params)
+    np.testing.assert_allclose(
+        np.asarray(out_comp["raw"]), np.asarray(out_full["raw"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize(
     "cls", [models.AlignedLBW, models.AlignedSMPL, models.AlignedPBW]
 )
 def test_aligned_eval_compaction_matches_full_path(cls, data):

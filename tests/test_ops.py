@@ -242,3 +242,49 @@ def test_min_dist_pallas_interpret_matches_xla():
     vals = jnp.asarray(rng.rand(97, 24).astype(np.float32))
     _, wd = sample_blend_closest_points(src, ref, vals)
     assert np.all(out <= np.asarray(wd)[:, 0] + 1e-6)
+
+
+def test_pdist_grid_payload_conservative():
+    """build_pdist_payload + grid_pdist_keep: the packed bf16 distance
+    grid's keep set must contain EVERY point whose exact nearest-vertex
+    distance is below threshold (the pass-1 superset contract), for
+    queries inside and outside the grid bounds."""
+    import functools
+    from animatable_nerf_tpu.ops.knn_pallas import build_pdist_payload
+    from animatable_nerf_tpu.models.common import grid_pdist_keep
+
+    rng = np.random.RandomState(11)
+    verts = jnp.asarray((rng.randn(120, 3) * 0.3).astype(np.float32))
+    packed, margin, bounds = jax.jit(
+        functools.partial(build_pdist_payload, res=16)
+    )(verts)
+    assert packed.dtype == jnp.bfloat16
+    assert packed.shape == (15, 15, 15, 8)
+
+    # queries: a shell around the cloud plus far-outside points (border
+    # clamp must stay conservative via the convex-projection argument)
+    q = np.concatenate([
+        rng.randn(4000, 3).astype(np.float32) * 0.45,
+        rng.randn(200, 3).astype(np.float32) * 3.0,
+    ])
+    exact = np.sqrt(
+        ((q[:, None] - np.asarray(verts)[None]) ** 2).sum(-1).min(-1)
+    )
+    frame = {"pdist_packed": packed, "pdist_margin": margin,
+             "pdist_bounds": bounds}
+    for th in (0.05, 0.1, 0.3):
+        keep = np.asarray(grid_pdist_keep(jnp.asarray(q), frame, th))
+        assert keep[exact < th].all(), (
+            f"grid pass-1 dropped exact survivors at th={th}"
+        )
+        # and it should not degenerate to keep-everything: every kept
+        # IN-BOUNDS point is within the certified widened shell
+        # th + 2*margin (+ bf16/f32 slack), except the single forced
+        # argmin. (Out-of-bounds queries clamp to the border and may be
+        # over-kept — conservative by the convex-projection argument —
+        # but eval samples lie inside the padded body box.)
+        b = np.asarray(bounds)
+        inb = ((q >= b[0]) & (q <= b[1])).all(-1)
+        slack = (th + float(margin)) * (1 + 2 ** -7) + 1e-4
+        far_kept = keep & inb & (exact > slack + float(margin))
+        assert far_kept.sum() <= 1
