@@ -808,8 +808,18 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
     if cfg.train.get("frame_store_mb", 0) > 0:
         from .train.trainer import build_frame_store
 
+        # KNN-family models with train-time compaction: bake per-frame
+        # packed distance grids into the store so the train pass 1 runs
+        # as a conservative grid trilerp (models/pdf.py _train_compacted)
+        pdist_res = (
+            int(cfg.get("knn_grid_res", 64))
+            if (getattr(model, "knn_pass1", False)
+                and float(cfg.get("train_keep_frac", 0.0)) > 0)
+            else 0
+        )
         store = build_frame_store(
-            ds, mesh=mesh, max_mb=cfg.train.frame_store_mb
+            ds, mesh=mesh, max_mb=cfg.train.frame_store_mb,
+            pdist_res=pdist_res,
         )
 
     _eval_ctx: dict = {}

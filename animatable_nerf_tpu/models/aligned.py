@@ -284,13 +284,26 @@ class _AlignedBase(nn.Module):
         the params, and the compacted set is small."""
         from .common import scatter_compacted_raw
 
+        # grid pass-1 when the frame store carries the packed distance
+        # grid: pass 1 becomes a conservative superset, and the exact
+        # weighted filter is re-applied from the KNN prior this path
+        # already runs on the survivors (see models/pdf.py
+        # _train_compacted for the mask contract)
+        conservative = "pdist_packed" in frame
         sidx, sv, c_pose, c_vd, c_dists, _, n, ovf, _ = (
             self._compact_inputs(
-                pose_pts, vd, dists, z_flat, frame, self.train_keep_frac
+                pose_pts, vd, dists, z_flat, frame, self.train_keep_frac,
+                conservative=conservative,
             )
         )
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
-        c_init_pbw = self._compact_knn_prior(c_pose, frame)[0]
+        c_init_pbw, c_pnorm = self._compact_knn_prior(c_pose, frame)
+        surv = sv
+        if conservative:
+            th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
+            surv = sv & keep_mask_with_argmin(
+                jnp.where(sv, c_pnorm[..., 0], jnp.inf), th
+            )
         tpose, tdirs, extras = self._deform(
             c_pose, c_pose_dirs, frame, novel_pose=novel_pose,
             init_pbw=c_init_pbw,
@@ -298,7 +311,7 @@ class _AlignedBase(nn.Module):
         dirs = tdirs if self.tpose_viewdir else c_vd
         raw_c = self._head(tpose, dirs, c_dists, frame)
         inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
-        raw_c = jnp.where((sv & inside)[:, None], raw_c, 0.0)
+        raw_c = jnp.where((surv & inside)[:, None], raw_c, 0.0)
 
         out = {
             "raw": scatter_compacted_raw(
@@ -311,10 +324,10 @@ class _AlignedBase(nn.Module):
             tbw = self._canonical_bw(tpose, init_tbw, frame)
             out.update(
                 pbw=extras["pbw"], tbw=tbw,
-                bw_mask=self._bw_mask(raw_c, sv),
+                bw_mask=self._bw_mask(raw_c, surv),
             )
         if "resd" in extras:
-            out.update(resd=extras["resd"], resd_mask=sv)
+            out.update(resd=extras["resd"], resd_mask=surv)
         return out
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,

@@ -280,12 +280,16 @@ class NeRFPDF(_PDFBase):
                 pind=pind,
             )
         if train and self.train_keep_frac > 0:
-            sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _, _ = (
+            # grid pass-1 when the frame store carries the packed
+            # distance grid (see SDFPDF._train_compacted)
+            sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _, c_keep = (
                 self._compact_inputs(
                     pose_pts, vd, dists, z_vals.reshape(-1), frame,
                     self.train_keep_frac,
+                    conservative="pdist_packed" in frame,
                 )
             )
+            surv = sv if c_keep is None else (sv & c_keep)
             c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
             tpose, tdirs, _, resd = self._warp(
                 c_pose, c_pose_dirs, frame, pbw=c_pbw
@@ -293,13 +297,14 @@ class NeRFPDF(_PDFBase):
             dirs = tdirs if self.tpose_viewdir else c_vd
             raw_c = self._eval_head(tpose, dirs, c_dists, frame)
             inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
-            raw_c = jnp.where(inside[:, None], raw_c, 0.0)
+            keep = inside if c_keep is None else (inside & c_keep)
+            raw_c = jnp.where(keep[:, None], raw_c, 0.0)
             return {
                 "raw": self._scatter_raw(
                     raw_c, sv, sidx, n, n_rays, n_samples
                 ),
                 "resd": resd,
-                "resd_mask": sv,
+                "resd_mask": surv,
                 "compact_overflow": ovf,
             }
 
@@ -412,12 +417,20 @@ class SDFPDF(_PDFBase):
         scatters back with the reference's +10 masked fill
         (anisdf_pdf_network.py:218-219); the point-wise eikonal/resd
         regularizers stay on the compacted stream (masked means)."""
-        sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _, _ = (
+        # grid pass-1 when the frame store carries the per-frame packed
+        # distance grid: pass 1 is then a conservative superset and
+        # `c_keep` (the exact weighted filter on the survivors) must
+        # gate every mask that means "exact survivor" — loss and grads
+        # stay equal to the dense masked path (pinned by
+        # tests/test_trainer.py)
+        sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _, c_keep = (
             self._compact_inputs(
                 pose_pts, vd, dists, z_vals.reshape(-1), frame,
                 self.train_keep_frac,
+                conservative="pdist_packed" in frame,
             )
         )
+        surv = sv if c_keep is None else (sv & c_keep)
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
         tpose, tdirs, init_bigpose, resd = self._warp(
             c_pose, c_pose_dirs, frame, pbw=c_pbw
@@ -433,25 +446,28 @@ class SDFPDF(_PDFBase):
         )
         raw_c = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
         inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
-        raw_c = jnp.where(inside[:, None], raw_c, 0.0)
+        raw_c = jnp.where(
+            inside[:, None] if c_keep is None else (inside & c_keep)[:, None],
+            raw_c, 0.0,
+        )
 
         # dense (R, S) sdf for the silhouette tensors; non-survivors and
         # dead slots carry the +10 fill
-        sdf_c = jnp.where(sv, sdf[..., 0], 10.0)
+        sdf_c = jnp.where(surv, sdf[..., 0], 10.0)
         sdf_full = jnp.full((n + 1,), 10.0).at[sidx].set(
             sdf_c, mode="drop", indices_are_sorted=True
         )[:n]
 
-        og_mask = sv & (
+        og_mask = surv & (
             jnp.abs(jax.lax.stop_gradient(sdf[..., 0])) < 0.02
         )
         return {
             "raw": self._scatter_raw(raw_c, sv, sidx, n, n_rays, n_samples),
             "sdf": sdf_full.reshape(n_rays, n_samples),
             "resd": resd,
-            "resd_mask": sv,
+            "resd_mask": surv,
             "gradients": gradients,
-            "grad_mask": sv,
+            "grad_mask": surv,
             "observed_gradients": self._observed_grad(
                 jax.lax.stop_gradient(init_bigpose), frame
             ),

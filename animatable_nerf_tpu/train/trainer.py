@@ -93,10 +93,18 @@ FRAME_STORE_KEYS = tuple(
 )
 
 
-def build_frame_store(ds, mesh=None, max_mb: float = 4096.0):
+def build_frame_store(ds, mesh=None, max_mb: float = 4096.0,
+                      pdist_res: int = 0):
     """Upload all per-frame metadata (blend-weight grids, transforms,
     vertices, bounds) to the device ONCE; training steps then gather by
     frame slot instead of re-uploading ~tens of MB per step.
+
+    pdist_res > 0 (KNN-family models): also bake a per-frame packed
+    nearest-vertex distance grid (ops/knn_pallas.py build_pdist_payload)
+    into the store — the train-time survivor compaction then runs its
+    pass 1 as a conservative grid trilerp instead of a full KNN sweep
+    over every sampled point (models/pdf.py _train_compacted). Counted
+    against max_mb like every other key.
 
     Why: the reference streams the full batch host->GPU every iteration
     (trainer.py:27-40 `to_cuda`); over PCIe that is cheap, but the
@@ -128,6 +136,17 @@ def build_frame_store(ds, mesh=None, max_mb: float = 4096.0):
         )
     if rng_state is not None:
         rng.set_state(rng_state)
+    if pdist_res > 1 and payloads and "pvertices" in payloads[0]:
+        import functools
+
+        from ..ops.knn_pallas import build_pdist_payload
+
+        build = jax.jit(functools.partial(build_pdist_payload, res=pdist_res))
+        for p in payloads:
+            packed, margin, bnds = build(jnp.asarray(p["pvertices"]))
+            p["pdist_packed"] = np.asarray(packed)
+            p["pdist_margin"] = np.asarray(margin)
+            p["pdist_bounds"] = np.asarray(bnds)
     static, per_frame = {}, {}
     for k in payloads[0]:
         vals = [p[k] for p in payloads]

@@ -184,6 +184,51 @@ def test_frame_store_budget_fallback():
     assert build_frame_store(ds, max_mb=1e-6) is None
 
 
+def test_frame_store_bakes_pdist_grids():
+    """build_frame_store(pdist_res=...) bakes per-frame packed distance
+    grids; assemble_from_store threads them into the batch; the grid
+    values agree with a direct build for the gathered frame."""
+    import functools
+
+    from animatable_nerf_tpu.ops.knn_pallas import build_pdist_payload
+    from animatable_nerf_tpu.train.trainer import (
+        build_frame_store, assemble_from_store, _store_args,
+    )
+
+    cfg = _tiny_cfg()
+    rng = np.random.RandomState(13)
+    items = []
+    frames = []
+    for fi in range(2):
+        item = _item(rng, cfg)
+        item["frame_index"] = fi
+        item["pvertices"] = (rng.randn(60, 3) * 0.3).astype(np.float32)
+        frames.append(item)
+        items.extend([item, dict(item)])  # num_cams = 2 views per frame
+    ds = _FrameDS(items)
+    store = build_frame_store(ds, pdist_res=8)
+    assert "pdist_packed" in store["per_frame"]
+    assert store["per_frame"]["pdist_packed"].shape == (2, 7, 7, 7, 8)
+
+    batch = stack_batch(
+        [collate_rays(frames[1], cfg.N_rand, frame_slot=1)]
+    )
+    full = assemble_from_store(
+        {k: jnp.asarray(v) for k, v in batch.items()}, _store_args(store)
+    )
+    ref_packed, ref_margin, ref_bounds = jax.jit(
+        functools.partial(build_pdist_payload, res=8)
+    )(jnp.asarray(frames[1]["pvertices"]))
+    np.testing.assert_array_equal(
+        np.asarray(full["pdist_packed"][0], np.float32),
+        np.asarray(ref_packed, np.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(full["pdist_bounds"][0]), np.asarray(ref_bounds),
+        rtol=1e-6,
+    )
+
+
 def test_sdf_pdf_train_step_sharded():
     """Flagship SDF-PDF model: fused multi-step training over an
     8-device mesh (frame-axis DP, eikonal double-grad inside scan)."""
@@ -210,6 +255,36 @@ def test_sdf_pdf_train_step_sharded():
     losses = np.asarray(stats["loss"])
     assert losses.shape == (2,) and np.isfinite(losses).all()
     assert int(state.step) == 16
+
+    # compacted + grid pass-1 variant through the same sharded fused step
+    import functools
+
+    from animatable_nerf_tpu.ops.knn_pallas import build_pdist_payload
+
+    build = jax.jit(functools.partial(build_pdist_payload, res=8))
+    gitems = []
+    for it in items:
+        packed, margin, bounds = build(jnp.asarray(it["pvertices"]))
+        gitems.append({**it, "pdist_packed": np.asarray(packed),
+                       "pdist_margin": np.asarray(margin),
+                       "pdist_bounds": np.asarray(bounds)})
+    model_g = SDFPDF(num_latents=cfg.num_train_frame, train_keep_frac=1.0)
+    trainer_g = Trainer(cfg, model_g)
+    state_g = trainer_g.init_state(
+        jax.random.PRNGKey(0), stack_batch(gitems[:1])
+    )
+    gbatches = {
+        k: np.stack([stack_batch(gitems[s * 8:(s + 1) * 8])[k]
+                     for s in range(2)])
+        for k in gitems[0]
+    }
+    gbatches = shard_batch(gbatches, mesh, leading_steps=True)
+    state_g, stats_g = trainer_g.train_steps(
+        state_g, gbatches, jax.random.PRNGKey(2)
+    )
+    g_losses = np.asarray(stats_g["loss"])
+    assert g_losses.shape == (2,) and np.isfinite(g_losses).all()
+    assert float(np.asarray(stats_g["compact_overflow"]).max()) == 0.0
 
 
 def test_animation_trainer_inherited_epoch(tmp_path):
@@ -375,6 +450,53 @@ def test_pdf_train_compaction_matches_dense(cls_name):
             )
     for a, b in zip(jax.tree_util.tree_leaves(s1_d.params),
                     jax.tree_util.tree_leaves(s1_c.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("cls_name", ["NeRFPDF", "SDFPDF", "AlignedLBW"])
+def test_train_compaction_grid_pass1_matches_dense(cls_name):
+    """With the per-frame packed distance grid in the batch (the frame
+    store's pdist_res path), the train-time compacted pass 1 keeps a
+    conservative superset and the exact filter is re-applied — loss and
+    post-Adam params must still equal the dense masked path."""
+    import functools
+
+    from animatable_nerf_tpu import models
+    from animatable_nerf_tpu.ops.knn_pallas import build_pdist_payload
+
+    cls = getattr(models, cls_name)
+    cfg = _tiny_cfg()
+    cfg.N_rand = 16
+    rng = np.random.RandomState(41)
+    item = collate_rays(_item(rng, cfg), cfg.N_rand)
+    packed, margin, bounds = jax.jit(
+        functools.partial(build_pdist_payload, res=12)
+    )(jnp.asarray(item["pvertices"]))
+    gitem = {**item, "pdist_packed": np.asarray(packed),
+             "pdist_margin": np.asarray(margin),
+             "pdist_bounds": np.asarray(bounds)}
+    key = jax.random.PRNGKey(6)
+
+    def run(frac, it):
+        kw = {"norm_th": 0.4} if cls_name == "AlignedLBW" else {}
+        model = cls(num_latents=cfg.num_train_frame, train_keep_frac=frac,
+                    **kw)
+        trainer = Trainer(cfg, model)
+        batch = stack_batch([it])
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        return trainer.train_step(state, batch, key)
+
+    s1_d, st_d = run(0.0, item)
+    s1_g, st_g = run(1.0, gitem)
+
+    assert float(st_g.get("compact_overflow", 1.0)) == 0.0
+    np.testing.assert_allclose(
+        float(st_g["loss"]), float(st_d["loss"]), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(s1_d.params),
+                    jax.tree_util.tree_leaves(s1_g.params)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--opts", nargs="*", default=[],
                     help="config key/value overrides, e.g. "
                          "--opts norm_th 0.05 train_keep_frac 0.25")
+    ap.add_argument("--n-verts", type=int, default=1380,
+                    help="SMPL cloud size (6890 = reference scale)")
     ap.add_argument("--stage2", action="store_true",
                     help="benchmark the stage-2 animation trainer "
                          "(novel-pose blend-weight consistency) instead "
@@ -59,7 +61,7 @@ def main():
     root = os.path.join(tmp, "human")
     # enough frames for the stage-2 window (which starts AFTER the
     # num_train_frame stage-1 frames)
-    generate_synthetic_dataset(root, n_frames=8)
+    generate_synthetic_dataset(root, n_frames=8, n_verts=args.n_verts)
 
     cfg = load_config("configs/synthetic.yaml", opts=list(args.opts))
     for split in ("train_dataset", "test_dataset"):
@@ -83,7 +85,15 @@ def main():
     if not args.no_store:
         from animatable_nerf_tpu.train.trainer import build_frame_store
 
-        store = build_frame_store(ds)
+        # mirror engine.run_train: KNN-family models with train-time
+        # compaction get per-frame packed distance grids in the store
+        pdist_res = (
+            int(cfg.get("knn_grid_res", 64))
+            if (getattr(model, "knn_pass1", False)
+                and float(cfg.get("train_keep_frac", 0.0)) > 0)
+            else 0
+        )
+        store = build_frame_store(ds, pdist_res=pdist_res)
     # distinct ray batches per step: the tunnel result-caches repeat
     # calls with bit-identical args (see CLAUDE.md) and real training
     # never repeats a batch anyway
