@@ -371,6 +371,52 @@ class Engine:
                 return i
         return fallback
 
+    def _sharded_program(self, frac: float):
+        """Jitted sharded whole-image program at capacity rung `frac`,
+        cached per frac (see parallel/eval_sharding.py)."""
+        key = (frac, "sharded")
+        if key not in self._eval_jits:
+            from .parallel.eval_sharding import make_sharded_render
+
+            model = self.model
+            if hasattr(model, "eval_keep_frac") and frac != float(
+                model.eval_keep_frac
+            ):
+                model = model.clone(eval_keep_frac=frac)
+            self._eval_jits[key] = make_sharded_render(
+                model, self.settings, self._mesh,
+                novel_pose=self.novel_pose,
+            )
+        return self._eval_jits[key]
+
+    def _run_ladder(self, run_at):
+        """Adaptive eval-capacity ladder around `run_at(frac) -> out`:
+        start at the remembered rung, escalate on overflow (the returned
+        `compact_count` is the TRUE worst-tile survivor count even on
+        overflow, so escalation jumps straight to a rung that fits; the
+        last rung is dense and always correct), and remember the
+        best-fitting rung for the next frame."""
+        level = min(self._eval_level, len(self._ladder) - 1)
+        last_count = None
+        while True:
+            out = dict(run_at(self._ladder[level]))
+            count = out.pop("compact_count", None)
+            if count is not None:
+                last_count = int(np.asarray(count).max())
+            if not bool(np.asarray(out.pop("compact_overflow", False)).any()):
+                break
+            dense = len(self._ladder) - 1
+            level = max(
+                level + 1,
+                self._pick_level(last_count, dense)
+                if last_count is not None else dense,
+            )
+        self._eval_level = (
+            self._pick_level(last_count, level)
+            if last_count is not None else level
+        )
+        return out
+
     def render_item(self, params, item, visibility: bool = False):
         use_vis = visibility and "msks" in item
         if use_vis:
@@ -378,65 +424,37 @@ class Engine:
         else:
             frame = self._device_frame(item)
 
-        if self._mesh is not None and not use_vis:
-            from .parallel.eval_sharding import render_image_sharded
-
-            n_dev = self._mesh.shape["dp"]
-            # bucket so every shape is divisible by n_dev * tile and the
-            # compiled-program set stays small
-            rays, n_valid = eval_rays(
-                item, self.settings.eval_tile * n_dev
-            )
-            out = dict(render_image_sharded(
-                self.model, params, rays, frame, self.settings,
-                self._mesh, novel_pose=self.novel_pose,
-            )[0])
-            out.pop("compact_count", None)
-            if bool(np.asarray(out.pop("compact_overflow", False))):
-                # sharded program overflowed its capacity: re-render
-                # through the (unsharded) dense rung — correct, slower
-                print(
-                    "[render] survivor compaction overflowed in the "
-                    "sharded eval; falling back to the dense render for "
-                    "this frame"
-                )
-                rays, n_valid = eval_rays(item, self.settings.eval_tile)
-                out = dict(self._eval_program(0.0, False)(params, rays, frame))
-                out.pop("compact_overflow", None)
-                out.pop("compact_count", None)
-            return (
-                {k: np.asarray(v)[:n_valid] for k, v in out.items()},
-                n_valid,
-            )
-
-        rays, n_valid = eval_rays(item, self.settings.eval_tile)
-        rays, inv = interleave_rays(rays, self.settings.eval_tile)
-        level = min(self._eval_level, len(self._ladder) - 1)
-        last_count = None
-        while True:
-            fn = self._eval_program(self._ladder[level], use_vis)
-            out = dict(
-                fn(params, rays, frame, *vis) if use_vis
-                else fn(params, rays, frame)
-            )
-            count = out.pop("compact_count", None)
-            if count is not None:
-                last_count = int(np.asarray(count))
-            if not bool(np.asarray(out.pop("compact_overflow", False))):
-                break
-            # `compact_count` is the TRUE worst-tile survivor count even
-            # on overflow — jump straight to a rung that fits
-            dense = len(self._ladder) - 1
-            level = max(
-                level + 1,
-                self._pick_level(last_count, dense)
-                if last_count is not None else dense,
-            )
-        # start the next frame at the best-fitting rung
-        self._eval_level = (
-            self._pick_level(last_count, level)
-            if last_count is not None else level
+        tile = self.settings.eval_tile
+        n_item = len(item["ray_o"])
+        use_mesh = (
+            self._mesh is not None and not use_vis
+            # sharding needs >= one eval tile of REAL rays per device;
+            # below that the bucket is mostly padding (whose points the
+            # adaptive ladder would size capacity for) and a single chip
+            # renders the frame faster anyway
+            and n_item >= tile * self._mesh.shape["dp"]
         )
+        if use_mesh:
+            # bucket so every shape is divisible by n_dev * tile and the
+            # compiled-program set stays small; stride-interleave so the
+            # worst tile (and worst device shard) tracks the global
+            # survivor fraction
+            n_dev = self._mesh.shape["dp"]
+            rays, n_valid = eval_rays(item, tile * n_dev)
+            rays, inv = interleave_rays(rays, tile)
+            out = self._run_ladder(
+                lambda frac: self._sharded_program(frac)(params, frame, rays)
+            )
+        else:
+            rays, n_valid = eval_rays(item, tile)
+            rays, inv = interleave_rays(rays, tile)
+            out = self._run_ladder(
+                lambda frac: (
+                    self._eval_program(frac, True)(params, rays, frame, *vis)
+                    if use_vis
+                    else self._eval_program(frac, False)(params, rays, frame)
+                )
+            )
         out = {k: np.asarray(v) for k, v in out.items()}
         if inv is not None:
             out = {k: v[inv] for k, v in out.items()}

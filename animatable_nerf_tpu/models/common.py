@@ -39,7 +39,13 @@ def grid_pdist_keep(pose_pts, frame, threshold):
     pts01 = (pose_pts - mn) / (mx - mn)
     t = grid_trilerp_packed(frame["pdist_packed"], pts01, 1)[..., 0]
     wth = (threshold + frame["pdist_margin"]) * (1.0 + 2.0 ** -8) + 1e-5
-    return keep_mask_with_argmin(t, wth)
+    # bbox pre-mask (exact-conservative): every vertex lies inside the
+    # grid bounds, so a point farther than `threshold` outside them
+    # cannot pass the true filter — this prunes far out-of-bounds points
+    # whose CLAMPED trilerp would otherwise read a small border value
+    # (e.g. the renderer's far-away pad rays)
+    inside = inside_bounds(pose_pts, frame["pdist_bounds"], pad=threshold)
+    return keep_mask_with_argmin(jnp.where(inside, t, jnp.inf), wth)
 
 
 def inside_bounds(pts, bounds, pad: float = 0.0):

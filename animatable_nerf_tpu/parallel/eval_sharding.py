@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..render.renderer import RenderSettings, render_image, pad_rays
@@ -23,6 +24,70 @@ try:  # jax >= 0.6 exposes shard_map at the top level
     from jax import shard_map as _shard_map
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def make_sharded_render(
+    model,
+    settings: RenderSettings,
+    mesh: Mesh,
+    axis: str = "dp",
+    novel_pose: bool = False,
+):
+    """Jitted sharded whole-image render: fn(params, frame, padded_rays).
+
+    `padded_rays` must already be padded so its length divides
+    mesh.shape[axis] * settings.eval_tile (eval_rays / pad_rays do
+    this). The returned callable is jit-cached by input shapes — build
+    it ONCE per (model, settings) and reuse across frames/items; the
+    shard_map and its out_specs are constructed at trace time.
+    """
+    n_dev = mesh.shape[axis]
+
+    def shard_fn(params, frame, shard_rays):
+        out = render_image(
+            model, params, shard_rays, frame, settings,
+            novel_pose=novel_pose,
+        )
+        # scalar flags cannot shard over dp; lift to (1,)
+        for k in ("compact_overflow", "compact_count"):
+            if k in out:
+                out[k] = jnp.reshape(out[k], (1,))
+        return out
+
+    @jax.jit
+    def fn(params, frame, padded):
+        ray_specs = {k: P(axis) for k in padded}
+        abstract = jax.eval_shape(
+            shard_fn,
+            jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+            ),
+            jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), frame
+            ),
+            jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(
+                    (x.shape[0] // n_dev, *x.shape[1:]), x.dtype
+                ),
+                padded,
+            ),
+        )
+        out_specs = {k: P(axis) for k in abstract}
+        out = _shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), ray_specs),
+            out_specs=out_specs,
+            check_vma=False,
+        )(params, frame, padded)
+        if "compact_overflow" in out:
+            out["compact_overflow"] = out["compact_overflow"].any()
+        if "compact_count" in out:
+            # per-device worst-tile counts -> global worst tile
+            out["compact_count"] = out["compact_count"].max()
+        return out
+
+    return fn
 
 
 def render_image_sharded(
@@ -38,61 +103,15 @@ def render_image_sharded(
     """Render a ray batch with the ray axis sharded over `mesh[axis]`.
 
     rays: un-padded per-ray dict. Returns (outputs dict, n_valid).
+    One-shot convenience wrapper over `make_sharded_render` (the engine
+    caches the built program per capacity rung instead).
     """
     n_dev = mesh.shape[axis]
     tile = settings.eval_tile
     n = rays["ray_o"].shape[0]
     per_dev = -(-n // (n_dev * tile)) * tile
     padded, n_valid = pad_rays(rays, per_dev * n_dev)
-
-    ray_specs = {k: P(axis) for k in padded}
-
-    def shard_fn(params, frame, shard_rays):
-        return render_image(
-            model, params, shard_rays, frame, settings,
-            novel_pose=novel_pose,
-        )
-
-    def shard_fn_wrapped(params, frame, shard_rays):
-        out = shard_fn(params, frame, shard_rays)
-        # scalar flags cannot shard over dp; lift to (1,)
-        import jax.numpy as jnp
-
-        for k in ("compact_overflow", "compact_count"):
-            if k in out:
-                out[k] = jnp.reshape(out[k], (1,))
-        return out
-
-    # run one abstract eval to learn the output keys
-    import jax as _jax
-
-    abstract = _jax.eval_shape(
-        shard_fn,
-        _jax.tree_util.tree_map(
-            lambda x: _jax.ShapeDtypeStruct(x.shape, x.dtype), params
-        ),
-        _jax.tree_util.tree_map(
-            lambda x: _jax.ShapeDtypeStruct(x.shape, x.dtype), frame
-        ),
-        _jax.tree_util.tree_map(
-            lambda x: _jax.ShapeDtypeStruct(
-                (x.shape[0] // n_dev, *x.shape[1:]), x.dtype
-            ),
-            padded,
-        ),
+    fn = make_sharded_render(
+        model, settings, mesh, axis=axis, novel_pose=novel_pose
     )
-    out_specs = {k: P(axis) for k in abstract}
-
-    fn = _shard_map(
-        shard_fn_wrapped,
-        mesh=mesh,
-        in_specs=(P(), P(), ray_specs),
-        out_specs=out_specs,
-        check_vma=False,
-    )
-    out = fn(params, frame, padded)
-    if "compact_overflow" in out:
-        out["compact_overflow"] = out["compact_overflow"].any()
-    if "compact_count" in out:
-        out["compact_count"] = out["compact_count"].max()
-    return out, n_valid
+    return fn(params, frame, padded), n_valid

@@ -58,7 +58,12 @@ def pad_rays(rays: dict, multiple: int):
     for k, v in rays.items():
         if pad:
             widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
-            v = np.pad(np.asarray(v), widths)
+            # pad ray origins FAR from the scene: zero-origin pad rays
+            # sample the body center and masquerade as survivors,
+            # inflating the compaction capacity the adaptive ladder
+            # sizes for (their output is masked either way)
+            cval = 1e4 if k == "ray_o" else 0
+            v = np.pad(np.asarray(v), widths, constant_values=cval)
         out[k] = v
     mask = np.zeros(padded_n, dtype=bool)
     mask[:n] = rays.get("mask", np.ones(n, dtype=bool))

@@ -270,6 +270,51 @@ def test_engine_capacity_ladder_and_interleave(droot):
     )
 
 
+def test_engine_sharded_ladder(droot):
+    """The sharded eval path runs the same adaptive capacity ladder as
+    the single-chip path (cached jitted shard_map programs per rung) and
+    matches the unsharded dense rung; frames smaller than one tile per
+    device fall back to the single-chip path."""
+    import jax
+    from animatable_nerf_tpu.engine import Engine, make_dataset, eval_rays
+
+    cfg = make_cfg(droot, N_samples=8, training_view=[0])
+    cfg.norm_th = 0.25
+    cfg.eval_keep_frac = 0.9
+    cfg.eval_tile = 128  # 8 devices x 128 = 1024 <= the 4096-ray frame
+    eng = Engine(cfg)
+    assert eng._mesh is not None
+    ds = make_dataset(cfg, "test")
+    item = ds[0]
+    params = eng.init_params(jax.random.PRNGKey(0), dataset=ds)
+
+    out, n_valid = eng.render_item(params, item)
+    # the ladder measured a count and settled on a compacted rung
+    assert eng._eval_level < len(eng._ladder) - 1
+
+    frame = eng._device_frame(item)
+    rays, _ = eval_rays(item, cfg.eval_tile)
+    dense = eng._eval_program(0.0, False)(params, rays, frame)
+    np.testing.assert_allclose(
+        out["rgb_map"], np.asarray(dense["rgb_map"])[:n_valid],
+        rtol=1e-5, atol=2e-5,
+    )
+
+    # a frame smaller than tile * n_dev takes the unsharded path
+    cfg2 = make_cfg(droot, N_samples=8, training_view=[0])
+    cfg2.norm_th = 0.25
+    cfg2.eval_keep_frac = 0.9
+    eng2 = Engine(cfg2)  # default eval_tile 8192 >> 4096-ray frame
+    out2, n2 = eng2.render_item(params, item)
+    assert not any(
+        isinstance(k, tuple) and k[-1] == "sharded" for k in eng2._eval_jits
+    )
+    np.testing.assert_allclose(
+        out2["rgb_map"], out["rgb_map"][: len(out2["rgb_map"])],
+        rtol=1e-5, atol=2e-5,
+    )
+
+
 def test_engine_pdf_grid_pass1_render(droot):
     """KNN-family engines attach the per-frame packed distance grid
     (knn_grid_res, engine._device_frame) and the grid-accelerated
