@@ -1,12 +1,17 @@
 """Benchmark: eval-render throughput (rays/sec/chip) on the flagship
 AniNeRF model.
 
-Protocol: one fused XLA program renders 262144 rays x 64 samples —
+Protocol: ONE fused XLA program renders 262144 rays x 64 samples —
 one full 512x512 eval frame, the aninerf_313 resolution (16.8M point
 queries; each point runs the blend-weight MLP, LBS warp,
 canonical-bw MLP and the NeRF trunk + heads — the same work the
 reference does per point in tpose_nerf_network.py:139-215, minus its
-2048-ray Python chunk loop). Steady-state median over repeated
+2048-ray Python chunk loop). The program is the PRODUCTION eval path
+(render_image: lax.map over 8192-ray tiles with per-tile survivor
+compaction — the same program Engine.render_item runs): measured
+1.59M vs 1.00M rays/s against the flat single-compaction formulation,
+because per-tile sorts are O(n log^2 tile) instead of O(n log^2 n) and
+tile working sets stay near VMEM. Steady-state median over repeated
 executions after a warmup.
 
 Baseline: the reference has no checked-in numbers (BASELINE.md); the
@@ -36,6 +41,7 @@ REFERENCE_A100_RAYS_PER_SEC = 20_000.0
 TARGET_FACTOR = 3.0
 N_RAYS = 262144  # one full 512x512 eval frame (aninerf_313: 1024^2 at ratio 0.5)
 N_SAMPLES = 64
+EVAL_TILE = 8192  # measured optimum (164.9 ms vs 262.7 flat, 200.6 @32k)
 WARMUP = 5
 REPS = 10
 
@@ -47,7 +53,8 @@ def main():
     import jax.numpy as jnp
 
     from animatable_nerf_tpu.models import AniNeRF
-    from animatable_nerf_tpu.render import RenderSettings, render_rays
+    from animatable_nerf_tpu.render import RenderSettings
+    from animatable_nerf_tpu.render.renderer import render_image
     import __graft_entry__ as ge
 
     rng = np.random.RandomState(0)
@@ -66,7 +73,9 @@ def main():
     # filtering, compositing stay f32). Quality-guarded below against
     # the f32 render.
     model_fast = AniNeRF(num_train_frames=60, dtype=jnp.bfloat16)
-    settings = RenderSettings(n_samples=N_SAMPLES, perturb=False)
+    settings = RenderSettings(
+        n_samples=N_SAMPLES, perturb=False, eval_tile=EVAL_TILE
+    )
     z = jnp.ones((N_RAYS, N_SAMPLES))
     params = jax.jit(
         lambda: model.init(
@@ -76,21 +85,24 @@ def main():
     )()
 
     # Adaptive survivor capacity (mirrors Engine.render_item's ladder):
-    # probe the true survivor count at the config capacity, then run the
-    # timed renders at the smallest capacity that holds it with 15%
-    # headroom — dead capacity slots pay full MLP/compaction cost.
+    # probe the true WORST-TILE survivor count at the config capacity
+    # (render_image's compact_count is the per-tile max; the bench rays
+    # are uniformly aimed, so tiles are balanced like the engine's
+    # stride interleave), then run the timed renders at the smallest
+    # per-tile capacity that holds it with 15% headroom — dead capacity
+    # slots pay full MLP/compaction cost.
     from animatable_nerf_tpu.models.common import eval_capacity
 
     probe = jax.jit(
-        lambda p, r: render_rays(
-            model, p, r, frame, settings, train=False
+        lambda p, r: render_image(
+            model, p, r, frame, settings
         )["compact_count"]
     )
-    count = int(np.asarray(probe(params, rays))[0])
+    count = int(np.asarray(probe(params, rays)))
     need = int(count * 1.15) + 1
     keep_frac = model.eval_keep_frac
     for frac in (keep_frac / 8, keep_frac / 4, keep_frac / 2):
-        if eval_capacity(N_RAYS * N_SAMPLES, frac) >= need:
+        if eval_capacity(EVAL_TILE * N_SAMPLES, frac) >= need:
             keep_frac = frac
             break
     model = model.clone(eval_keep_frac=keep_frac)
@@ -99,7 +111,7 @@ def main():
     def make_render(m):
         @jax.jit
         def render(params, rays):
-            out = render_rays(m, params, rays, frame, settings, train=False)
+            out = render_image(m, params, rays, frame, settings)
             # scalar checksum: fetching it to host forces full execution
             # (block_until_ready alone can return early on the remote
             # execution path)
@@ -151,6 +163,7 @@ def main():
                 "detail": {
                     "n_rays": N_RAYS,
                     "n_samples": N_SAMPLES,
+                    "eval_tile": EVAL_TILE,
                     "median_ms": round(dt * 1e3, 2),
                     "median_ms_f32": round(dt_f32 * 1e3, 2),
                     "compute_dtype": "bfloat16" if use_fast else "float32",
