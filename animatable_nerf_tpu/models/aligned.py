@@ -170,7 +170,8 @@ class _AlignedBase(nn.Module):
         )
 
     def _compact_inputs(self, pose_pts, vd, dists, z_flat, frame,
-                        keep_frac, conservative: bool = False):
+                        keep_frac, conservative: bool = False,
+                        cap_widen: float = 1.0):
         """Pass 1 shared by the eval AND train compacted paths: fused
         Pallas KNN distance filter (no (N, 6890) distance-matrix
         materialization; data-only, so stop_gradient is a no-op the
@@ -182,32 +183,32 @@ class _AlignedBase(nn.Module):
         IDW-weighted filter distance; see models/pdf.py
         _compact_inputs) — the eval path already runs the full KNN on
         the compacted set for the blend-weight prior and re-applies the
-        exact filter there."""
+        exact filter there. `cap_widen` scales the capacity (train
+        callers widen it for the conservative superset; the eval ladder
+        handles widening by escalation instead)."""
         from .common import compact_payload, eval_capacity, grid_pdist_keep
         from ..ops.knn_pallas import (
             sample_blend_closest_points_fused, nearest_distance_fused,
         )
 
-        cap = eval_capacity(pose_pts.shape[0], keep_frac)
+        cap = eval_capacity(
+            pose_pts.shape[0], min(keep_frac * cap_widen, 1.0)
+        )
         th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
         if conservative and "pdist_packed" in frame:
             pind = grid_pdist_keep(pose_pts, frame, th)
-            sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n, overflow = (
-                compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
-            )
-            return (sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n,
-                    overflow, pind)
-        if conservative:
-            pn = jax.lax.stop_gradient(
-                nearest_distance_fused(pose_pts, frame["pvertices"])
-            )
         else:
-            pn = jax.lax.stop_gradient(
-                sample_blend_closest_points_fused(
-                    pose_pts, frame["pvertices"], frame["weights"]
-                )[1]
-            )[..., 0]
-        pind = keep_mask_with_argmin(pn, th)
+            if conservative:
+                pn = jax.lax.stop_gradient(
+                    nearest_distance_fused(pose_pts, frame["pvertices"])
+                )
+            else:
+                pn = jax.lax.stop_gradient(
+                    sample_blend_closest_points_fused(
+                        pose_pts, frame["pvertices"], frame["weights"]
+                    )[1]
+                )[..., 0]
+            pind = keep_mask_with_argmin(pn, th)
         sidx, slot_valid, (c_pose, c_vd, c_dists, c_z), n, overflow = (
             compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
         )
@@ -294,6 +295,11 @@ class _AlignedBase(nn.Module):
             self._compact_inputs(
                 pose_pts, vd, dists, z_flat, frame, self.train_keep_frac,
                 conservative=conservative,
+                # the conservative superset keeps ~1.25x the exact set
+                # (measured; margin-widened shell) — widen the TRAIN
+                # capacity so configs tuned for the exact filter don't
+                # silently overflow (eval escalates its ladder instead)
+                cap_widen=1.3 if conservative else 1.0,
             )
         )
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])

@@ -30,15 +30,24 @@ def grid_pdist_keep(pose_pts, frame, threshold):
     >= min) — callers re-apply the exact filter on the compacted
     survivors, exactly like the min-distance pass-1 it replaces. The
     widening covers the trilerp cell margin, bf16 corner round-off
-    (relative 2^-9 -> factor 1 + 2^-8 with headroom) and f32 trilerp
-    arithmetic (absolute 1e-5).
+    (RTNE relative error up to 2^-8 for 8 significand bits -> factor
+    1 + 2^-7 for 2x headroom) and f32 trilerp arithmetic (absolute
+    1e-5).
+
+    Forced-argmin caveat (shared with the min-distance pass-1 and the
+    segment pre-filters): in a batch where NO point passes the filter,
+    the forced point is the argmin of the TRILERP bound, which may be a
+    different — equally out-of-shell — point than the dense path's
+    exact-distance argmin (and an arbitrary point if every sample is
+    outside the padded grid bounds). At most one sample differs, and
+    only in empty batches.
     """
     from ..core.grid import grid_trilerp_packed
 
     mn, mx = frame["pdist_bounds"][0], frame["pdist_bounds"][1]
     pts01 = (pose_pts - mn) / (mx - mn)
     t = grid_trilerp_packed(frame["pdist_packed"], pts01, 1)[..., 0]
-    wth = (threshold + frame["pdist_margin"]) * (1.0 + 2.0 ** -8) + 1e-5
+    wth = (threshold + frame["pdist_margin"]) * (1.0 + 2.0 ** -7) + 1e-5
     # bbox pre-mask (exact-conservative): every vertex lies inside the
     # grid bounds, so a point farther than `threshold` outside them
     # cannot pass the true filter — this prunes far out-of-bounds points

@@ -113,7 +113,8 @@ class _PDFBase(nn.Module):
         return keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
 
     def _compact_inputs(self, pose_pts, vd, dists, z_flat, frame,
-                        keep_frac, conservative: bool = False):
+                        keep_frac, conservative: bool = False,
+                        cap_widen: float = 1.0):
         """One KNN pass over all points -> filter -> fixed-capacity
         survivor compaction. Returns (sidx, slot_valid, compacted
         pose_pts / WORLD viewdirs / dists / z / pbw, n, overflow, pind,
@@ -132,13 +133,17 @@ class _PDFBase(nn.Module):
         `c_keep` carries the EXACT weighted-distance filter for the
         callers to re-apply (None on the exact dense pass). All KNN
         outputs are data-only (no param dependence), so the training
-        grad never crosses them.
+        grad never crosses them. `cap_widen` scales the capacity (train
+        callers widen it for the conservative superset; the eval ladder
+        handles widening by escalation instead).
         """
         from ..ops.knn_pallas import (
             sample_blend_closest_points_fused, nearest_distance_fused,
         )
 
-        cap = eval_capacity(pose_pts.shape[0], keep_frac)
+        cap = eval_capacity(
+            pose_pts.shape[0], min(keep_frac * cap_widen, 1.0)
+        )
         c_keep = None
         if conservative:
             if "pdist_packed" in frame:
@@ -282,11 +287,12 @@ class NeRFPDF(_PDFBase):
         if train and self.train_keep_frac > 0:
             # grid pass-1 when the frame store carries the packed
             # distance grid (see SDFPDF._train_compacted)
+            grid = "pdist_packed" in frame
             sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _, c_keep = (
                 self._compact_inputs(
                     pose_pts, vd, dists, z_vals.reshape(-1), frame,
-                    self.train_keep_frac,
-                    conservative="pdist_packed" in frame,
+                    self.train_keep_frac, conservative=grid,
+                    cap_widen=1.3 if grid else 1.0,
                 )
             )
             surv = sv if c_keep is None else (sv & c_keep)
@@ -423,11 +429,15 @@ class SDFPDF(_PDFBase):
         # gate every mask that means "exact survivor" — loss and grads
         # stay equal to the dense masked path (pinned by
         # tests/test_trainer.py)
+        grid = "pdist_packed" in frame
         sidx, sv, c_pose, c_vd, c_dists, _, c_pbw, n, ovf, _, c_keep = (
             self._compact_inputs(
                 pose_pts, vd, dists, z_vals.reshape(-1), frame,
-                self.train_keep_frac,
-                conservative="pdist_packed" in frame,
+                self.train_keep_frac, conservative=grid,
+                # the conservative superset keeps ~1.25x the exact set
+                # (measured) — widen the TRAIN capacity so configs tuned
+                # for the exact filter don't silently overflow
+                cap_widen=1.3 if grid else 1.0,
             )
         )
         surv = sv if c_keep is None else (sv & c_keep)

@@ -220,12 +220,14 @@ def build_pdist_payload(vertices, res: int = 96, pad: float = 0.05):
     outside the grid clamp to the border; every vertex lies inside the
     grid bounds, so the clamp projection onto the bounding box is
     distance-nonincreasing toward every vertex and the border value
-    still lower-bounds d. bf16 corner storage adds a relative 2^-9
-    round-off absorbed by the reader's threshold widening.
+    still lower-bounds d. bf16 corner storage adds up to 2^-8 relative
+    round-off (RTNE, 8 significand bits), absorbed by the reader's
+    threshold widening.
 
     Returns (packed (res-1,)^3 x8 bf16, margin () f32 = half cell
     diagonal, bounds (2, 3) f32). Filter contract: a point can have
-    min-dist < th only if its trilerp < (th + margin)*(1 + 2^-8) + 1e-5.
+    min-dist < th only if its trilerp < (th + margin)*(1 + 2^-7) + 1e-5
+    (models/common.py grid_pdist_keep).
     """
     from ..core.grid import pack_corner_volume
 
