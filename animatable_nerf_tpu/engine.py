@@ -727,7 +727,8 @@ def _periodic_eval(cfg, params, ctx):
     return evaluator.summarize()
 
 
-def run_train(cfg: Config, epochs: int | None = None, mesh=None):
+def run_train(cfg: Config, epochs: int | None = None, mesh=None,
+              guard=None):
     from .train.animation import AnimationTrainer
 
     if is_image_space(cfg):
@@ -840,26 +841,51 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None):
             pdist_res=pdist_res,
         )
 
+    # preemption safety (beyond the reference, which loses everything
+    # since the last save on SIGTERM): first signal -> finish the
+    # in-flight dispatch, save a resumable latest checkpoint, return
+    from .train.trainer import PreemptionGuard
+
+    if guard is None:
+        guard = PreemptionGuard()
     _eval_ctx: dict = {}
-    for epoch in range(begin_epoch, n_epochs):
-        state, key = trainer.train_epoch(
-            state, loader, recorder, key, epoch, max_iter, mesh=mesh,
-            log_interval=cfg.log_interval, record_interval=cfg.record_interval,
-            store=store,
-        )
-        if is_main:
-            if (epoch + 1) % cfg.save_ep == 0:
-                save_checkpoint(
-                    cfg.trained_model_dir, state.params, state.opt_state,
-                    epoch, int(state.step), recorder.state_dict(),
-                )
-            if (epoch + 1) % cfg.save_latest_ep == 0 or epoch == n_epochs - 1:
-                save_checkpoint(
-                    cfg.trained_model_dir, state.params, state.opt_state,
-                    epoch, int(state.step), recorder.state_dict(), latest=True,
-                )
-        if (epoch + 1) % cfg.eval_ep == 0 and not cfg.skip_eval and is_main:
-            _periodic_eval(cfg, state.params, _eval_ctx)
+    try:
+        for epoch in range(begin_epoch, n_epochs):
+            state, key = trainer.train_epoch(
+                state, loader, recorder, key, epoch, max_iter, mesh=mesh,
+                log_interval=cfg.log_interval,
+                record_interval=cfg.record_interval,
+                store=store, guard=guard,
+            )
+            if guard.should_stop:
+                if is_main:
+                    save_checkpoint(
+                        cfg.trained_model_dir, state.params, state.opt_state,
+                        epoch, int(state.step), recorder.state_dict(),
+                        latest=True,
+                    )
+                    print(
+                        f"[train] preempted at epoch {epoch}: saved latest "
+                        f"checkpoint (step {int(state.step)}); resume with "
+                        "`resume True`"
+                    )
+                return state
+            if is_main:
+                if (epoch + 1) % cfg.save_ep == 0:
+                    save_checkpoint(
+                        cfg.trained_model_dir, state.params, state.opt_state,
+                        epoch, int(state.step), recorder.state_dict(),
+                    )
+                if (epoch + 1) % cfg.save_latest_ep == 0 or epoch == n_epochs - 1:
+                    save_checkpoint(
+                        cfg.trained_model_dir, state.params, state.opt_state,
+                        epoch, int(state.step), recorder.state_dict(),
+                        latest=True,
+                    )
+            if (epoch + 1) % cfg.eval_ep == 0 and not cfg.skip_eval and is_main:
+                _periodic_eval(cfg, state.params, _eval_ctx)
+    finally:
+        guard.restore()
     return state
 
 

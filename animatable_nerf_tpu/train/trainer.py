@@ -38,6 +38,48 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+class PreemptionGuard:
+    """SIGTERM/SIGINT-safe training.
+
+    The reference has no preemption handling (SURVEY §5: recovery is
+    resumable checkpoints only; a killed run loses everything since the
+    last save_latest_ep epoch). Production TPU pools send SIGTERM
+    before reclaiming a slice — this guard converts the first signal
+    into a cooperative stop: train_epoch checks `should_stop` between
+    dispatches, run_train saves a resumable `latest` checkpoint and
+    returns cleanly. The original handlers are restored after the
+    first signal, so a second SIGINT/SIGTERM still kills the process
+    the default way.
+    """
+
+    def __init__(self, signums=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.should_stop = False
+        self._prev = {}
+        if signums is None:
+            signums = (_signal.SIGTERM, _signal.SIGINT)
+        try:
+            for s in signums:
+                self._prev[s] = _signal.signal(s, self._handle)
+        except ValueError:  # not the main thread: run unguarded
+            self._prev = {}
+
+    def _handle(self, signum, frame):
+        self.should_stop = True
+        self.restore()  # second signal falls through to the default
+        print(
+            f"[train] received signal {signum}: saving a resumable "
+            "checkpoint at the next step boundary, then exiting"
+        )
+
+    def restore(self):
+        for s, h in self._prev.items():
+            self._signal.signal(s, h)
+        self._prev = {}
+
+
 def collate_rays(item: dict, n_rays: int, frame_slot: int | None = None):
     """Trim/pad one dataset item's ray arrays to exactly n_rays (static
     shapes; the reference's sampler can overshoot N_rand and the eval
@@ -428,8 +470,13 @@ class Trainer:
     # ------------------------------------------------------------- loop
     def train_epoch(self, state, loader, recorder, key, epoch: int,
                     max_iter: int, mesh=None, log_interval: int = 20,
-                    record_interval: int = 20, store=None):
-        """One epoch over the loader (trainer.py:50-102 semantics)."""
+                    record_interval: int = 20, store=None, guard=None):
+        """One epoch over the loader (trainer.py:50-102 semantics).
+
+        `guard` (PreemptionGuard): when its should_stop flips, the loop
+        exits at the next dispatch boundary (pending partial batches are
+        dropped — the caller checkpoints and the resumed run replays
+        them)."""
         loader.set_epoch(epoch)
         recorder.epoch = epoch
         n_rays = self.cfg.N_rand
@@ -502,6 +549,8 @@ class Trainer:
             return collate_rays(item, n_rays, frame_slot=slot)
 
         for item in loader:
+            if guard is not None and guard.should_stop:
+                return state, key
             items.append(collate(item))
             if len(items) < batch_frames:
                 continue

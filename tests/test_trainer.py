@@ -173,6 +173,82 @@ def test_frame_store_matches_embedded_frames():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_preemption_guard_signal_and_epoch_stop():
+    """PreemptionGuard: the first SIGTERM flips should_stop and restores
+    the default handler; a guarded train_epoch exits at the next
+    dispatch boundary without consuming the loader."""
+    import os
+    import signal
+
+    from animatable_nerf_tpu.train.trainer import PreemptionGuard
+    from animatable_nerf_tpu.train.recorder import Recorder
+
+    guard = PreemptionGuard(signums=(signal.SIGUSR1,))
+    assert not guard.should_stop
+    os.kill(os.getpid(), signal.SIGUSR1)
+    # delivery is synchronous in the main thread at the next bytecode
+    assert guard.should_stop
+    # handler restored: a second signal would take the default path
+    assert signal.getsignal(signal.SIGUSR1) is not guard._handle
+
+    cfg = _tiny_cfg()
+    trainer, state, items = _make(cfg, 3)
+    consumed = []
+
+    class _Loader:
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            for it in items:
+                consumed.append(1)
+                yield it
+
+    rec = Recorder(None, is_main=False)
+    state2, _ = trainer.train_epoch(
+        state, _Loader(), rec, jax.random.PRNGKey(0), 0, 10, guard=guard
+    )
+    assert consumed == [1]  # stopped at the first dispatch boundary
+    assert state2 is state  # no step ran
+
+
+def test_run_train_preempted_saves_latest(tmp_path):
+    """A preempted run_train saves a resumable latest checkpoint and
+    returns instead of finishing its epochs."""
+    import os as _os
+
+    from animatable_nerf_tpu import engine
+    from animatable_nerf_tpu.config import load_config
+    from animatable_nerf_tpu.data import generate_synthetic_dataset
+    from animatable_nerf_tpu.train.trainer import PreemptionGuard
+
+    root = str(tmp_path / "human")
+    generate_synthetic_dataset(root, n_frames=1, n_views=1, image_size=48,
+                               n_verts=200, n_blobs=32)
+    opts = [
+        "train_dataset.data_root", root,
+        "train_dataset.ann_file", _os.path.join(root, "annots.npy"),
+        "test_dataset.data_root", root,
+        "test_dataset.ann_file", _os.path.join(root, "annots.npy"),
+        "training_view", "[0]", "num_train_frame", "1",
+        "H", "48", "W", "48", "N_rand", "32", "N_samples", "8",
+        "ep_iter", "2", "log_interval", "100",
+        "exp_name", "test_preempt",
+        "record_dir", str(tmp_path / "rec"),
+        "trained_model_dir", str(tmp_path / "model"),
+        "result_dir", str(tmp_path / "res"),
+        "resume", "False",
+    ]
+    cfg = load_config("configs/synthetic.yaml", opts=opts)
+
+    guard = PreemptionGuard(signums=())
+    guard.should_stop = True  # pre-tripped: preempted before epoch 1
+    engine.run_train(cfg, epochs=5, guard=guard)
+    assert _os.path.exists(
+        _os.path.join(cfg.trained_model_dir, "latest.flax")
+    )
+
+
 def test_frame_store_budget_fallback():
     from animatable_nerf_tpu.train.trainer import build_frame_store
 
