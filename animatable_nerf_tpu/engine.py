@@ -211,11 +211,25 @@ class Engine:
         # measured worst-tile survivor count (`compact_count`) to pick
         # the rung for the next frame. Programs are built lazily per
         # rung and cached for the session.
+        #
+        # Rungs are QUANTIZED CAPACITIES (4096-point quanta per tile up
+        # to the config capacity), not /8 /4 /2 fractions: the render is
+        # ~linear in capacity at ~7.5% per 2x rung (BASELINE.md), and a
+        # scene settles on 1-2 compiled rungs either way — the fine
+        # quanta just land them at the measured need instead of up to
+        # 2x above it. The 256-point nudge keeps eval_capacity's
+        # int(n*frac) from rounding a quantum down through float error.
         f = float(getattr(self.model, "eval_keep_frac", 0.0) or 0.0)
-        self._ladder = (
-            sorted({round(f / 8, 6), round(f / 4, 6), round(f / 2, 6), f})
-            if f > 0 else []
-        )
+        self._ladder = []
+        if f > 0:
+            pts = self.settings.eval_tile * (
+                self.settings.n_samples + self.settings.n_importance
+            )
+            cap_max = max(512, int(pts * f) // 512 * 512)
+            caps = list(range(4096, cap_max + 1, 4096))
+            if not caps or caps[-1] != cap_max:
+                caps.append(cap_max)
+            self._ladder = [(c + 256) / pts for c in caps]
         self._ladder.append(0.0)  # dense rung (no compaction)
         self._eval_level = 0
         self._eval_jits: dict = {}

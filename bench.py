@@ -100,11 +100,15 @@ def main():
     )
     count = int(np.asarray(probe(params, rays)))
     need = int(count * 1.15) + 1
-    keep_frac = model.eval_keep_frac
-    for frac in (keep_frac / 8, keep_frac / 4, keep_frac / 2):
-        if eval_capacity(EVAL_TILE * N_SAMPLES, frac) >= need:
-            keep_frac = frac
-            break
+    # quantized-capacity rung (engine ladder semantics): the measured
+    # worst-tile need rounded up to a 4096-point quantum
+    pts_per_tile = EVAL_TILE * N_SAMPLES
+    cap_max = eval_capacity(pts_per_tile, model.eval_keep_frac)
+    cap_q = min(-(-need // 4096) * 4096, cap_max)
+    keep_frac = (
+        (cap_q + 256) / pts_per_tile if cap_q < cap_max
+        else model.eval_keep_frac
+    )
     model = model.clone(eval_keep_frac=keep_frac)
     model_fast = model_fast.clone(eval_keep_frac=keep_frac)
 
