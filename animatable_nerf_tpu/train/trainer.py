@@ -488,9 +488,25 @@ class Trainer:
         # the mesh may span fewer devices)
         batch_frames = mesh.shape["dp"] if mesh is not None else 1
 
+        warned_overflow = [False]
+
         def log_stats(state, stats_host, n_inner, batch_time, data_time):
             """Per-inner-step recorder updates for one dispatch of
             n_inner steps (stats_host leaves shaped (n_inner,) or ())."""
+            # survivor-compaction overflow DROPS in-shell points and the
+            # step trains on wrong gradients (measured: an always-
+            # overflowing run plateaus at 270x the converged loss,
+            # BASELINE.md) — make it loud, once per epoch
+            ovf = stats_host.get("compact_overflow")
+            if (ovf is not None and not warned_overflow[0]
+                    and float(np.max(ovf)) > 0):
+                warned_overflow[0] = True
+                print(
+                    "[train] WARNING: train-time survivor compaction "
+                    "overflowed — survivors were dropped and gradients "
+                    "are biased. Raise train_keep_frac (capacity) or "
+                    "lower norm_th for this scene."
+                )
             per_step = batch_time / n_inner
             for i in range(n_inner):
                 recorder.step += 1
