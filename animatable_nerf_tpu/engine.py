@@ -562,18 +562,35 @@ def run_dataset(cfg: Config, max_items: int = 20):
 
 
 def run_network(cfg: Config, n_iters: int = 10):
-    """Forward latency benchmark (run.py:14-38)."""
+    """Forward latency benchmark (run.py:14-38).
+
+    `profile_dir <path>` additionally captures a jax.profiler trace of
+    the post-warmup frames (XLA ops, fusion boundaries, Pallas kernels;
+    view in TensorBoard's Profile tab) — the reference's harness offers
+    wall-clock only (SURVEY §5 tracing)."""
+    import contextlib
+
     eng = Engine(cfg)
     ds = make_dataset(cfg, "test")
     loader = make_test_loader(cfg, ds)
     params = eng.load_params(eng.init_params(jax.random.PRNGKey(0), ds))
+    profile_dir = cfg.get("profile_dir", "")
     times = []
+    trace = contextlib.nullcontext()
     for i, item in enumerate(loader):
         if i >= n_iters:
             break
+        if i == 1 and profile_dir:  # skip the compile/warmup frame
+            from .utils.profiling import profile_trace
+
+            trace = profile_trace(profile_dir)
+            trace.__enter__()
         t0 = time.time()
         out, _ = eng.render_item(params, item)
         times.append(time.time() - t0)
+    if profile_dir and not isinstance(trace, contextlib.nullcontext):
+        trace.__exit__(None, None, None)
+        print(f"profiler trace written to {profile_dir}")
     mean = float(np.mean(times[1:])) if len(times) > 1 else float(np.mean(times))
     print(f"mean forward: {mean:.4f}s over {len(times)} frames")
     return mean
