@@ -121,13 +121,17 @@ def export_ply(path, verts, faces):
     )
     with open(path, "wb") as f:
         f.write(header.encode())
-        f.write(verts.astype("<f4").tobytes())
-        counts = np.full((len(faces), 1), 3, dtype=np.uint8)
-        body = np.concatenate(
-            [counts.view(np.uint8), faces.astype("<i4").view(np.uint8).reshape(len(faces), -1)],
-            axis=1,
-        )
-        f.write(body.tobytes())
+        f.write(np.asarray(verts).astype("<f4").tobytes())
+        if len(faces):  # an empty mesh (e.g. under-trained density
+            # below mesh_th) still writes a valid 0-element PLY
+            counts = np.full((len(faces), 1), 3, dtype=np.uint8)
+            body = np.concatenate(
+                [counts.view(np.uint8),
+                 np.asarray(faces).astype("<i4").view(np.uint8)
+                 .reshape(len(faces), -1)],
+                axis=1,
+            )
+            f.write(body.tobytes())
 
 
 def load_obj(path):
