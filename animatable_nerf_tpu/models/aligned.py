@@ -227,9 +227,10 @@ class _AlignedBase(nn.Module):
         )
 
     def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
-                        novel_pose, n_rays, n_samples, precomposite):
+                        novel_pose, n_rays, n_samples, precomposite,
+                        inside_fn=None, wpts_flat=None):
         """Survivor-compacted eval render (see models/aninerf.py)."""
-        from .common import scatter_compacted_raw, survivor_count
+        from .common import scatter_compacted_raw, survivor_count, take_rows
 
         sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n, overflow, pind = (
             self._compact_inputs(
@@ -252,6 +253,10 @@ class _AlignedBase(nn.Module):
         c_keep = keep_mask_with_argmin(
             jnp.where(slot_valid, c_pnorm[..., 0], jnp.inf), th
         )
+        if inside_fn is not None:
+            # multi-view visibility carve on the survivors only (see
+            # models/aninerf.py __call__)
+            c_keep = c_keep & inside_fn(take_rows(wpts_flat, sidx))
         raw_c = jnp.where((inside & c_keep)[:, None], raw_c, 0.0)
         if precomposite:
             from ..core.composite import composite_compacted
@@ -338,7 +343,7 @@ class _AlignedBase(nn.Module):
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
                  novel_pose: bool = False, precomposite: bool = False,
-                 analytic_z: bool = False):
+                 analytic_z: bool = False, inside_fn=None):
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)
@@ -349,7 +354,8 @@ class _AlignedBase(nn.Module):
         if not train and self.eval_keep_frac > 0:
             return self._eval_compacted(
                 pose_pts, vd, dists, z_vals.reshape(-1), frame,
-                novel_pose, n_rays, n_samples, precomposite
+                novel_pose, n_rays, n_samples, precomposite,
+                inside_fn=inside_fn, wpts_flat=pts,
             )
         if train and self.train_keep_frac > 0:
             return self._train_compacted(

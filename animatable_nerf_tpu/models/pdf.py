@@ -255,7 +255,8 @@ class NeRFPDF(_PDFBase):
         return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
-                 precomposite: bool = False, analytic_z: bool = False):
+                 precomposite: bool = False, analytic_z: bool = False,
+                 inside_fn=None):
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)
@@ -278,7 +279,13 @@ class NeRFPDF(_PDFBase):
             inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
             # exact weighted-distance filter on the compacted stream
             # (pass 1 was the conservative min-distance superset)
-            raw_c = jnp.where((inside & c_keep)[:, None], raw_c, 0.0)
+            keep = inside & c_keep
+            if inside_fn is not None:
+                # visibility carve on the survivors (models/aninerf.py)
+                from .common import take_rows
+
+                keep = keep & inside_fn(take_rows(pts, sidx))
+            raw_c = jnp.where(keep[:, None], raw_c, 0.0)
             return self._compact_finish(
                 raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
                 ovf, ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
@@ -486,7 +493,8 @@ class SDFPDF(_PDFBase):
         }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
-                 precomposite: bool = False, analytic_z: bool = False):
+                 precomposite: bool = False, analytic_z: bool = False,
+                 inside_fn=None):
         n_rays, n_samples = z_vals.shape
         pts = wpts.reshape(-1, 3)
         vd = broadcast_viewdirs(viewdir, n_samples)
@@ -511,7 +519,13 @@ class SDFPDF(_PDFBase):
             inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
             # exact weighted-distance filter on the compacted stream
             # (pass 1 was the conservative min-distance superset)
-            raw_c = jnp.where((inside & c_keep)[:, None], raw_c, 0.0)
+            keep = inside & c_keep
+            if inside_fn is not None:
+                # visibility carve on the survivors (models/aninerf.py)
+                from .common import take_rows
+
+                keep = keep & inside_fn(take_rows(pts, sidx))
+            raw_c = jnp.where(keep[:, None], raw_c, 0.0)
             return self._compact_finish(
                 raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
                 ovf, ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
@@ -580,7 +594,7 @@ class NeuSPDF(SDFPDF):
         )
 
     def _eval_compacted_neus(self, pose_pts, vd, z_flat, frame, n_rays,
-                             n_samples):
+                             n_samples, inside_fn=None, wpts_flat=None):
         """Eval compaction for the NeuS variant.
 
         NeuS opacity needs the ray-ordered DENSE sdf grid (the reference
@@ -608,6 +622,13 @@ class NeuSPDF(SDFPDF):
         )
         inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
         keep = c_keep & inside
+        if inside_fn is not None:
+            # visibility carve on the survivors (models/aninerf.py);
+            # zeroes rgb AND the alpha gate (dense[..., 4]) like the
+            # dense renderer's raw * vis
+            from .common import take_rows
+
+            keep = keep & inside_fn(take_rows(wpts_flat, sidx))
 
         # dense sdf grid with the reference's +10 fill: scatter
         # (sdf - 10) with zero fill, then shift back
@@ -632,7 +653,8 @@ class NeuSPDF(SDFPDF):
         }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
-                 precomposite: bool = False, analytic_z: bool = False):
+                 precomposite: bool = False, analytic_z: bool = False,
+                 inside_fn=None):
         # NeuS alpha needs per-ray consecutive samples — the compacted
         # eval path scatters the sdf back densely for the alpha
         # conversion (precomposite is never applicable)
@@ -644,7 +666,8 @@ class NeuSPDF(SDFPDF):
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
         if not train and self.eval_keep_frac > 0:
             return self._eval_compacted_neus(
-                pose_pts, vd, z_vals.reshape(-1), frame, n_rays, n_samples
+                pose_pts, vd, z_vals.reshape(-1), frame, n_rays, n_samples,
+                inside_fn=inside_fn, wpts_flat=pts,
             )
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame)

@@ -82,6 +82,78 @@ def test_pad_rays_multiple():
     assert padded["mask"][:10].all() and not padded["mask"][10:].any()
 
 
+def _carve_setup(rng):
+    """One camera + a checkerboard-ish mask that cuts through the test
+    scene, so the carve changes the render."""
+    K = jnp.asarray([[[100.0, 0, 32], [0, 100, 32], [0, 0, 1]]])
+    RT = jnp.asarray([np.concatenate([np.eye(3), [[0], [0], [2.0]]], 1)])
+    m = (rng.rand(1, 64, 64) > 0.4).astype(np.float32)
+    return K, RT, jnp.asarray(m)
+
+
+def test_compacted_carve_matches_dense_carve():
+    """With inside_fn, compacted eval models carve on the SURVIVOR
+    stream (render_rays passes it through); the result must equal the
+    dense path's post-hoc raw * vis carve for every family.
+
+    Rays are aimed at vertices with a tight near/far bracket so real
+    in-shell survivors exist even at the PDF family's 0.1 threshold —
+    in the empty regime the conservative pass-1 and the dense path
+    force different argmin points (the documented deviation) and the
+    comparison would measure that instead of the carve."""
+    rng = np.random.RandomState(5)
+    frame = make_frame(rng)
+    verts = np.asarray(frame["pvertices"])
+    n = 16
+    tgt = verts[rng.randint(0, len(verts), n)]
+    o = np.tile([[0, 0, -2.0]], (n, 1)).astype(np.float32)
+    d = tgt - o
+    dist = np.linalg.norm(d, axis=-1, keepdims=True)
+    d = (d / dist).astype(np.float32)
+    rays = {
+        "ray_o": jnp.asarray(o),
+        "ray_d": jnp.asarray(d),
+        "near": jnp.asarray((dist[:, 0] - 0.3).astype(np.float32)),
+        "far": jnp.asarray((dist[:, 0] + 0.3).astype(np.float32)),
+        "mask": jnp.ones((n,), bool),
+        "occupancy": jnp.asarray(rng.randint(0, 2, n)),
+    }
+    K, RT, masks = _carve_setup(rng)
+    inside_fn = lambda pts: prepare_inside_mask(pts, K, RT, masks)
+    s = RenderSettings(n_samples=8, perturb=False)
+    wpts = jnp.zeros((16, 8, 3))
+
+    for mk in (
+        lambda f: models.AniNeRF(num_train_frames=3, eval_keep_frac=f),
+        lambda f: models.AlignedLBW(num_latents=3, norm_th=0.3,
+                                    eval_keep_frac=f),
+        lambda f: models.NeRFPDF(num_latents=3, eval_keep_frac=f),
+        lambda f: models.SDFPDF(num_latents=3, eval_keep_frac=f),
+        lambda f: models.NeuSPDF(num_latents=3, eval_keep_frac=f),
+    ):
+        m_dense, m_comp = mk(0.0), mk(1.0)
+        params = jax.jit(lambda m=m_dense: m.init(
+            jax.random.PRNGKey(0), wpts, rays["ray_d"], jnp.ones((16, 8)),
+            frame, train=False,
+        ))()
+        out_d = jax.jit(lambda p, m=m_dense: render_rays(
+            m, p, rays, frame, s, train=False, inside_fn=inside_fn
+        ))(params)
+        out_c = jax.jit(lambda p, m=m_comp: render_rays(
+            m, p, rays, frame, s, train=False, inside_fn=inside_fn
+        ))(params)
+        for k in ("rgb_map", "acc_map"):
+            # atol 2e-5: the compacted path composites via segmented
+            # scans (core/composite.py), a float reassociation of
+            # raw2outputs' cumprod (same tolerance as the engine ladder
+            # tests)
+            np.testing.assert_allclose(
+                np.asarray(out_c[k]), np.asarray(out_d[k]),
+                rtol=1e-4, atol=2e-5,
+                err_msg=f"{type(m_dense).__name__}:{k}",
+            )
+
+
 def test_visibility_carving():
     # one camera looking down -z at the origin; mask on except a zero
     # border: the reference CLAMPS out-of-image projections to the
