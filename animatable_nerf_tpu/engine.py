@@ -222,10 +222,12 @@ class Engine:
         f = float(getattr(self.model, "eval_keep_frac", 0.0) or 0.0)
         self._ladder = []
         if f > 0:
+            from .models.common import eval_capacity
+
             pts = self.settings.eval_tile * (
                 self.settings.n_samples + self.settings.n_importance
             )
-            cap_max = max(512, int(pts * f) // 512 * 512)
+            cap_max = eval_capacity(pts, f)
             caps = list(range(4096, cap_max + 1, 4096))
             if not caps or caps[-1] != cap_max:
                 caps.append(cap_max)
@@ -568,29 +570,31 @@ def run_network(cfg: Config, n_iters: int = 10):
     the post-warmup frames (XLA ops, fusion boundaries, Pallas kernels;
     view in TensorBoard's Profile tab) — the reference's harness offers
     wall-clock only (SURVEY §5 tracing)."""
-    import contextlib
-
     eng = Engine(cfg)
     ds = make_dataset(cfg, "test")
     loader = make_test_loader(cfg, ds)
     params = eng.load_params(eng.init_params(jax.random.PRNGKey(0), ds))
     profile_dir = cfg.get("profile_dir", "")
     times = []
-    trace = contextlib.nullcontext()
-    for i, item in enumerate(loader):
-        if i >= n_iters:
-            break
-        if i == 1 and profile_dir:  # skip the compile/warmup frame
-            from .utils.profiling import profile_trace
+    trace = None
+    try:
+        for i, item in enumerate(loader):
+            if i >= n_iters:
+                break
+            if i == min(1, n_iters - 1) and profile_dir and trace is None:
+                # skip the compile/warmup frame when there is more than
+                # one; with a single frame, trace it (better than none)
+                from .utils.profiling import profile_trace
 
-            trace = profile_trace(profile_dir)
-            trace.__enter__()
-        t0 = time.time()
-        out, _ = eng.render_item(params, item)
-        times.append(time.time() - t0)
-    if profile_dir and not isinstance(trace, contextlib.nullcontext):
-        trace.__exit__(None, None, None)
-        print(f"profiler trace written to {profile_dir}")
+                trace = profile_trace(profile_dir)
+                trace.__enter__()
+            t0 = time.time()
+            out, _ = eng.render_item(params, item)
+            times.append(time.time() - t0)
+    finally:
+        if trace is not None:
+            trace.__exit__(None, None, None)
+            print(f"profiler trace written to {profile_dir}")
     mean = float(np.mean(times[1:])) if len(times) > 1 else float(np.mean(times))
     print(f"mean forward: {mean:.4f}s over {len(times)} frames")
     return mean
@@ -763,7 +767,7 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None,
     from .train.animation import AnimationTrainer
 
     if is_image_space(cfg):
-        return _run_train_baseline(cfg, epochs)
+        return _run_train_baseline(cfg, epochs, guard=guard)
     model = make_model(cfg)
     if cfg.aninerf_animation:
         trainer = AnimationTrainer(cfg, model)
@@ -890,15 +894,19 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None,
             )
             if guard.should_stop:
                 if is_main:
+                    # stamp epoch-1: resume (begin_epoch = saved+1)
+                    # REPLAYS the interrupted epoch's iterations instead
+                    # of silently skipping its remainder
                     save_checkpoint(
                         cfg.trained_model_dir, state.params, state.opt_state,
-                        epoch, int(state.step), recorder.state_dict(),
+                        epoch - 1, int(state.step), recorder.state_dict(),
                         latest=True,
                     )
                     print(
-                        f"[train] preempted at epoch {epoch}: saved latest "
-                        f"checkpoint (step {int(state.step)}); resume with "
-                        "`resume True`"
+                        f"[train] preempted during epoch {epoch}: saved a "
+                        f"latest checkpoint (step {int(state.step)}); "
+                        "resume with `resume True` (the interrupted epoch "
+                        "replays)"
                     )
                 return state
             if is_main:
@@ -920,9 +928,14 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None,
     return state
 
 
-def _run_train_baseline(cfg: Config, epochs: int | None = None):
+def _run_train_baseline(cfg: Config, epochs: int | None = None,
+                        guard=None):
     """Full-image training loop for NHR/NT (lib/train/trainers/nhr.py)."""
     from .train.baseline import BaselineTrainer
+    from .train.trainer import PreemptionGuard
+
+    if guard is None:
+        guard = PreemptionGuard()
 
     model = make_model(cfg)
     trainer = BaselineTrainer(cfg, model)
@@ -952,24 +965,39 @@ def _run_train_baseline(cfg: Config, epochs: int | None = None):
             begin_epoch = epoch0 + 1
             recorder.load_state_dict(rec)
 
-    for epoch in range(begin_epoch, n_epochs):
-        loader.set_epoch(epoch)
-        recorder.epoch = epoch
-        for item in loader:
-            state, stats = trainer.train_step(state, item)
-            recorder.step += 1
-            recorder.update_stats({k: float(v) for k, v in stats.items()})
-            if recorder.step % cfg.log_interval == 0:
-                print(
-                    recorder.log_line(0, float(trainer.sched(int(state.step))))
+    try:
+        for epoch in range(begin_epoch, n_epochs):
+            loader.set_epoch(epoch)
+            recorder.epoch = epoch
+            for item in loader:
+                if guard.should_stop:
+                    break
+                state, stats = trainer.train_step(state, item)
+                recorder.step += 1
+                recorder.update_stats({k: float(v) for k, v in stats.items()})
+                if recorder.step % cfg.log_interval == 0:
+                    print(
+                        recorder.log_line(
+                            0, float(trainer.sched(int(state.step)))
+                        )
+                    )
+            if guard.should_stop:
+                if is_main:
+                    save_checkpoint(
+                        cfg.trained_model_dir, state.params, state.opt_state,
+                        epoch - 1, int(state.step), recorder.state_dict(),
+                        latest=True,
+                    )
+                return state
+            if is_main and (
+                (epoch + 1) % cfg.save_latest_ep == 0 or epoch == n_epochs - 1
+            ):
+                save_checkpoint(
+                    cfg.trained_model_dir, state.params, state.opt_state,
+                    epoch, int(state.step), recorder.state_dict(), latest=True,
                 )
-        if is_main and (
-            (epoch + 1) % cfg.save_latest_ep == 0 or epoch == n_epochs - 1
-        ):
-            save_checkpoint(
-                cfg.trained_model_dir, state.params, state.opt_state,
-                epoch, int(state.step), recorder.state_dict(), latest=True,
-            )
+    finally:
+        guard.restore()
     return state
 
 

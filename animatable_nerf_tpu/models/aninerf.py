@@ -382,14 +382,19 @@ class AniNeRF(nn.Module):
         # candidate stream is ascending in original point index, so the
         # stable compaction keeps sidx sorted as composite requires
         cand_vd = jnp.repeat(c_d, seg, axis=0)
-        sidx_c, slot_valid, (c_pose, c_vd, c_dists, c_z), _, overflow = (
-            compact_payload(
-                keep_cand,
-                [cand_pose, cand_vd, c_dists_seg.reshape(-1),
-                 c_z_seg.reshape(-1)],
-                cap,
-            )
+        payload = [cand_pose, cand_vd, c_dists_seg.reshape(-1),
+                   c_z_seg.reshape(-1)]
+        if inside_fn is not None:
+            # carve from the REBUILT candidate world points: gathering
+            # dense wpts rows would force XLA to materialize the full
+            # R*S point set this path exists to avoid (only wpts[:, 0]
+            # is read; same f32-rebuild rounding class as cand_pose)
+            payload.append(cand_w.reshape(-1, 3))
+        sidx_c, slot_valid, outs, _, overflow = compact_payload(
+            keep_cand, payload, cap
         )
+        c_pose, c_vd, c_dists, c_z = outs[:4]
+        vis = None if inside_fn is None else inside_fn(outs[4])
         sidx = take_rows(
             jnp.concatenate(
                 [cand_pidx, jnp.array([n_pts], cand_pidx.dtype)]
@@ -404,9 +409,6 @@ class AniNeRF(nn.Module):
             ),
             (1,),
         )
-        vis = None
-        if inside_fn is not None:
-            vis = inside_fn(take_rows(wpts.reshape(-1, 3), sidx))
         return self._eval_finish(
             sidx, slot_valid, c_pose, c_vd, c_dists, c_z, n_pts,
             overflow, count, frame, novel_pose, n_rays, n_samples,

@@ -96,6 +96,8 @@ def render_rays(
         near, far, settings.n_samples, key=key, perturb=settings.perturb and train
     )
 
+    coarse_ovf = None
+    coarse_count = None
     if settings.n_importance > 0:
         # hierarchical sampling: coarse raw pass -> inverse-CDF fine
         # z values concentrated where the coarse weights are
@@ -104,6 +106,11 @@ def render_rays(
             params, z_vals_to_pts(ray_o, ray_d, z_vals), ray_d, z_vals,
             frame, train=train, **coarse_kwargs,
         )
+        # the coarse pass's survivor compaction can overflow too —
+        # propagate its flag/count so the engine ladder escalates
+        # (silent coarse truncation corrupts the fine sample placement)
+        coarse_ovf = coarse.get("compact_overflow")
+        coarse_count = coarse.get("compact_count")
         _, _, _, weights, _ = raw2outputs(
             coarse["raw"], z_vals, settings.white_bkgd
         )
@@ -148,6 +155,16 @@ def render_rays(
     ret = model.apply(
         params, wpts, ray_d, z_vals, frame, train=train, **kwargs
     )
+    if coarse_ovf is not None:
+        ret["compact_overflow"] = (
+            ret["compact_overflow"] | coarse_ovf
+            if "compact_overflow" in ret else coarse_ovf
+        )
+    if coarse_count is not None:
+        ret["compact_count"] = (
+            jnp.maximum(ret["compact_count"], coarse_count)
+            if "compact_count" in ret else coarse_count
+        )
 
     if "raw" not in ret:
         # model pre-composited (rgb/acc/depth maps)

@@ -69,9 +69,18 @@ class PreemptionGuard:
     def _handle(self, signum, frame):
         self.should_stop = True
         self.restore()  # second signal falls through to the default
-        print(
-            f"[train] received signal {signum}: saving a resumable "
-            "checkpoint at the next step boundary, then exiting"
+        # os.write, NOT print: the handler can fire inside a buffered
+        # stdout write (the training log line), where print() raises a
+        # reentrant-IO RuntimeError in the main thread and would kill
+        # the run before the checkpoint this guard exists to save
+        import os as _os
+
+        _os.write(
+            2,
+            (
+                f"[train] received signal {signum}: saving a resumable "
+                "checkpoint at the next step boundary, then exiting\n"
+            ).encode(),
         )
 
     def restore(self):
