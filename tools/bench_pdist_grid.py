@@ -40,12 +40,16 @@ def main():
     jax = jaxenv.setup()
     import jax.numpy as jnp
 
+    import sys
+
     from animatable_nerf_tpu.models import SDFPDF
     from animatable_nerf_tpu.models.common import eval_capacity
     from animatable_nerf_tpu.render import RenderSettings, render_rays
     from animatable_nerf_tpu.ops.knn_pallas import build_pdist_payload
-    import sys, os
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     import __graft_entry__ as ge
 
     rng = np.random.RandomState(0)
