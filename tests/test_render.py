@@ -82,6 +82,33 @@ def test_pad_rays_multiple():
     assert padded["mask"][:10].all() and not padded["mask"][10:].any()
 
 
+def test_importance_coarse_overflow_propagates():
+    """With hierarchical sampling, the coarse pass's survivor-compaction
+    overflow must reach the caller (the engine ladder escalates on it) —
+    silent coarse truncation corrupts the fine sample placement."""
+    rng = np.random.RandomState(7)
+    frame = make_frame(rng)
+    # a "distance" volume that keeps EVERYTHING: all samples survive, so
+    # any sub-1.0 capacity overflows
+    frame = dict(frame)
+    frame["pbw"] = frame["pbw"].at[..., 24].set(0.0)
+    # big enough that eval_capacity's 512-point floor doesn't hold the
+    # full coarse survivor set (64*32 points, cap = 512 < 2048)
+    rays = make_ray_batch(rng, 64)
+    m = models.AniNeRF(num_train_frames=3, eval_keep_frac=0.05)
+    s = RenderSettings(n_samples=32, perturb=False, n_importance=8)
+    wpts = jnp.zeros((64, 32, 3))
+    params = jax.jit(lambda: m.init(
+        jax.random.PRNGKey(0), wpts, rays["ray_d"], jnp.ones((64, 32)),
+        frame, train=False,
+    ))()
+    out = jax.jit(lambda p: render_rays(
+        m, p, rays, frame, s, train=False
+    ))(params)
+    assert "compact_overflow" in out
+    assert bool(np.asarray(out["compact_overflow"]).any())
+
+
 def _carve_setup(rng):
     """One camera + a checkerboard-ish mask that cuts through the test
     scene, so the carve changes the render."""
