@@ -3,6 +3,12 @@ prefixes of the pipeline at whole-frame scale (262144 rays x 64) to see
 where the milliseconds go. Used to steer optimization (BASELINE.md
 carries the measured numbers).
 
+NOTE (session 5): this tool measures the FLAT render_rays formulation.
+The production/bench path is now the TILED render_image program (lax.map
+over 8192-ray tiles, per-tile compaction — 1.6x the flat program, see
+BASELINE.md); stage ratios measured here still transfer approximately
+(same per-point work, smaller per-tile sorts), but absolute times don't.
+
 Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/bench_eval_stages.py
 """
 
