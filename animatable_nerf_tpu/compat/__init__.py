@@ -11,4 +11,6 @@ from .torch_import import (
     weight_norm_to_wn,
     convert_aninerf,
     convert_sdf_pdf,
+    convert_nerf_pdf,
+    convert_aligned_lbw,
 )

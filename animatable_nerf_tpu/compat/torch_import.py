@@ -128,6 +128,71 @@ def convert_aninerf(state: dict) -> dict:
     return {"params": params}
 
 
+def _wn_layers(state, prefix: str, n_layers: int = 9):
+    """Weight-normed Linear stack lin{l} -> list of {v, g, b}."""
+    return [
+        weight_norm_to_wn(
+            state[f"{prefix}lin{l}.weight_v"],
+            state[f"{prefix}lin{l}.weight_g"],
+            state[f"{prefix}lin{l}.bias"],
+        )
+        for l in range(n_layers)
+    ]
+
+
+def _wn_color(state, prefix: str) -> dict:
+    """IDR ColorNetwork (5 weight-normed Linears + frame latent)."""
+    color = {
+        "color_latent": {"embedding": state[prefix + "color_latent.weight"]},
+    }
+    for l in range(5):
+        color[f"lin{l}"] = {
+            "wn": weight_norm_to_wn(
+                state[f"{prefix}lin{l}.weight_v"],
+                state[f"{prefix}lin{l}.weight_g"],
+                state[f"{prefix}lin{l}.bias"],
+            )
+        }
+    return color
+
+
+def convert_nerf_pdf(state: dict) -> dict:
+    """Reference aligned_aninerf_pdf_network state dict -> NeRFPDF params
+    (models/pdf.py). The displacement MLP is poses-conditioned Conv1d
+    (aligned_aninerf_pdf_network.py:27-31; the declared resd_latent is
+    dead in the reference's forward path and skipped); the canonical
+    field is the weight-normed geometric NeRFNetwork (:205-270) and the
+    no-normals IDR ColorNetwork (:296-344). Returns {'params': ...}."""
+    th = "tpose_human."
+    return {
+        "params": {
+            "resd_field": {
+                "mlp": _skip_mlp(state, "resd_linears", "resd_fc")
+            },
+            "nerf_network": {
+                "layers": _wn_layers(state, th + "nerf_network.")
+            },
+            "color_network": _wn_color(state, th + "color_network."),
+        }
+    }
+
+
+def convert_aligned_lbw(state: dict) -> dict:
+    """Reference aligned_aninerf_lbw_network state dict -> AlignedLBW
+    params (models/aligned.py): neural blend-weight field (+ optional
+    novel_pose_bw) and the same geometric NeRF + IDR color canonical
+    head as NeRF-PDF. Returns {'params': ...}."""
+    th = "tpose_human."
+    params = {
+        "bw_field": _bw_field(state),
+        "nerf_network": {"layers": _wn_layers(state, th + "nerf_network.")},
+        "color_network": _wn_color(state, th + "color_network."),
+    }
+    if any(k.startswith("novel_pose_bw.") for k in state):
+        params["novel_pose_bw"] = _bw_field(state, "novel_pose_bw.")
+    return {"params": params}
+
+
 def convert_sdf_pdf(state: dict, n_sdf_layers: int = 9) -> dict:
     """Reference anisdf_pdf_network state dict -> SDFPDF params
     (models/pdf.py). Returns the {'params': ...} tree."""

@@ -168,3 +168,88 @@ class TestConvertSDFPDF:
             converted, wpts, rays["ray_d"], z, frame, train=False
         )
         assert np.isfinite(np.asarray(out["raw"])).all()
+
+
+def _geometric_head_state(rng, s, n_latents=4):
+    """tpose_human.{nerf_network, color_network} entries shared by the
+    NeRF-PDF and aligned families (weight-normed geometric NeRF +
+    no-normals IDR color net)."""
+    th = "tpose_human."
+    dims = [39] + [256] * 8 + [257]
+    skip_in = (4,)
+    for l in range(9):
+        cout = dims[l + 1] - dims[0] if (l + 1) in skip_in else dims[l + 1]
+        _wn_entry(rng, s, f"{th}nerf_network.lin{l}", dims[l], cout)
+    # no-normals color input: pts (3) + view PE (27) + feature (256)
+    color_dims = [(286, 256), (256, 256), (256, 256), (384, 256), (256, 3)]
+    for l, (ci, co) in enumerate(color_dims):
+        _wn_entry(rng, s, f"{th}color_network.lin{l}", ci, co)
+    s[th + "color_network.color_latent.weight"] = rng.randn(
+        n_latents, 128
+    ).astype(np.float32)
+
+
+class TestConvertNeRFPDF:
+    def test_structure_matches_init_and_runs(self, rng):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __graft_entry__ as ge
+        from animatable_nerf_tpu.compat import convert_nerf_pdf
+        from animatable_nerf_tpu.models import NeRFPDF
+
+        s = {}
+        _skip_stack(rng, s, "resd_linears", "resd_fc", 135, 256, 3)
+        _geometric_head_state(rng, s)
+        converted = convert_nerf_pdf(s)
+
+        frame = {
+            k: jnp.asarray(v) for k, v in ge._synthetic_frame(rng).items()
+        }
+        rays = {k: jnp.asarray(v) for k, v in ge._rays(rng, 8).items()}
+        model = NeRFPDF(num_latents=4)
+        z = jnp.ones((8, 4))
+        wpts = jnp.zeros((8, 4, 3))
+        init_params = model.init(
+            jax.random.PRNGKey(0), wpts, rays["ray_d"], z, frame, train=False
+        )
+        assert _tree_shapes(init_params) == _tree_shapes(converted)
+
+        converted = jax.tree_util.tree_map(jnp.asarray, converted)
+        out = model.apply(
+            converted, wpts, rays["ray_d"], z, frame, train=False
+        )
+        assert np.isfinite(np.asarray(out["raw"])).all()
+
+
+class TestConvertAlignedLBW:
+    def test_structure_matches_init_and_runs(self, rng):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __graft_entry__ as ge
+        from animatable_nerf_tpu.compat import convert_aligned_lbw
+        from animatable_nerf_tpu.models import AlignedLBW
+
+        s = {}
+        s["bw_latent.weight"] = rng.randn(5, 128).astype(np.float32)
+        _skip_stack(rng, s, "bw_linears", "bw_fc", 191, 256, 24)
+        _geometric_head_state(rng, s)
+        converted = convert_aligned_lbw(s)
+
+        frame = {
+            k: jnp.asarray(v) for k, v in ge._synthetic_frame(rng).items()
+        }
+        rays = {k: jnp.asarray(v) for k, v in ge._rays(rng, 8).items()}
+        model = AlignedLBW(num_latents=4)
+        z = jnp.ones((8, 4))
+        wpts = jnp.zeros((8, 4, 3))
+        init_params = model.init(
+            jax.random.PRNGKey(0), wpts, rays["ray_d"], z, frame, train=False
+        )
+        assert _tree_shapes(init_params) == _tree_shapes(converted)
+
+        converted = jax.tree_util.tree_map(jnp.asarray, converted)
+        out = model.apply(
+            converted, wpts, rays["ray_d"], z, frame, train=False
+        )
+        for v in out.values():
+            assert np.isfinite(np.asarray(v)).all()
