@@ -76,8 +76,9 @@ class _PDFBase(nn.Module):
     # and their backward passes run only on in-shell points (the KNN
     # filter pass stays dense — it IS pass 1). Loss and grads equal the
     # dense masked path while survivors fit capacity; overflow is
-    # surfaced in the compact_overflow stat. Ignored by NeuSPDF (its
-    # per-ray alpha needs ray-ordered samples). 0 disables.
+    # surfaced in the compact_overflow stat. NeuSPDF scatters the scalar
+    # sdf/rgb back densely for its ray-ordered alpha
+    # (_train_compacted_neus). 0 disables.
     train_keep_frac: float = 0.0
 
     def _warp(self, pose_pts, pose_dirs, frame, pbw=None):
@@ -652,6 +653,64 @@ class NeuSPDF(SDFPDF):
             "compact_count": survivor_count(pind),
         }
 
+    def _train_compacted_neus(self, pose_pts, vd, z_flat, frame, n_rays,
+                              n_samples):
+        """Train-time survivor compaction for NeuS: the warp, SDF
+        autograd normals, color net and observed-space eikonal run only
+        on the compacted in-shell points; the scalar sdf / rgb / keep
+        scatter back densely for the per-ray CDF-residual alpha (exactly
+        the eval compaction's layout, _eval_compacted_neus). Loss and
+        gradients equal the dense masked path while survivors fit
+        capacity (masked means over `surv`)."""
+        grid = "pdist_packed" in frame
+        (sidx, sv, c_pose, c_vd, _, _, c_pbw, n, ovf, _, c_keep) = (
+            self._compact_inputs(
+                pose_pts, vd, jnp.zeros_like(z_flat), z_flat, frame,
+                self.train_keep_frac, conservative=grid,
+                cap_widen=1.3 if grid else 1.0,
+            )
+        )
+        surv = sv if c_keep is None else (sv & c_keep)
+        c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
+        tpose, tdirs, init_bigpose, resd = self._warp(
+            c_pose, c_pose_dirs, frame, pbw=c_pbw
+        )
+        dirs = tdirs if self.tpose_viewdir else c_vd
+        sdf, feat, gradients = self._sdf_and_grad(tpose)
+        rgb = self.color_network(
+            tpose, gradients, dirs, feat, frame["latent_index"]
+        )
+        inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+        keep = surv & inside
+
+        sdf_c = jnp.where(surv, sdf[..., 0], 10.0)
+        payload = jnp.concatenate(
+            [jnp.where(keep[:, None], rgb, 0.0), (sdf_c - 10.0)[:, None],
+             keep[:, None].astype(rgb.dtype)],
+            axis=-1,
+        )
+        dense = scatter_compacted_raw(payload, sv, sidx, n, n_rays, n_samples)
+        sdf_full = dense[..., 3] + 10.0
+        alpha = neus_alpha(sdf_full, self.variance_network())
+        alpha = alpha * dense[..., 4]
+        raw = jnp.concatenate([dense[..., :3], alpha[..., None]], axis=-1)
+        og_mask = surv & (
+            jnp.abs(jax.lax.stop_gradient(sdf[..., 0])) < 0.02
+        )
+        return {
+            "raw": raw,
+            "sdf": sdf_full,
+            "resd": resd,
+            "resd_mask": surv,
+            "gradients": gradients,
+            "grad_mask": surv,
+            "observed_gradients": self._observed_grad(
+                jax.lax.stop_gradient(init_bigpose), frame
+            ),
+            "observed_grad_mask": og_mask,
+            "compact_overflow": ovf,
+        }
+
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
                  precomposite: bool = False, analytic_z: bool = False,
                  inside_fn=None):
@@ -668,6 +727,10 @@ class NeuSPDF(SDFPDF):
             return self._eval_compacted_neus(
                 pose_pts, vd, z_vals.reshape(-1), frame, n_rays, n_samples,
                 inside_fn=inside_fn, wpts_flat=pts,
+            )
+        if train and self.train_keep_frac > 0:
+            return self._train_compacted_neus(
+                pose_pts, vd, z_vals.reshape(-1), frame, n_rays, n_samples
             )
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame)

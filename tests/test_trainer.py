@@ -486,7 +486,7 @@ def test_train_compaction_matches_dense():
     assert float(st_tiny["compact_overflow"]) == 1.0
 
 
-@pytest.mark.parametrize("cls_name", ["NeRFPDF", "SDFPDF"])
+@pytest.mark.parametrize("cls_name", ["NeRFPDF", "SDFPDF", "NeuSPDF"])
 def test_pdf_train_compaction_matches_dense(cls_name):
     """PDF-family train_keep_frac: loss and gradients (via post-Adam
     params) equal the dense masked path when survivors fit capacity."""
@@ -527,11 +527,12 @@ def test_pdf_train_compaction_matches_dense(cls_name):
     for a, b in zip(jax.tree_util.tree_leaves(s1_d.params),
                     jax.tree_util.tree_leaves(s1_c.params)):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6
         )
 
 
-@pytest.mark.parametrize("cls_name", ["NeRFPDF", "SDFPDF", "AlignedLBW"])
+@pytest.mark.parametrize("cls_name", ["NeRFPDF", "SDFPDF", "NeuSPDF",
+                                      "AlignedLBW"])
 def test_train_compaction_grid_pass1_matches_dense(cls_name):
     """With the per-frame packed distance grid in the batch (the frame
     store's pdist_res path), the train-time compacted pass 1 keeps a
@@ -574,7 +575,7 @@ def test_train_compaction_grid_pass1_matches_dense(cls_name):
     for a, b in zip(jax.tree_util.tree_leaves(s1_d.params),
                     jax.tree_util.tree_leaves(s1_g.params)):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6
         )
 
 
