@@ -21,8 +21,7 @@ import jax.numpy as jnp
 from .config import Config
 from .models import make_model
 from .models.registry import is_image_space
-from .models.pdf import SDFPDF, NeuSPDF, NeRFPDF
-from .models.aninerf import AniNeRF
+from .models.pdf import SDFPDF, NeuSPDF
 from .data import (
     TPoseDataset,
     TPosePDFDataset,
@@ -52,7 +51,6 @@ from .train import (
 from .train.trainer import collate_rays, stack_batch, RAY_KEYS, FRAME_KEYS
 from .evaluators import ImageEvaluator, MeshEvaluator
 from .visualizers import (
-    ImageVisualizer,
     NovelViewVisualizer,
     PoseSequenceVisualizer,
     MeshVisualizer,

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.sampling import stratified_z_vals, z_vals_to_pts, z_vals_to_dists
+from ..core.sampling import stratified_z_vals, z_vals_to_pts
 from ..core.composite import raw2outputs, get_intersection_mask, sample_pdf
 
 
