@@ -13,4 +13,8 @@ from .torch_import import (
     convert_sdf_pdf,
     convert_nerf_pdf,
     convert_aligned_lbw,
+    convert_aligned_pbw,
+    convert_aligned_smpl,
+    convert_aligned_lbw_pdf,
+    convert_neus_pdf,
 )

@@ -193,6 +193,60 @@ def convert_aligned_lbw(state: dict) -> dict:
     return {"params": params}
 
 
+def convert_aligned_pbw(state: dict) -> dict:
+    """Reference aligned_aninerf_pbw_network state dict -> AlignedPBW
+    params (models/aligned.py). The bw MLP is pose-vector-conditioned
+    (input 63 PE + 72 poses; aligned_aninerf_pbw_network.py:46-61) so it
+    carries no latent table; the reference's `bw_latent` embedding is
+    dead code there (only reachable via the never-called
+    `get_bw_feature`, :38-44) and is skipped. Stage-2 is unreachable in
+    the reference PBW class — `self.novel_pose_bw` is referenced
+    (:165-167) but never constructed — so no novel-pose params can
+    exist in a real checkpoint."""
+    th = "tpose_human."
+    params = {
+        "bw_field": {"mlp": _skip_mlp(state, "bw_linears", "bw_fc")},
+        "nerf_network": {"layers": _wn_layers(state, th + "nerf_network.")},
+        "color_network": _wn_color(state, th + "color_network."),
+    }
+    return {"params": params}
+
+
+def convert_aligned_smpl(state: dict) -> dict:
+    """Reference aligned_aninerf_smpl_network state dict -> AlignedSMPL
+    params (models/aligned.py): pure SMPL-weight warp, so only the
+    canonical geometric NeRF + IDR color head carry weights. The
+    reference's `resd_latent` embedding (:19) is dead (its only
+    consumer, `calculate_residual_deformation` at :125, is undefined in
+    that file) and is skipped."""
+    th = "tpose_human."
+    return {
+        "params": {
+            "nerf_network": {"layers": _wn_layers(state, th + "nerf_network.")},
+            "color_network": _wn_color(state, th + "color_network."),
+        }
+    }
+
+
+def convert_aligned_lbw_pdf(state: dict) -> dict:
+    """Reference aligned_aninerf_lbw_pdf_network state dict ->
+    AlignedLBWPDF params (models/aligned.py): frame-latent blend-weight
+    field AND a poses-conditioned displacement MLP
+    (aligned_aninerf_lbw_pdf_network.py:19-42; `resd_latent` is dead in
+    the forward path like NeRF-PDF's and skipped), with the shared
+    geometric NeRF + IDR color canonical head."""
+    th = "tpose_human."
+    params = {
+        "bw_field": _bw_field(state),
+        "resd_field": {"mlp": _skip_mlp(state, "resd_linears", "resd_fc")},
+        "nerf_network": {"layers": _wn_layers(state, th + "nerf_network.")},
+        "color_network": _wn_color(state, th + "color_network."),
+    }
+    if any(k.startswith("novel_pose_bw.") for k in state):
+        params["novel_pose_bw"] = _bw_field(state, "novel_pose_bw.")
+    return {"params": params}
+
+
 def convert_sdf_pdf(state: dict, n_sdf_layers: int = 9) -> dict:
     """Reference anisdf_pdf_network state dict -> SDFPDF params
     (models/pdf.py). Returns the {'params': ...} tree."""
@@ -224,5 +278,25 @@ def convert_sdf_pdf(state: dict, n_sdf_layers: int = 9) -> dict:
         "sdf_network": {"layers": layers},
         "beta_network": {"beta": np.asarray(state[th + "beta_network.beta"]).reshape(())},
         "color_network": color,
+    }
+    return {"params": params}
+
+
+def convert_neus_pdf(state: dict, n_sdf_layers: int = 9) -> dict:
+    """Reference anisdf_neus_pdf_network state dict -> NeuSPDF params
+    (models/pdf.py). Identical to SDF-PDF except the learnable scalar is
+    the NeuS `variance_network.variance` (anisdf_neus_pdf_network.py:
+    373-383) instead of the VolSDF beta."""
+    th = "tpose_human."
+    params = {
+        "resd_field": {"mlp": _skip_mlp(state, "resd_linears", "resd_fc")},
+        "sdf_network": {"layers": _wn_layers(state, th + "sdf_network.",
+                                             n_sdf_layers)},
+        "variance_network": {
+            "variance": np.asarray(
+                state[th + "variance_network.variance"]
+            ).reshape(())
+        },
+        "color_network": _wn_color(state, th + "color_network."),
     }
     return {"params": params}

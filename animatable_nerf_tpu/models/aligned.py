@@ -425,7 +425,12 @@ class AlignedLBW(_AlignedBase):
 
 
 class AlignedPBW(AlignedLBW):
-    """Pose-vector-conditioned blend-weight field (ablation)."""
+    """Pose-vector-conditioned blend-weight field (ablation).
+
+    No novel-pose (stage-2) field: the reference PBW class references
+    `self.novel_pose_bw` (aligned_aninerf_pbw_network.py:165-167) but
+    never constructs it, so its stage-2 path is unreachable there too.
+    """
 
     def setup(self):
         self.bw_field = PoseCondBWField(xyz_res=self.xyz_res)

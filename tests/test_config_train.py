@@ -272,11 +272,15 @@ def test_all_shipped_configs_resolve():
     _register_baseline_datasets()
     paths = sorted(glob.glob("configs/**/*.yaml", recursive=True))
     assert len(paths) >= 134
+    from animatable_nerf_tpu.models import make_model
+
     for p in paths:
         cfg = load_config(p)
         if is_image_space(cfg):
+            make_model(cfg)  # baseline constructors must also resolve
             continue
         assert cfg.network_module in MODELS, p
+        make_model(cfg)  # every shipped config builds its model
         for mod in (cfg.train_dataset_module, cfg.test_dataset_module):
             assert mod in DATASETS, (p, mod)
         # mode overlays must also name registered datasets (the

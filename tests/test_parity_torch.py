@@ -233,3 +233,119 @@ class TestSDFNetworkParity:
         np.testing.assert_allclose(
             np.asarray(got), want, rtol=2e-4, atol=2e-4
         )
+
+
+class TorchColorNetwork(tnn.Module):
+    """anisdf_pdf_network.py:468-549 rebuilt: IDR rendering net, 5
+    weight-normed linears, 128-d frame latent concat before lin3,
+    sigmoid out. mode='idr' takes [pts, PE(viewdir), normals, feats];
+    mode='no_normal' drops the normals (aligned_aninerf_pdf_network.py:
+    296-344)."""
+
+    def __init__(self, n_latents=4, mode="idr"):
+        super().__init__()
+        self.mode = mode
+        self.color_latent = tnn.Embedding(n_latents, 128)
+        d_in = 9 if mode == "idr" else 6
+        d0 = d_in + 256 + 24  # +24: PE lift of the 3-d viewdir
+        self.lin0 = tnn.utils.weight_norm(tnn.Linear(d0, 256))
+        self.lin1 = tnn.utils.weight_norm(tnn.Linear(256, 256))
+        self.lin2 = tnn.utils.weight_norm(tnn.Linear(256, 256))
+        self.lin3 = tnn.utils.weight_norm(tnn.Linear(256 + 128, 256))
+        self.lin4 = tnn.utils.weight_norm(tnn.Linear(256, 3))
+        self.relu = tnn.ReLU()
+
+    def forward(self, points, normals, view_dirs, feats, latent_index):
+        view_dirs = _pe_torch(view_dirs, 4)
+        if self.mode == "idr":
+            x = torch.cat([points, view_dirs, normals, feats], dim=-1)
+        else:
+            x = torch.cat([points, view_dirs, feats], dim=-1)
+        net = self.relu(self.lin0(x))
+        net = self.relu(self.lin1(net))
+        net = self.relu(self.lin2(net))
+        latent = self.color_latent(latent_index)
+        latent = latent.expand(net.size(0), latent.size(1))
+        net = self.relu(self.lin3(torch.cat((net, latent), dim=1)))
+        return torch.sigmoid(self.lin4(net))
+
+
+class TestColorNetworkParity:
+    @pytest.mark.parametrize("mode", ["idr", "no_normal"])
+    def test_forward_matches_torch(self, rng, mode):
+        from animatable_nerf_tpu.compat.torch_import import _wn_color
+        from animatable_nerf_tpu.fields import ColorNetwork
+
+        tm = TorchColorNetwork(n_latents=4, mode=mode).eval()
+        n = 17
+        pts = rng.randn(n, 3).astype(np.float32) * 0.3
+        normals = rng.randn(n, 3).astype(np.float32)
+        vd = rng.randn(n, 3).astype(np.float32)
+        feats = rng.randn(n, 256).astype(np.float32) * 0.2
+        with torch.no_grad():
+            want = tm(
+                torch.from_numpy(pts), torch.from_numpy(normals),
+                torch.from_numpy(vd), torch.from_numpy(feats),
+                torch.tensor([2]),
+            ).numpy()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = {"params": jax.tree_util.tree_map(
+            jnp.asarray, _wn_color(sd, "")
+        )}
+        ours = ColorNetwork(num_latents=4, use_normals=(mode == "idr"))
+        got = ours.apply(
+            params, jnp.asarray(pts), jnp.asarray(normals),
+            jnp.asarray(vd), jnp.asarray(feats), jnp.asarray(2),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+class TorchResidualField(tnn.Module):
+    """anisdf_pdf_network.py:23-31,49-64 rebuilt: poses-conditioned
+    displacement MLP (input 63 PE + 72 poses), 0.05*tanh out."""
+
+    def __init__(self):
+        super().__init__()
+        self.actvn = tnn.ReLU()
+        input_ch, D, W = 135, 8, 256
+        self.skips = [4]
+        self.resd_linears = tnn.ModuleList(
+            [tnn.Conv1d(input_ch, W, 1)]
+            + [
+                tnn.Conv1d(W, W, 1) if i not in self.skips
+                else tnn.Conv1d(W + input_ch, W, 1)
+                for i in range(D - 1)
+            ]
+        )
+        self.resd_fc = tnn.Conv1d(W, 3, 1)
+
+    def forward(self, pts, poses):
+        pe = _pe_torch(pts, 10).t()[None]  # (1, 63, N)
+        latent = poses[:, :, None].expand(1, 72, pe.size(2))
+        feats = torch.cat((pe, latent), dim=1)
+        net = feats
+        for i, l in enumerate(self.resd_linears):
+            net = self.actvn(l(net))
+            if i in self.skips:
+                net = torch.cat((feats, net), dim=1)
+        resd = self.resd_fc(net)
+        return 0.05 * torch.tanh(resd)[0].t()
+
+
+class TestResidualFieldParity:
+    def test_forward_matches_torch(self, rng):
+        from animatable_nerf_tpu.compat.torch_import import _skip_mlp
+        from animatable_nerf_tpu.fields import ResidualField
+
+        tm = TorchResidualField().eval()
+        pts = rng.randn(21, 3).astype(np.float32) * 0.3
+        poses = rng.randn(1, 72).astype(np.float32) * 0.2
+        with torch.no_grad():
+            want = tm(torch.from_numpy(pts), torch.from_numpy(poses)).numpy()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = {"params": {"mlp": jax.tree_util.tree_map(
+            jnp.asarray, _skip_mlp(sd, "resd_linears", "resd_fc")
+        )}}
+        ours = ResidualField()
+        got = ours.apply(params, jnp.asarray(pts), jnp.asarray(poses[0]))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
