@@ -475,6 +475,47 @@ class Engine:
         return {k: v[:n_valid] for k, v in out.items()}, n_valid
 
     # --------------------------------------------------------- mesh
+    def canonical_sdf_mesh(self, params, item):
+        """Canonical-space SDF marching cubes (sdf_mesh_renderer.py:
+        51-81): sweep the sdf network with the KNN filter over the
+        item's canonical grid (`model.sdf` works in world space — the
+        grid here is canonical), mc at level 0, keep the largest
+        component. Returns (verts, tris) in canonical coordinates."""
+        pts = np.asarray(item["pts"])
+        sh = pts.shape[:3]
+        flat = jnp.asarray(pts.reshape(-1, 3))
+        frame = frame_arrays(item)
+        voxel = float(np.asarray(item["voxel_size"]).ravel()[0])
+        sdf = np.asarray(self._sdf_sweep_jit(params, frame, flat))
+        cube = (-sdf).reshape(sh)
+        cube = np.pad(cube, 10, mode="constant", constant_values=-10)
+        verts, tris = marching_cubes(cube, 0.0)
+        verts, tris = largest_component(verts, tris)
+        if len(verts):
+            verts = (verts - 10) * voxel + np.asarray(item["tbounds"])[0]
+        return verts, tris
+
+    def repose_canonical_mesh(self, params, verts, item):
+        """Re-pose canonical SDF-mesh vertices into the item's frame
+        (sdf_mesh_renderer.py:83-102): KNN blend weights at the
+        vertices, inverse-displacement correction resd = -normal * sdf
+        with normal = d/dx sdf(x + resd(x)) (:90-96), big_A -> T-pose ->
+        A LBS, then to world. The canonical topology is frame-invariant,
+        so an animation re-uses one extraction across all frames
+        (run_animation)."""
+        frame = frame_arrays(item)
+        v = jnp.asarray(np.asarray(verts, np.float32))
+        tbw, _ = sample_blend_closest_points(
+            v, frame["tvertices"], frame["weights"]
+        )
+        normal = np.asarray(self._observed_grad_jit(params, frame, v))
+        sdf_v = np.asarray(self._sdf_at_jit(params, frame, v))
+        deformed = v + jnp.asarray(-normal * sdf_v[:, None])
+        tpose_pts = pose_points_to_tpose_points(deformed, tbw, frame["big_A"])
+        pose_pts = tpose_points_to_pose_points(tpose_pts, tbw, frame["A"])
+        world = pose_points_to_world_points(pose_pts, frame["R"], frame["Th"])
+        return np.asarray(world)
+
     def extract_mesh(self, params, item):
         """Marching cubes over the field sweep.
 
@@ -491,36 +532,12 @@ class Engine:
         voxel = float(np.asarray(item["voxel_size"]).ravel()[0])
 
         if isinstance(self.model, (SDFPDF, NeuSPDF)):
-            # canonical-space SDF sweep; KNN filter baked into model.sdf?
-            # model.sdf works in world space — here the grid is canonical,
-            # so sweep the raw sdf network with the KNN filter
-            sdf = np.asarray(self._sdf_sweep_jit(params, frame, flat))
-            cube = (-sdf).reshape(sh)
-            cube = np.pad(cube, 10, mode="constant", constant_values=-10)
-            verts, tris = marching_cubes(cube, 0.0)
-            verts, tris = largest_component(verts, tris)
+            verts, tris = self.canonical_sdf_mesh(params, item)
             if len(verts) == 0:
                 return {"vertex": verts, "posed_vertex": verts, "triangle": tris}
-            verts = (verts - 10) * voxel + np.asarray(item["tbounds"])[0]
-
-            # re-pose the canonical mesh (sdf_mesh_renderer.py:83-102)
-            v = jnp.asarray(verts.astype(np.float32))
-            tbw, _ = sample_blend_closest_points(
-                v, frame["tvertices"], frame["weights"]
-            )
-
-            # inverse-displacement correction: resd = -normal * sdf with
-            # normal = d/dx sdf(x + resd(x)) (sdf_mesh_renderer.py:90-96)
-            normal = np.asarray(self._observed_grad_jit(params, frame, v))
-            sdf_v = np.asarray(self._sdf_at_jit(params, frame, v))
-            deformed = v + jnp.asarray(-normal * sdf_v[:, None])
-
-            tpose_pts = pose_points_to_tpose_points(deformed, tbw, frame["big_A"])
-            pose_pts = tpose_points_to_pose_points(tpose_pts, tbw, frame["A"])
-            world = pose_points_to_world_points(pose_pts, frame["R"], frame["Th"])
             return {
                 "vertex": verts,
-                "posed_vertex": np.asarray(world),
+                "posed_vertex": self.repose_canonical_mesh(params, verts, item),
                 "triangle": tris,
             }
 
@@ -729,6 +746,48 @@ def run_visualize(cfg: Config, params=None, max_items: int = -1):
             **kwargs,
         )
     return True
+
+
+def run_animation(cfg: Config, params=None, max_items: int = -1):
+    """Animate extracted meshes over the test frame sequence
+    (run.py:127-129 — the reference dispatches to `tools/animate_mesh`,
+    which is absent from its repo; this is a working implementation).
+
+    SDF families extract the canonical mesh ONCE and re-pose it per
+    frame, so the exported sequence shares vertex topology (the property
+    mesh-animation pipelines need); density families fall back to
+    per-frame extraction. Run with the mesh overlay so the dataset
+    provides query grids:
+
+        python run.py --type animation --cfg_file ... vis_posed_mesh True
+
+    Writes PLY frames under data/animation/<exp>/.
+    """
+    eng = Engine(cfg)
+    ds = make_dataset(cfg, "test")
+    loader = make_test_loader(cfg, ds)
+    if params is None:
+        params = eng.load_params(eng.init_params(jax.random.PRNGKey(0), ds))
+    vis = MeshVisualizer(cfg.exp_name)
+    canonical = None
+    counts = []
+    for i, item in enumerate(loader):
+        if max_items >= 0 and i >= max_items:
+            break
+        if isinstance(eng.model, (SDFPDF, NeuSPDF)):
+            if canonical is None:
+                canonical = eng.canonical_sdf_mesh(params, item)
+            verts, tris = canonical
+            posed = (
+                eng.repose_canonical_mesh(params, verts, item)
+                if len(verts) else verts
+            )
+        else:
+            mesh = eng.extract_mesh(params, item)
+            posed, tris = mesh["posed_vertex"], mesh["triangle"]
+        vis.visualize(posed, tris, int(item["frame_index"]), posed=True)
+        counts.append(len(posed))
+    return counts
 
 
 # ======================================================================

@@ -44,6 +44,15 @@ def run_visualize(cfg):
     f(cfg)
 
 
+def run_animation(cfg):
+    """Animate extracted meshes over the test sequence (reference
+    run.py:127-129 dispatches to an absent tools/animate_mesh; working
+    here). Pass `vis_posed_mesh True` for the mesh dataset overlay."""
+    from animatable_nerf_tpu.engine import run_animation as f
+
+    f(cfg)
+
+
 def run_light_stage(cfg):
     """Point-cloud -> occupancy voxelization (reference run.py:105-108)."""
     import os
@@ -73,7 +82,7 @@ def main():
     if fn is None:
         raise SystemExit(
             f"unknown --type {args.type!r}; available: dataset, network, "
-            "evaluate, visualize, light_stage, evaluate_nv"
+            "evaluate, visualize, animation, light_stage, evaluate_nv"
         )
     fn(cfg)
 

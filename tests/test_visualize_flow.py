@@ -78,3 +78,50 @@ def test_visualize_posed_mesh(trained, tmp_path, monkeypatch):
     out = tmp_path / "data" / "animation" / "visflow"
     meshes = [p for p in out.rglob("*.ply")] + [p for p in out.rglob("*.npy")]
     assert meshes, "no mesh artifact written"
+
+def test_animation_density_per_frame(trained, tmp_path, monkeypatch):
+    """run_animation (run.py --type animation): density families extract
+    per frame; one PLY per test frame lands in data/animation/<exp>."""
+    opts, _ = trained
+    cfg = load_config(
+        CFG, opts=list(opts) + ["vis_posed_mesh", "True",
+                                "voxel_size", "[0.05, 0.05, 0.05]",
+                                "mesh_th", "0.5",
+                                "test.frame_sampler_interval", "1"]
+    )
+    monkeypatch.chdir(tmp_path)
+    counts = engine.run_animation(cfg, max_items=2)
+    assert len(counts) == 2
+    out = tmp_path / "data" / "animation" / "visflow"
+    plys = sorted(out.rglob("*.ply"))
+    assert len(plys) >= 2, "one mesh frame per test frame expected"
+
+
+def test_animation_sdf_shared_topology(trained, tmp_path, monkeypatch):
+    """SDF families extract the canonical mesh once and re-pose per
+    frame: every animation frame shares the same vertex count."""
+    import jax
+
+    opts, _ = trained
+    cfg = load_config(
+        CFG, opts=list(opts) + [
+            "vis_posed_mesh", "True",
+            "network_module", "sdf_pdf",
+            "test_dataset_module", "lib.datasets.anisdf_mesh_dataset",
+            "voxel_size", "[0.05, 0.05, 0.05]",
+            "test.frame_sampler_interval", "1",
+            "exp_name", "animsdf",
+        ]
+    )
+    monkeypatch.chdir(tmp_path)
+    eng = engine.Engine(cfg)
+    ds = engine.make_dataset(cfg, "test")
+    # geometric (sphere) init: the untrained SDF already carries a
+    # non-trivial zero level set, so no training is needed here
+    params = eng.init_params(jax.random.PRNGKey(0), ds)
+    counts = engine.run_animation(cfg, params=params, max_items=2)
+    assert len(counts) == 2
+    assert counts[0] == counts[1], "canonical topology must be shared"
+    out = tmp_path / "data" / "animation" / "animsdf"
+    plys = sorted(out.rglob("*.ply"))
+    assert len(plys) >= 2
