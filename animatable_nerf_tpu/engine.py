@@ -769,8 +769,18 @@ def run_animation(cfg: Config, params=None, max_items: int = -1):
     if params is None:
         params = eng.load_params(eng.init_params(jax.random.PRNGKey(0), ds))
     vis = MeshVisualizer(cfg.exp_name)
-    canonical = None
     counts = []
+    for item, posed, tris in _posed_mesh_frames(eng, params, loader, max_items):
+        vis.visualize(posed, tris, int(item["frame_index"]), posed=True)
+        counts.append(len(posed))
+    return counts
+
+
+def _posed_mesh_frames(eng, params, loader, max_items: int = -1):
+    """Yield (item, posed_verts, tris) per test frame: canonical-once +
+    re-pose for SDF families, per-frame extraction otherwise (shared by
+    run_animation and run_raster)."""
+    canonical = None
     for i, item in enumerate(loader):
         if max_items >= 0 and i >= max_items:
             break
@@ -785,9 +795,61 @@ def run_animation(cfg: Config, params=None, max_items: int = -1):
         else:
             mesh = eng.extract_mesh(params, item)
             posed, tris = mesh["posed_vertex"], mesh["triangle"]
-        vis.visualize(posed, tris, int(item["frame_index"]), posed=True)
-        counts.append(len(posed))
-    return counts
+        yield item, posed, tris
+
+
+def run_raster(cfg: Config, params=None, max_items: int = -1):
+    """Rasterize extracted meshes into a training-view camera
+    (run.py:132-135 — the reference dispatches to `tools/rasterizer_mesh`,
+    absent from its repo; this is a working implementation on the in-tree
+    native z-buffered rasterizer, csrc/mesh_native.cpp).
+
+    Per test frame: posed mesh (same production as run_animation),
+    area-weighted vertex normals, headlight lambertian shade in camera
+    space, rasterize with the view picked by `raster_view` (default 0).
+    Writes data/raster/<exp>/frame<i>_view<v>.png + _depth.npy.
+    """
+    from .native import rasterize_mesh_native
+    from .render.mesh import vertex_normals
+    from .visualizers.image import _write
+
+    eng = Engine(cfg)
+    ds = make_dataset(cfg, "test")
+    loader = make_test_loader(cfg, ds)
+    if params is None:
+        params = eng.load_params(eng.init_params(jax.random.PRNGKey(0), ds))
+    view = int(cfg.get("raster_view", 0))
+    out_dir = os.path.join("data", "raster", cfg.exp_name)
+    written = []
+    for item, posed, tris in _posed_mesh_frames(eng, params, loader, max_items):
+        K = np.asarray(item["Ks"][view], np.float32)
+        RT = np.asarray(item["RT"][view], np.float32)
+        R, T = RT[:3, :3], RT[:3, 3]
+        H, W = np.asarray(item["msks"]).shape[1:3]
+        if len(posed) == 0 or len(tris) == 0:
+            img = np.zeros((int(H), int(W), 3), np.float32)
+            depth = np.zeros((int(H), int(W)), np.float32)
+        else:
+            # headlight shade: |n_cam . optical axis|
+            n_cam = vertex_normals(np.asarray(posed), np.asarray(tris)) @ R.T
+            shade = np.abs(n_cam[:, 2:3]) * np.ones((1, 3), np.float32)
+            out = rasterize_mesh_native(
+                posed, tris, shade, K, R, T, int(H), int(W)
+            )
+            if out is None:
+                raise SystemExit(
+                    "native rasterizer unavailable (csrc/mesh_native.cpp "
+                    "needs g++) — run.py --type raster requires it"
+                )
+            img, depth = out["attr"], out["depth"]
+        fi = int(item["frame_index"])
+        _write(os.path.join(out_dir, f"frame{fi:04d}_view{view:04d}.png"), img)
+        np.save(
+            os.path.join(out_dir, f"frame{fi:04d}_view{view:04d}_depth.npy"),
+            depth,
+        )
+        written.append(fi)
+    return written
 
 
 # ======================================================================

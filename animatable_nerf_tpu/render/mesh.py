@@ -188,3 +188,19 @@ def largest_component(verts: np.ndarray, faces: np.ndarray):
     remap[vmask] = np.arange(vmask.sum())
     fmask = vmask[faces].all(-1)
     return verts[vmask], remap[faces[fmask]]
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals (numpy, host-side: used to shade
+    mesh preview rasters, run.py --type raster). Cross products of the
+    face edges accumulate un-normalized (magnitude = 2x face area) so
+    larger faces weigh more, then each vertex normal is normalized."""
+    vn = np.zeros_like(verts, dtype=np.float64)
+    if len(faces) == 0:
+        return vn.astype(np.float32)
+    tri = verts[faces]  # (F, 3, 3)
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    norm = np.linalg.norm(vn, axis=-1, keepdims=True)
+    return (vn / np.maximum(norm, 1e-12)).astype(np.float32)

@@ -53,6 +53,15 @@ def run_animation(cfg):
     f(cfg)
 
 
+def run_raster(cfg):
+    """Rasterize extracted meshes into training-view cameras (reference
+    run.py:132-135 dispatches to an absent tools/rasterizer_mesh; working
+    here on the native z-buffer). Pass `vis_posed_mesh True`."""
+    from animatable_nerf_tpu.engine import run_raster as f
+
+    f(cfg)
+
+
 def run_light_stage(cfg):
     """Point-cloud -> occupancy voxelization (reference run.py:105-108)."""
     import os
@@ -82,7 +91,7 @@ def main():
     if fn is None:
         raise SystemExit(
             f"unknown --type {args.type!r}; available: dataset, network, "
-            "evaluate, visualize, animation, light_stage, evaluate_nv"
+            "evaluate, visualize, animation, raster, light_stage, evaluate_nv"
         )
     fn(cfg)
 

@@ -478,3 +478,19 @@ def test_composite_compacted_matches_raw2outputs():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
             )
+
+
+def test_vertex_normals_unit_cube_face():
+    """Area-weighted vertex normals: a flat square's normals all equal
+    the face normal; degenerate (empty) meshes return zeros."""
+    import numpy as np
+    from animatable_nerf_tpu.render.mesh import vertex_normals
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    n = vertex_normals(verts, faces)
+    np.testing.assert_allclose(n, [[0, 0, 1]] * 4, atol=1e-6)
+    empty = vertex_normals(verts, np.zeros((0, 3), np.int64))
+    assert empty.shape == (4, 3) and (empty == 0).all()

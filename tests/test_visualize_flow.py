@@ -125,3 +125,31 @@ def test_animation_sdf_shared_topology(trained, tmp_path, monkeypatch):
     out = tmp_path / "data" / "animation" / "animsdf"
     plys = sorted(out.rglob("*.ply"))
     assert len(plys) >= 2
+
+
+def test_raster_flow(trained, tmp_path, monkeypatch):
+    """run_raster (run.py --type raster): posed meshes rasterized into a
+    training-view camera via the native z-buffer; PNG + depth per frame."""
+    pytest.importorskip("cv2")
+    from animatable_nerf_tpu.native import mesh_native
+
+    if mesh_native() is None:
+        pytest.skip("native mesh library unavailable")
+    opts, _ = trained
+    cfg = load_config(
+        CFG, opts=list(opts) + ["vis_posed_mesh", "True",
+                                "voxel_size", "[0.05, 0.05, 0.05]",
+                                "mesh_th", "0.5",
+                                "test.frame_sampler_interval", "1"]
+    )
+    monkeypatch.chdir(tmp_path)
+    frames = engine.run_raster(cfg, max_items=2)
+    assert len(frames) == 2
+    out = tmp_path / "data" / "raster" / "visflow"
+    pngs = sorted(out.rglob("*.png"))
+    depths = sorted(out.rglob("*_depth.npy"))
+    assert len(pngs) == 2 and len(depths) == 2
+    img = np.asarray(__import__("cv2").imread(str(pngs[0])))
+    assert img.max() > 0, "rasterized preview is empty"
+    d = np.load(depths[0])
+    assert (d > 0).any(), "depth buffer is empty"
