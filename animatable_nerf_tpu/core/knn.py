@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .numerics import safe_sqrt
+
 
 def knn_dists_idx(src, ref, k: int = 5):
     """Squared-distance KNN. src: (N, 3), ref: (M, 3) -> (dists (N,k), idx (N,k)).
@@ -74,7 +76,10 @@ def sample_blend_closest_points(src, ref, values, k: int = 5, exp: float = 1e-8,
         )
 
     d2, idx = knn_dists_idx(src, ref, k)
-    dists = jnp.sqrt(d2)  # (N, k)
+    # safe_sqrt, NOT jnp.sqrt: a query coincident with a vertex (e.g.
+    # substitute_masked's sanitized points) has d2 == 0 and sqrt's inf
+    # derivative there NaN-poisons the whole backward (core/numerics.py)
+    dists = safe_sqrt(d2)  # (N, k)
     disp = 1.0 / (dists + exp)
     weights = disp / jnp.sum(disp, axis=-1, keepdims=True)
     wdist = jnp.sum(dists * weights, axis=-1, keepdims=True)  # (N, 1)

@@ -49,8 +49,21 @@ def _blend_transforms(bw, A):
     return M.reshape(*M.shape[:-1], 4, 4)
 
 
-def inverse_3x3(m):
-    """Analytic 3x3 inverse via the adjugate. m: (..., 3, 3)."""
+def inverse_3x3(m, det_eps: float = 0.0):
+    """Analytic 3x3 inverse via the adjugate. m: (..., 3, 3).
+
+    `det_eps` > 0 clamps |det| away from zero (sign-preserving). The
+    blended LBS transform is a convex combination of bone rotations and
+    CAN drift arbitrarily close to singular while the blend-weight field
+    trains (e.g. 0.5*Rz(0) + 0.5*Rz(pi) has a rank-1 rotation part); the
+    inverse's derivative scales ~1/det^2 and overflows f32 around
+    |det| ~ 1e-17, after which the zero cotangent of the downstream
+    masking `where` multiplies inf -> NaN and poisons the bw-field
+    params in one backward pass (observed in a real AlignedLBW run).
+    Clamping at 1e-6 bounds the derivative ~1e12 — far below overflow —
+    and is exact for every healthy blend (|det| ~ 1 for near-rotation
+    blends). The reference's torch.inverse hard-fails the same way; it
+    merely never trained a scene degenerate enough to hit it."""
     a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
     d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
     g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
@@ -58,6 +71,9 @@ def inverse_3x3(m):
     B = -(d * i - f * g)
     C = d * h - e * g
     det = a * A + b * B + c * C
+    if det_eps:
+        nonneg = jnp.where(det >= 0, 1.0, -1.0)  # sign(0) -> +1
+        det = nonneg * jnp.maximum(jnp.abs(det), det_eps)
     inv_det = 1.0 / det
     adj = jnp.stack(
         [
@@ -85,14 +101,14 @@ def pose_points_to_tpose_points(ppts, bw, A):
     """
     M = _blend_transforms(bw, A)  # (..., N, 4, 4)
     pts = ppts - M[..., :3, 3]
-    R_inv = inverse_3x3(M[..., :3, :3])
+    R_inv = inverse_3x3(M[..., :3, :3], det_eps=1e-6)
     return _matvec3(R_inv, pts)
 
 
 def pose_dirs_to_tpose_dirs(ddirs, bw, A):
     """Backward LBS warp of directions. blend_utils.py:62-75."""
     M = _blend_transforms(bw, A)
-    R_inv = inverse_3x3(M[..., :3, :3])
+    R_inv = inverse_3x3(M[..., :3, :3], det_eps=1e-6)
     return _matvec3(R_inv, ddirs)
 
 

@@ -524,13 +524,6 @@ class Engine:
         sdf path (sdf_mesh_renderer.py:51-111): canonical sdf grid, mc at
         0, largest component, inverse-displacement correction, re-pose.
         """
-        cfg = self.cfg
-        pts = np.asarray(item["pts"])
-        sh = pts.shape[:3]
-        flat = jnp.asarray(pts.reshape(-1, 3))
-        frame = frame_arrays(item)
-        voxel = float(np.asarray(item["voxel_size"]).ravel()[0])
-
         if isinstance(self.model, (SDFPDF, NeuSPDF)):
             verts, tris = self.canonical_sdf_mesh(params, item)
             if len(verts) == 0:
@@ -542,6 +535,12 @@ class Engine:
             }
 
         # density path (aninerf / aligned / nerf-pdf): world-space grid
+        cfg = self.cfg
+        pts = np.asarray(item["pts"])
+        sh = pts.shape[:3]
+        flat = jnp.asarray(pts.reshape(-1, 3))
+        frame = frame_arrays(item)
+        voxel = float(np.asarray(item["voxel_size"]).ravel()[0])
         sigma = np.asarray(self._density_sweep_jit(params, frame, flat))
         if "msks" in item:
             vis = np.asarray(

@@ -39,7 +39,13 @@ from ..fields import (
     ColorNetwork,
 )
 from ..fields.mlp import SkipMLP
-from .common import keep_mask_with_argmin, inside_bounds, broadcast_viewdirs, raw_alpha_from_sigma
+from .common import (
+    keep_mask_with_argmin,
+    inside_bounds,
+    broadcast_viewdirs,
+    raw_alpha_from_sigma,
+    substitute_masked,
+)
 
 
 class PoseCondBWField(nn.Module):
@@ -365,6 +371,10 @@ class _AlignedBase(nn.Module):
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame, self.norm_th)
+        # masked-out points never reach the warp in the reference
+        # (boolean gather); keep them off the singular-blend hazard here
+        # too (models/common.py substitute_masked)
+        pose_pts = substitute_masked(pose_pts, pind, frame["pvertices"][0])
 
         tpose, tpose_dirs, extras = self._deform(
             pose_pts, pose_dirs, frame, novel_pose=novel_pose

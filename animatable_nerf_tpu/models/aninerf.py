@@ -42,6 +42,7 @@ from .common import (
     eval_capacity,
     survivor_count,
     take_rows,
+    substitute_masked,
 )
 
 # Segment capacity headroom of the hierarchical eval pre-filter: the
@@ -803,6 +804,19 @@ class AniNeRF(nn.Module):
         )
         pnorm = init_pbw[..., 24]
         pind = keep_mask_with_argmin(pnorm, self.norm_th)
+
+        # masked-out points never reach the warp in the reference
+        # (boolean gather, tpose_nerf_network.py:149-163); substitute a
+        # benign in-body point + its grid prior so a drifted bw softmax
+        # at far points can't blend a singular LBS transform
+        # (models/common.py substitute_masked)
+        safe = (frame["pbounds"][0] + frame["pbounds"][1]) * 0.5
+        safe_bw = pts_sample_blend_weights_packed(
+            safe[None], pbw_packed, frame["pbounds"],
+            n_channels=frame["pbw"].shape[-1],
+        )
+        pose_pts = substitute_masked(pose_pts, pind, safe)
+        init_pbw = jnp.where(pind[:, None], init_pbw, safe_bw[0])
 
         # neural blend weights + backward LBS warp (:164)
         tpose, pbw = self.pose_to_canonical(

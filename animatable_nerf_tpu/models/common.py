@@ -14,9 +14,32 @@ def keep_mask_with_argmin(norm_vals, threshold):
     anisdf_pdf_network.py:173-174) so numerics match even when no point
     passes the threshold.
     """
+    # non-finite distances (filter math at garbage coordinates) must
+    # never win the argmin forcing — argmin propagates NaN as "minimum"
+    norm_vals = jnp.where(jnp.isfinite(norm_vals), norm_vals, jnp.inf)
     mask = norm_vals < threshold
     forced = jax.nn.one_hot(jnp.argmin(norm_vals), norm_vals.shape[-1], dtype=bool)
     return mask | forced
+
+
+def substitute_masked(pose_pts, pind, safe_point):
+    """Replace masked-out rows with a benign in-body point before the
+    bw-field/LBS warp (the double-where trick).
+
+    The reference never evaluates filtered points at all — it boolean-
+    gathers the survivors first (aligned_aninerf_lbw_network.py:74-78,
+    tpose_nerf_network.py:149-163). The TPU dense path computes
+    everything and masks afterwards, which exposes the warp to far
+    out-of-shell points: nothing constrains the learned bw softmax
+    there, and a drifted blend of bone rotations can go singular, so the
+    analytic LBS inverse emits inf/NaN that poisons the whole loss
+    through `masked_mean` (nan*0 = nan in both the primal and the
+    cotangent) — observed in practice as every parameter turning NaN in
+    one training step. Substituting the masked-out coordinates is
+    exactly loss-preserving (their raw is value-masked to 0 and the loss
+    masks are stop-gradient functions of geometry only) while keeping
+    every op on the path finite."""
+    return jnp.where(pind[:, None], pose_pts, safe_point)
 
 
 def grid_pdist_keep(pose_pts, frame, threshold):

@@ -52,6 +52,7 @@ from .common import (
     scatter_compacted_raw,
     eval_capacity,
     survivor_count,
+    substitute_masked,
 )
 
 NORM_TH = 0.1  # hard-coded in the pdf models (anisdf_pdf_network.py:172)
@@ -324,6 +325,9 @@ class NeRFPDF(_PDFBase):
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame)
+        # keep masked-out points off the warp (models/common.py
+        # substitute_masked; the reference boolean-gathers first)
+        pose_pts = substitute_masked(pose_pts, pind, frame["pvertices"][0])
 
         tpose, tpose_dirs, _, resd = self._warp(pose_pts, pose_dirs, frame)
         dirs = tpose_dirs if self.tpose_viewdir else vd
@@ -539,6 +543,7 @@ class SDFPDF(_PDFBase):
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame)
+        pose_pts = substitute_masked(pose_pts, pind, frame["pvertices"][0])
 
         tpose, tpose_dirs, init_bigpose, resd = self._warp(pose_pts, pose_dirs, frame)
         dirs = tpose_dirs if self.tpose_viewdir else vd
@@ -734,6 +739,7 @@ class NeuSPDF(SDFPDF):
             )
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
         pind = self._filter(pose_pts, frame)
+        pose_pts = substitute_masked(pose_pts, pind, frame["pvertices"][0])
 
         tpose, tpose_dirs, init_bigpose, resd = self._warp(pose_pts, pose_dirs, frame)
         dirs = tpose_dirs if self.tpose_viewdir else vd

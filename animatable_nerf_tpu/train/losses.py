@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.numerics import safe_norm
+
 
 def masked_mean(x, mask):
     """Mean of x over mask==True elements (0 if mask is empty).
@@ -23,7 +25,11 @@ def masked_mean(x, mask):
     while mask.ndim < x.ndim:
         mask = mask[..., None]
     count = jnp.sum(jnp.broadcast_to(mask, x.shape))
-    return jnp.sum(x * mask) / jnp.maximum(count, 1.0)
+    # where() instead of x*mask: a non-finite x at a masked-OUT element
+    # must not leak into the sum (nan*0 = nan) — defense in depth on top
+    # of the models' substitute_masked input sanitization
+    sel = jnp.where(jnp.broadcast_to(mask, x.shape) > 0, x, 0.0)
+    return jnp.sum(sel) / jnp.maximum(count, 1.0)
 
 
 def smooth_l1(x, y):
@@ -59,20 +65,22 @@ def compute_losses(ret: dict, batch: dict, iter_step):
     loss = 0.0
 
     if "resd" in ret:
-        # 0.01 * mean ||resd|| over evaluated points (tpose_trainer.py:26-29)
-        resd_norm = jnp.linalg.norm(ret["resd"], axis=-1)
+        # 0.01 * mean ||resd|| over evaluated points (tpose_trainer.py:26-29).
+        # safe_norm: a zero-init residual field has ||resd|| = 0 exactly,
+        # where the norm's derivative is inf (core/numerics.py)
+        resd_norm = safe_norm(ret["resd"], axis=-1)
         offset_loss = masked_mean(resd_norm, ret["resd_mask"])
         stats["offset_loss"] = offset_loss
         loss += 0.01 * offset_loss
 
     if "gradients" in ret:
-        gnorm = jnp.linalg.norm(ret["gradients"], axis=-1)
+        gnorm = safe_norm(ret["gradients"], axis=-1)
         grad_loss = masked_mean((gnorm - 1.0) ** 2, ret["grad_mask"])
         stats["grad_loss"] = grad_loss
         loss += 0.01 * grad_loss
 
     if "observed_gradients" in ret:
-        ognorm = jnp.linalg.norm(ret["observed_gradients"], axis=-1)
+        ognorm = safe_norm(ret["observed_gradients"], axis=-1)
         ograd_loss = masked_mean((ognorm - 1.0) ** 2, ret["observed_grad_mask"])
         stats["ograd_loss"] = ograd_loss
         loss += 0.01 * ograd_loss
@@ -131,5 +139,5 @@ def normal_crit(surf_normal_pred, surf_normal_gt, viewdir, surf_mask):
     norm = jnp.maximum(jnp.linalg.norm(surf_normal_gt, axis=1), 1e-8)
     gt = surf_normal_gt / norm[..., None]
     pred = surf_normal_pred * jnp.array([1.0, -1.0, -1.0])
-    diff = jnp.linalg.norm(pred - gt, axis=1)
+    diff = safe_norm(pred - gt, axis=1)
     return masked_mean(w * diff, surf_mask)

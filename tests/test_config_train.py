@@ -291,3 +291,43 @@ def test_all_shipped_configs_resolve():
             for key in ("train_dataset_module", "test_dataset_module"):
                 if isinstance(sub, dict) and key in sub:
                     assert sub[key] in DATASETS, (p, overlay, sub[key])
+
+
+def test_masked_mean_ignores_nonfinite_outside_mask(rng):
+    """nan/inf at masked-OUT elements must not leak into the mean
+    (nan*0 = nan with the multiply formulation — the leak that let a
+    far-point warp NaN poison a whole training run)."""
+    x = jnp.asarray([1.0, np.nan, 3.0, np.inf])
+    mask = jnp.asarray([True, False, True, False])
+    assert float(masked_mean(x, mask)) == 2.0
+    # gradient w.r.t. masked-in elements stays finite and correct
+    g = jax.grad(lambda v: masked_mean(v, mask))(x)
+    np.testing.assert_allclose(np.asarray(g), [0.5, 0.0, 0.5, 0.0])
+
+
+def test_compute_losses_finite_with_garbage_outside_masks(rng):
+    """Composite loss with non-finite values at masked-out rows of every
+    term stays finite in value and gradient."""
+    n = 16
+    bad = np.zeros(n, bool)
+    bad[::4] = True
+    pbw = rng.rand(n, 24).astype(np.float32)
+    pbw[bad] = np.nan
+    resd = (rng.randn(n, 3) * 0.01).astype(np.float32)
+    resd[bad] = np.inf
+    ret = {
+        "rgb_map": jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+        "resd": jnp.asarray(resd),
+        "resd_mask": jnp.asarray(~bad),
+        "pbw": jnp.asarray(pbw),
+        "tbw": jnp.asarray(rng.rand(n, 24).astype(np.float32)),
+        "bw_mask": jnp.asarray(~bad),
+    }
+    batch = {
+        "rgb": jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+        "mask_at_box": jnp.ones(n, bool),
+    }
+    loss, stats = compute_losses(ret, batch, jnp.asarray(0))
+    assert np.isfinite(float(loss))
+    for k, v in stats.items():
+        assert np.isfinite(float(v)), k

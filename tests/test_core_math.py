@@ -380,3 +380,106 @@ class TestSphereTracing:
         # refined z reproduces the point along the ray
         recon = ray_o[m] + dirs[m] * np.asarray(zs)[m][:, None]
         np.testing.assert_allclose(recon, hit, atol=5e-3)
+
+
+def test_backward_warp_finite_at_singular_blend():
+    """A 50/50 blend of Rz(0) and Rz(pi) has a singular rotation block;
+    the det-clamped backward warp must stay finite in value AND gradient
+    (the un-clamped inverse's derivative overflows f32 near det=0 and
+    NaN-poisoned a real training run through where-masking)."""
+    from animatable_nerf_tpu.core.lbs import (
+        pose_points_to_tpose_points, inverse_3x3,
+    )
+
+    A = np.zeros((24, 4, 4), np.float32)
+    for k in range(24):
+        A[k] = np.eye(4)
+    A[1][:3, :3] = np.array([[-1, 0, 0], [0, -1, 0], [0, 0, 1]], np.float32)
+    bw = np.zeros((4, 24), np.float32)
+    bw[:, 0] = 0.5
+    bw[:, 1] = 0.5  # rank-1 blended rotation: diag(0, 0, 1)
+    pts = np.array(
+        [[0.3, -0.2, 0.1]] * 4, np.float32
+    )
+
+    def f(bw_):
+        out = pose_points_to_tpose_points(
+            jnp.asarray(pts), bw_, jnp.asarray(A)
+        )
+        return jnp.sum(out * 0.0)  # zero cotangent, like a masked point
+
+    val = pose_points_to_tpose_points(
+        jnp.asarray(pts), jnp.asarray(bw), jnp.asarray(A)
+    )
+    assert np.isfinite(np.asarray(val)).all()
+    g = jax.grad(f)(jnp.asarray(bw))
+    assert np.isfinite(np.asarray(g)).all()
+    # exactness away from the clamp: a healthy rotation is untouched
+    m = np.asarray(
+        [[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(inverse_3x3(jnp.asarray(m), det_eps=1e-6)),
+        np.linalg.inv(m), atol=1e-6,
+    )
+
+
+def test_safe_sqrt_and_safe_norm_zero_subgradient():
+    """Value-identical to sqrt/norm everywhere, finite (zero) gradient
+    at exactly 0 — where jnp.sqrt's derivative is inf and one masked
+    coincident point NaN-poisons a whole backward pass."""
+    from animatable_nerf_tpu.core.numerics import safe_sqrt, safe_norm
+
+    x = jnp.asarray([0.0, 1e-12, 0.25, 4.0])
+    np.testing.assert_allclose(
+        np.asarray(safe_sqrt(x)), np.sqrt(np.asarray(x)), rtol=1e-7
+    )
+    g = jax.grad(lambda v: jnp.sum(safe_sqrt(v)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(g[0]) == 0.0
+    np.testing.assert_allclose(float(g[3]), 0.25, rtol=1e-6)
+    # garbage must STAY garbage: NaN distances mark points the filters
+    # must mask out; mapping NaN -> 0 would keep an inf-coordinate point
+    bad = np.asarray(safe_sqrt(jnp.asarray([np.nan, np.inf])))
+    assert np.isnan(bad[0]) and np.isinf(bad[1])
+
+    v = jnp.asarray([[0.0, 0.0, 0.0], [3.0, 4.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(safe_norm(v)), [0.0, 5.0], rtol=1e-6)
+    gn = jax.grad(lambda u: jnp.sum(safe_norm(u)))(v)
+    assert np.isfinite(np.asarray(gn)).all()
+    assert np.abs(np.asarray(gn)[0]).sum() == 0.0
+
+
+def test_knn_blend_gradient_finite_at_coincident_point():
+    """A query EXACTLY on a reference vertex (substitute_masked plants
+    masked points on pvertices[0]) has KNN distance 0; the sampler's
+    backward must stay finite (sqrt'(0) = inf NaN-poisoned a real
+    AlignedLBW training run at step 812, jit-only: fusion rounding
+    decided whether d^2 was exactly 0)."""
+    from animatable_nerf_tpu.core.knn import sample_blend_closest_points
+
+    r = np.random.RandomState(0)
+    ref = r.randn(32, 3).astype(np.float32)
+    vals = r.rand(32, 24).astype(np.float32)
+    src = np.stack([ref[0], ref[7] + 0.05], 0).astype(np.float32)
+
+    def f(s):
+        sampled, wd = sample_blend_closest_points(
+            s, jnp.asarray(ref), jnp.asarray(vals)
+        )
+        return jnp.sum(sampled) + jnp.sum(wd)
+
+    for fn in (jax.grad(f), jax.jit(jax.grad(f))):
+        g = np.asarray(fn(jnp.asarray(src)))
+        assert np.isfinite(g).all()
+    # value parity with the scipy/numpy oracle away from the kink
+    sampled, wd = sample_blend_closest_points(
+        jnp.asarray(src), jnp.asarray(ref), jnp.asarray(vals)
+    )
+    d = np.linalg.norm(src[1][None] - ref, axis=-1)
+    idx = np.argsort(d)[:5]
+    disp = 1.0 / (d[idx] + 1e-8)
+    w = disp / disp.sum()
+    np.testing.assert_allclose(
+        np.asarray(sampled)[1], (vals[idx] * w[:, None]).sum(0), rtol=1e-4
+    )

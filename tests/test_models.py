@@ -605,3 +605,54 @@ def test_aligned_empty_scene_compaction_bounded(data):
     raw = np.asarray(out["raw"]).reshape(-1, 4)
     assert np.isfinite(raw).all()
     assert (np.abs(raw).sum(-1) > 0).sum() <= 1
+
+
+@pytest.mark.parametrize(
+    "name", ["aninerf", "aligned_lbw", "nerf_pdf", "sdf_pdf", "neus_pdf"]
+)
+def test_dense_train_immune_to_garbage_at_masked_points(name, data):
+    """The reference boolean-gathers in-shell points before the warp; the
+    TPU dense path computes everything and masks afterwards. Masked-out
+    points must therefore be SANITIZED before the bw-field/LBS warp
+    (models/common.py substitute_masked): a far point with inf
+    coordinates — the limiting case of the drifted-bw singular-blend NaN
+    that poisoned a real AlignedLBW training run — must leave the loss
+    value AND its gradients finite."""
+    from animatable_nerf_tpu.train.losses import compute_losses
+
+    frame, (wpts, vd, z) = data
+    cls = models.MODELS[name]
+    kwargs = dict(norm_th=0.5, num_eval_frames=0)
+    if name == "aninerf":
+        model = cls(num_train_frames=2, norm_th=0.5)
+    elif name in ("nerf_pdf", "sdf_pdf", "neus_pdf"):
+        model = cls(num_latents=2)
+    else:
+        model = cls(num_latents=2, norm_th=0.5)
+
+    # poison two sample points with inf — guaranteed masked out (their
+    # filter distance is inf; argmin forcing picks a finite point)
+    wbad = np.asarray(wpts).copy()
+    wbad[0, 0] = np.inf
+    wbad[3, 2] = np.inf
+    wbad = jnp.asarray(wbad)
+
+    params = model.init(jax.random.PRNGKey(0), wbad, vd, z, frame, train=True)
+    batch = {
+        "rgb": jnp.zeros((R_RAYS, 3)),
+        "mask_at_box": jnp.ones(R_RAYS, bool),
+    }
+
+    def loss_fn(p):
+        out = model.apply(p, wbad, vd, z, frame, train=True)
+        from animatable_nerf_tpu.core.composite import raw2outputs
+        rgb_map, _, _, _, _ = raw2outputs(out["raw"], z, white_bkgd=False)
+        out = dict(out, rgb_map=rgb_map)
+        loss, _ = compute_losses(out, batch, jnp.asarray(0))
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss)), f"{name}: loss not finite"
+    leaves = jax.tree_util.tree_leaves(grads)
+    for g in leaves:
+        assert np.isfinite(np.asarray(g)).all(), f"{name}: non-finite grad"
