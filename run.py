@@ -77,6 +77,24 @@ def run_light_stage(cfg):
     )
 
 
+def run_lpips(cfg):
+    """LPIPS over the evaluate run's dumped pred/gt pairs (reference
+    run.py:138-140 dispatches to an absent tools/calculate_lpips; working
+    here). Needs converted weights: see tools/convert_lpips_weights.py,
+    then pass `lpips_weights <path.npz>`."""
+    from animatable_nerf_tpu.evaluators.lpips import score_comparison_dir
+
+    weights = cfg.get("lpips_weights", "")
+    if not weights:
+        raise SystemExit(
+            "lpips needs converted weights: run "
+            "tools/convert_lpips_weights.py on the torchvision backbone + "
+            "LPIPS calibration .pth files, then pass "
+            "`lpips_weights <path.npz>` (no pretrained weights are bundled)"
+        )
+    score_comparison_dir(cfg.result_dir, weights)
+
+
 def run_evaluate_nv(cfg):
     """Re-score externally produced renders against dataset ground truth
     (reference run.py:111-124: loader + evaluator only, no network)."""
@@ -91,7 +109,8 @@ def main():
     if fn is None:
         raise SystemExit(
             f"unknown --type {args.type!r}; available: dataset, network, "
-            "evaluate, visualize, animation, raster, light_stage, evaluate_nv"
+            "evaluate, visualize, animation, raster, light_stage, "
+            "evaluate_nv, lpips"
         )
     fn(cfg)
 
