@@ -332,10 +332,18 @@ class Engine:
         )()
 
     def load_params(self, template):
-        out = load_checkpoint(self.cfg.trained_model_dir, template)
+        """Load eval params; `test.epoch` >= 0 pins a specific snapshot
+        (reference run.py:23,57,89 pass epoch=cfg.test.epoch into
+        net_utils.py:357-396's load_network)."""
+        epoch = int(self.cfg.get("test", {}).get("epoch", -1))
+        out = load_checkpoint(
+            self.cfg.trained_model_dir, template,
+            epoch=epoch, use_latest=epoch < 0,
+        )
         if out is None:
             raise FileNotFoundError(
                 f"no checkpoint in {self.cfg.trained_model_dir}"
+                + (f" for test.epoch {epoch}" if epoch >= 0 else "")
             )
         return out[0]
 

@@ -148,6 +148,25 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(p2["a"]["w"]), np.ones((3, 3)))
 
 
+def test_checkpoint_pinned_epoch_wins_over_latest(tmp_path):
+    """test.epoch semantics (reference run.py:23 passes epoch into
+    load_network): an explicitly requested epoch beats latest.flax."""
+    d = str(tmp_path / "model")
+    for e, v in [(1, 1.0), (3, 3.0)]:
+        save_checkpoint(d, {"w": jnp.full((2,), v)}, {}, epoch=e, step=e * 10)
+    save_checkpoint(d, {"w": jnp.full((2,), 99.0)}, {}, epoch=4, step=40,
+                    latest=True)
+    tmpl = {"w": jnp.zeros(2)}
+    p, _, epoch, _, _ = load_checkpoint(d, tmpl, epoch=1, use_latest=False)
+    assert epoch == 1
+    np.testing.assert_array_equal(np.asarray(p["w"]), [1.0, 1.0])
+    # missing pinned epoch -> None, never a silent latest fallback
+    assert load_checkpoint(d, tmpl, epoch=2, use_latest=False) is None
+    # default path still prefers latest.flax
+    p, _, epoch, _, _ = load_checkpoint(d, tmpl)
+    assert epoch == 4
+
+
 def test_partial_load_only_subtree(tmp_path):
     src = {
         "a": {"w": jnp.full((2,), 7.0)},
