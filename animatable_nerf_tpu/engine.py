@@ -119,6 +119,7 @@ def render_settings(cfg: Config) -> RenderSettings:
         white_bkgd=cfg.white_bkgd,
         eval_tile=cfg.get("eval_tile", 8192),
         n_importance=n_imp,
+        dense_chunk_rows=int(cfg.get("dense_chunk_rows", 131072)),
     )
 
 

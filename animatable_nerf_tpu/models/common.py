@@ -42,6 +42,35 @@ def substitute_masked(pose_pts, pind, safe_point):
     return jnp.where(pind[:, None], pose_pts, safe_point)
 
 
+def apply_chunked_rows(fn, *arrays, chunk: int = 131072):
+    """Apply a row-wise function over fixed-size row chunks via lax.map.
+
+    `arrays` share their leading (row) dimension; `fn(*chunks)` returns
+    an array or pytree whose leaves all lead with the row dimension.
+    Rows are zero-padded to a chunk multiple and the pad is sliced off.
+    Numerically exact for row-wise math.
+
+    Exists as the reference oracle for the TPU trunk-miscompile guard
+    (render/renderer.py `apply_model` + RenderSettings.dense_chunk_rows;
+    band diagnosis in tools/check_tpu_trunk_numerics.py).
+    """
+    n = arrays[0].shape[0]
+    if n <= chunk:
+        return fn(*arrays)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def prep(a):
+        if pad:
+            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        return a.reshape(n_chunks, chunk, *a.shape[1:])
+
+    out = jax.lax.map(lambda xs: fn(*xs), tuple(prep(a) for a in arrays))
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape(n_chunks * chunk, *o.shape[2:])[:n], out
+    )
+
+
 def grid_pdist_keep(pose_pts, frame, threshold):
     """Conservative pass-1 keep mask from the per-frame packed
     nearest-vertex distance grid (ops/knn_pallas.py

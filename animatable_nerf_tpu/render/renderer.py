@@ -41,6 +41,20 @@ class RenderSettings(NamedTuple):
     white_bkgd: bool = False
     eval_tile: int = 4096
     n_importance: int = 0
+    # Max rows (rays x samples) per FLAT dense model call. The remote
+    # XLA:TPU backend MISCOMPILES the weight-normalized field trunks for
+    # flat row counts in a band around ~0.5M rows (measured garbage at
+    # 524,287-589,824 rows, exact at <= 393,216 and at 1,048,576 —
+    # tools/check_tpu_trunk_numerics.py re-maps it); the dense
+    # whole-frame tile (8192 rays x 64 samples) sat exactly in the band
+    # and rendered silently wrong images. Dense model calls above this
+    # bound are applied per ray sub-chunk via lax.map — numerically
+    # exact for the row-wise field math (the only semantic change is
+    # that the filter's argmin forcing acts per chunk, which matters
+    # only for fully-empty chunks). Compacted calls are already bounded
+    # by their per-tile capacity and are NOT re-chunked (capacity
+    # semantics). 0 disables.
+    dense_chunk_rows: int = 131072
 
 
 def pad_rays(rays: dict, multiple: int):
@@ -69,6 +83,74 @@ def pad_rays(rays: dict, multiple: int):
     mask[:n] = rays.get("mask", np.ones(n, dtype=bool))
     out["mask"] = mask
     return out, n
+
+
+def _model_call_is_dense(model, train: bool) -> bool:
+    """True when this model call takes the dense masked path (no
+    fixed-capacity survivor compaction)."""
+    tkf = float(getattr(model, "train_keep_frac", 0.0) or 0.0)
+    ekf = float(getattr(model, "eval_keep_frac", 0.0) or 0.0)
+    return (train and tkf == 0.0) or (not train and ekf == 0.0)
+
+
+def apply_model(model, params, wpts, ray_d, z_vals, frame, settings,
+                train: bool, **kwargs):
+    """model.apply, ray-chunked for large DENSE calls.
+
+    See RenderSettings.dense_chunk_rows: the TPU backend miscompiles the
+    field trunks for flat row counts in a band around ~0.5M, so dense
+    calls above the bound run as a lax.map over ray sub-chunks (pad rays
+    parked far from the scene; every model output leads with either the
+    ray or the point axis, so chunk outputs re-flatten exactly)."""
+    n_rays, n_samples = z_vals.shape
+    bound = settings.dense_chunk_rows
+    if (
+        not bound
+        or n_rays * n_samples <= bound
+        or not _model_call_is_dense(model, train)
+    ):
+        return model.apply(
+            params, wpts, ray_d, z_vals, frame, train=train, **kwargs
+        )
+
+    chunk = max(1, bound // n_samples)
+    n_chunks = -(-n_rays // chunk)
+    pad = n_chunks * chunk - n_rays
+
+    def padded(a, cval):
+        if not pad:
+            return a
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=cval)
+
+    # pad rays far from the scene (masked out by the point filters; a
+    # zero-origin pad ray would sample the body center instead)
+    wp = padded(wpts, 1e4).reshape(n_chunks, chunk, n_samples, 3)
+    rd = padded(ray_d, 0.0).reshape(n_chunks, chunk, 3)
+    zp = padded(z_vals, 0.0).reshape(n_chunks, chunk, n_samples)
+
+    out = jax.lax.map(
+        lambda args: model.apply(
+            params, args[0], args[1], args[2], frame, train=train, **kwargs
+        ),
+        (wp, rd, zp),
+    )
+
+    def unchunk(leaf):
+        if leaf.ndim >= 2 and leaf.shape[1] == chunk:
+            flat = leaf.reshape(n_chunks * chunk, *leaf.shape[2:])
+            return flat[:n_rays]
+        if leaf.ndim >= 2 and leaf.shape[1] == chunk * n_samples:
+            per_ray = leaf.reshape(
+                n_chunks * chunk, n_samples, *leaf.shape[2:]
+            )[:n_rays]
+            return per_ray.reshape(n_rays * n_samples, *leaf.shape[2:])
+        raise ValueError(
+            f"chunked model output leaf with unexpected leading shape "
+            f"{leaf.shape} (chunk {chunk}, n_samples {n_samples})"
+        )
+
+    return jax.tree_util.tree_map(unchunk, out)
 
 
 def render_rays(
@@ -102,9 +184,9 @@ def render_rays(
         # hierarchical sampling: coarse raw pass -> inverse-CDF fine
         # z values concentrated where the coarse weights are
         coarse_kwargs = {"novel_pose": True} if novel_pose else {}
-        coarse = model.apply(
-            params, z_vals_to_pts(ray_o, ray_d, z_vals), ray_d, z_vals,
-            frame, train=train, **coarse_kwargs,
+        coarse = apply_model(
+            model, params, z_vals_to_pts(ray_o, ray_d, z_vals), ray_d,
+            z_vals, frame, settings, train=train, **coarse_kwargs,
         )
         # the coarse pass's survivor compaction can overflow too —
         # propagate its flag/count so the engine ladder escalates
@@ -152,8 +234,9 @@ def render_rays(
         # the rays — the promise the slab pre-filter's analytic winner
         # rebuild needs (models/aninerf.py _eval_slab)
         kwargs["analytic_z"] = True
-    ret = model.apply(
-        params, wpts, ray_d, z_vals, frame, train=train, **kwargs
+    ret = apply_model(
+        model, params, wpts, ray_d, z_vals, frame, settings,
+        train=train, **kwargs
     )
     if coarse_ovf is not None:
         ret["compact_overflow"] = (

@@ -1,6 +1,7 @@
 """Renderer tests: fused ray batches, tiled image sweeps, visibility
 carving and isosurface extraction."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -494,3 +495,59 @@ def test_vertex_normals_unit_cube_face():
     np.testing.assert_allclose(n, [[0, 0, 1]] * 4, atol=1e-6)
     empty = vertex_normals(verts, np.zeros((0, 3), np.int64))
     assert empty.shape == (4, 3) and (empty == 0).all()
+
+
+@pytest.mark.parametrize(
+    "name", ["aninerf", "aligned_lbw", "nerf_pdf", "sdf_pdf", "neus_pdf"]
+)
+def test_dense_chunked_model_apply_matches_flat(name):
+    """RenderSettings.dense_chunk_rows (the TPU trunk-miscompile guard,
+    tools/check_tpu_trunk_numerics.py): ray-chunked dense model
+    application must reproduce the flat dense call exactly — including a
+    non-divisible ray count (pad rays parked far from the scene)."""
+    rng = np.random.RandomState(3)
+    frame = make_frame(rng)
+    # tight vertex cluster: the pdf families filter on the IDW-WEIGHTED
+    # 5-NN distance (< 0.1), which a sparse random cloud fails even at a
+    # vertex — and a ray with no true in-shell point exposes the one
+    # documented semantic difference of the chunked path (the argmin
+    # forcing acts per chunk)
+    tight = jnp.asarray(np.asarray(frame["pvertices"]) * 0.15)
+    frame = dict(frame, pvertices=tight, tvertices=tight)
+    n_rays, n_samples = 22, 8  # 22 rays / chunk 5 -> 5 chunks, pad 3
+    rays = make_ray_batch(rng, n_rays)
+    # aim every ray THROUGH a vertex so each chunk holds in-shell samples
+    verts = np.asarray(frame["pvertices"])
+    targets = verts[rng.randint(0, len(verts), n_rays)]
+    o = np.asarray(rays["ray_o"])
+    d = targets - o
+    dist = np.linalg.norm(d, axis=-1, keepdims=True)
+    rays["ray_d"] = jnp.asarray((d / dist).astype(np.float32))
+    rays["near"] = jnp.asarray((dist[:, 0] - 0.3).astype(np.float32))
+    rays["far"] = jnp.asarray((dist[:, 0] + 0.3).astype(np.float32))
+    cls = models.MODELS[name]
+    if name == "aninerf":
+        m = cls(num_train_frames=2, norm_th=0.5, eval_keep_frac=0.0)
+    elif name == "aligned_lbw":
+        m = cls(num_latents=2, norm_th=0.5, eval_keep_frac=0.0)
+    else:
+        m = cls(num_latents=2, eval_keep_frac=0.0)
+    wpts = jnp.zeros((n_rays, n_samples, 3))
+    params = m.init(
+        jax.random.PRNGKey(0), wpts, rays["ray_d"],
+        jnp.ones((n_rays, n_samples)), frame, train=False,
+    )
+
+    flat = RenderSettings(n_samples=n_samples, perturb=False,
+                          dense_chunk_rows=0)
+    chunked = RenderSettings(n_samples=n_samples, perturb=False,
+                             dense_chunk_rows=5 * n_samples)
+    out_f = jax.jit(lambda p: render_rays(m, p, rays, frame, flat,
+                                          train=False))(params)
+    out_c = jax.jit(lambda p: render_rays(m, p, rays, frame, chunked,
+                                          train=False))(params)
+    for k in ("rgb_map", "acc_map", "depth_map"):
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out_c[k]), atol=1e-5,
+            err_msg=f"{name}:{k}",
+        )
