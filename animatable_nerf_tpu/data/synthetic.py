@@ -345,3 +345,87 @@ def generate_synthetic_dataset(
     }
     np.save(os.path.join(root, "annots.npy"), annots)
     return root
+
+
+def blob_density_np(pts, centers, sigma=0.045, amp=240.0, chunk=262144):
+    """Analytic blob density amp * sum_b exp(-|x-c_b|^2 / 2 sigma^2) —
+    the exact field `_render_blob_image` integrates; evaluated in
+    chunked numpy for grid sweeps."""
+    pts = np.asarray(pts, np.float32).reshape(-1, 3)
+    out = np.empty(len(pts), np.float32)
+    c2 = np.sum(centers * centers, -1)
+    for i in range(0, len(pts), chunk):
+        p = pts[i : i + chunk]
+        d2 = (
+            np.sum(p * p, -1, keepdims=True) - 2.0 * p @ centers.T + c2
+        )
+        out[i : i + chunk] = amp * np.exp(-d2 / (2 * sigma**2)).sum(-1)
+    return out
+
+
+def write_gt_meshes(
+    root: str,
+    n_verts: int,
+    n_blobs: int,
+    seed: int = 0,
+    level: float = 5.0,
+    sigma: float = 0.045,
+    amp: float = 240.0,
+    voxel: float = 0.02,
+    frames=None,
+):
+    """Emit analytic ground-truth surface meshes `object/{frame:06d}.obj`
+    for an existing synthetic dataset — the GT layout the mesh evaluator
+    consumes (reference mesh_evaluator.py:30,100-136), closing the
+    chamfer/P2S loop end-to-end on synthetic data.
+
+    The GT surface is the `level` isosurface of the same Gaussian-blob
+    density the images were volume-rendered from, so a perfectly trained
+    density field extracted at `mesh_th == level` matches it exactly.
+    Blob centers are recovered by replaying the generator's RNG
+    (n_verts/n_blobs/seed must match generation); the replay is verified
+    bit-exactly against the stored `lbs/tvertices.npy` before writing.
+    """
+    from ..render.mesh import marching_cubes, largest_component
+    from ..evaluators.mesh import export_obj
+
+    rng = np.random.RandomState(seed)
+    tverts, _weights = _make_vertices(
+        REST_JOINTS.copy(), SMPL_PARENTS, n_verts, rng
+    )
+    tv_ref = np.load(os.path.join(root, "lbs", "tvertices.npy"))
+    if tverts.shape != tv_ref.shape or not np.allclose(tverts, tv_ref):
+        raise ValueError(
+            "RNG replay mismatch: n_verts/seed do not reproduce "
+            "lbs/tvertices.npy — pass the generation-time values"
+        )
+    blob_idx = rng.choice(len(tverts), size=min(n_blobs, len(tverts)),
+                          replace=False)
+
+    if frames is None:
+        vdir = os.path.join(root, "vertices")
+        frames = sorted(
+            int(os.path.splitext(f)[0]) for f in os.listdir(vdir)
+            if f.endswith(".npy")
+        )
+    # the blob shell extends r = sigma*sqrt(2 ln(amp/level)) past centers
+    shell = float(sigma * np.sqrt(2.0 * np.log(max(amp / level, 1.0 + 1e-6))))
+    paths = []
+    for f in frames:
+        wverts = np.load(os.path.join(root, "vertices", f"{f}.npy"))
+        centers = wverts[blob_idx].astype(np.float32)
+        lo = centers.min(0) - shell - 2 * voxel
+        hi = centers.max(0) + shell + 2 * voxel
+        axes = [np.arange(lo[k], hi[k] + voxel, voxel, dtype=np.float32)
+                for k in range(3)]
+        shape = tuple(len(a) for a in axes)
+        grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1)
+        dens = blob_density_np(grid, centers, sigma, amp).reshape(shape)
+        verts, faces = marching_cubes(
+            dens, level, spacing=(voxel,) * 3, origin=tuple(lo)
+        )
+        verts, faces = largest_component(verts, faces)
+        path = os.path.join(root, "object", f"{f:06d}.obj")
+        export_obj(path, verts, faces)
+        paths.append(path)
+    return paths

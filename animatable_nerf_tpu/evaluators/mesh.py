@@ -134,6 +134,19 @@ def export_ply(path, verts, faces):
             f.write(body.tobytes())
 
 
+def export_obj(path, verts, faces):
+    """Minimal OBJ writer (v/f lines) — the GT-mesh format the reference's
+    mesh evaluator consumes (mesh_evaluator.py:30 `object/{:06d}.obj`)."""
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with open(path, "w") as f:
+        for v in np.asarray(verts, np.float32):
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for tri in np.asarray(faces, np.int64):
+            f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
+
+
 def load_obj(path):
     """Minimal OBJ loader (v/f lines) for GT meshes."""
     verts, faces = [], []
