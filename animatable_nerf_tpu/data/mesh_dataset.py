@@ -53,6 +53,10 @@ def _make_mesh_dataset(base_cls, canonical: bool):
                     self.frame_index_of(os.path.join(self.data_root, name))[1]
                 )
                 self.frame_positions.append(name_to_pos[name])
+            # one item per frame from here on: FrameSampler divides
+            # len(dataset) by num_cams (loader.py), so mirror the
+            # reference's reset (aninerf_mesh_dataset.py:45 num_cams=1)
+            self.num_cams = 1
 
         def __len__(self):
             return len(self.frame_ids)

@@ -376,6 +376,22 @@ def test_image_size_batch_sampler():
     assert all(h == -1 and w == -1 for b in batches2 for _, h, w in b)
 
 
+def test_mesh_dataset_frame_sampler(droot):
+    """Mesh datasets expose one item per frame and pin num_cams=1 (the
+    reference's reset at aninerf_mesh_dataset.py:45), so FrameSampler's
+    len(dataset)//num_cams stride visits every frame instead of
+    collapsing the 3-frame set to n_frames=1."""
+    from animatable_nerf_tpu.data.mesh_dataset import MeshDataset
+
+    cfg = make_cfg(droot)
+    ds = MeshDataset(cfg, "test")
+    assert len(ds) == 3 and ds.num_cams == 1
+    fs = FrameSampler(ds, interval=1)
+    assert list(fs) == [0, 1, 2]
+    item = ds[1]
+    assert item["pts"].ndim == 4 and item["pts"].shape[-1] == 3
+
+
 def test_write_gt_meshes(droot):
     """write_gt_meshes replays the generator RNG, writes OBJ GT meshes at
     the density isosurface, and rejects mismatched replay params."""
