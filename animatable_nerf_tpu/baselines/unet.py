@@ -73,9 +73,28 @@ def blur_pool(x, filt_size: int = 3, stride: int = 2):
 
 
 def _max_pool(x, window: int, stride: int):
-    return nn.max_pool(
-        x, (window, window), strides=(stride, stride), padding="SAME"
+    """Stride-1 SAME max pool as an elementwise max of shifted slices.
+
+    Equivalent to nn.max_pool(..., padding="SAME") but avoids emitting a
+    reduce_window: XLA:TPU's space-to-batch pass CHECK-fails
+    (space_to_batch_converter.cc:4190) when a reduce_window feeds the
+    stride-2 depthwise blur conv at batch 1 — the exact
+    maxpool->blurpool chain of this UNet (measured on v5e).
+    """
+    assert stride == 1, "only the stride-1 anti-aliasing pool is used"
+    B, H, W, C = x.shape
+    p = window - 1  # SAME at stride 1: pad 0 low, window-1 high
+    xp = jnp.pad(
+        x, ((0, 0), (0, p), (0, p), (0, 0)),
+        constant_values=-jnp.inf,
     )
+    out = x
+    for di in range(window):
+        for dj in range(window):
+            if di == 0 and dj == 0:
+                continue
+            out = jnp.maximum(out, xp[:, di:di + H, dj:dj + W])
+    return out
 
 
 class Down(nn.Module):
