@@ -1096,16 +1096,23 @@ def _run_train_baseline(cfg: Config, epochs: int | None = None,
         for epoch in range(begin_epoch, n_epochs):
             loader.set_epoch(epoch)
             recorder.epoch = epoch
+            end = time.time()
             for item in loader:
                 if guard.should_stop:
                     break
+                data_time = time.time() - end
                 state, stats = trainer.train_step(state, item)
+                stats = {k: float(v) for k, v in stats.items()}  # sync
                 recorder.step += 1
-                recorder.update_stats({k: float(v) for k, v in stats.items()})
+                recorder.update_stats(stats)
+                recorder.batch_time.update(time.time() - end)
+                recorder.data_time.update(data_time)
+                end = time.time()
                 if recorder.step % cfg.log_interval == 0:
                     print(
                         recorder.log_line(
-                            0, float(trainer.sched(int(state.step)))
+                            n_epochs * max(cfg.ep_iter, 1),
+                            float(trainer.sched(int(state.step))),
                         )
                     )
             if guard.should_stop:
