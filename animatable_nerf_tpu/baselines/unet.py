@@ -83,17 +83,19 @@ def _max_pool(x, window: int, stride: int):
     """
     assert stride == 1, "only the stride-1 anti-aliasing pool is used"
     B, H, W, C = x.shape
-    p = window - 1  # SAME at stride 1: pad 0 low, window-1 high
+    # SAME at stride 1: total pad window-1, split low = total // 2
+    # (XLA convention; window 2 -> 0 low / 1 high, window 3 -> 1 / 1)
+    pl = (window - 1) // 2
+    ph = window - 1 - pl
     xp = jnp.pad(
-        x, ((0, 0), (0, p), (0, p), (0, 0)),
+        x, ((0, 0), (pl, ph), (pl, ph), (0, 0)),
         constant_values=-jnp.inf,
     )
-    out = x
+    out = None
     for di in range(window):
         for dj in range(window):
-            if di == 0 and dj == 0:
-                continue
-            out = jnp.maximum(out, xp[:, di:di + H, dj:dj + W])
+            sl = xp[:, di:di + H, dj:dj + W]
+            out = sl if out is None else jnp.maximum(out, sl)
     return out
 
 

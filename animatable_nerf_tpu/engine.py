@@ -318,6 +318,29 @@ class Engine:
             params, v + resd, method=self.model.canonical_sdf
         )
 
+    def _chunked_vertex_eval(self, jit_fn, params, frame, v):
+        """Run a per-vertex field program in fixed-size row chunks.
+
+        The weight-norm field trunks hit the TPU backend's flat-row-count
+        miscompile band around ~0.5M rows (see RenderSettings.
+        dense_chunk_rows); mesh-vertex evaluations are unbounded in size,
+        so they are chunked at the same bound the renderer uses. The last
+        chunk is zero-padded to keep one compiled program (pad outputs
+        are discarded)."""
+        bound = self.settings.dense_chunk_rows
+        n = v.shape[0]
+        if not bound or n <= bound:
+            return np.asarray(jit_fn(params, frame, v))
+        outs = []
+        for s in range(0, n, bound):
+            part = v[s:s + bound]
+            pad = bound - part.shape[0]
+            if pad:
+                part = jnp.pad(part, ((0, pad), (0, 0)))
+            o = np.asarray(jit_fn(params, frame, part))
+            outs.append(o[:bound - pad] if pad else o)
+        return np.concatenate(outs, 0)
+
     # --------------------------------------------------------- params
     def init_params(self, key, dataset=None):
         n = 8
@@ -493,7 +516,7 @@ class Engine:
         pts = np.asarray(item["pts"])
         sh = pts.shape[:3]
         flat = jnp.asarray(pts.reshape(-1, 3))
-        frame = frame_arrays(item)
+        frame = self._device_frame(item)
         voxel = float(np.asarray(item["voxel_size"]).ravel()[0])
         sdf = np.asarray(self._sdf_sweep_jit(params, frame, flat))
         cube = (-sdf).reshape(sh)
@@ -512,13 +535,17 @@ class Engine:
         A LBS, then to world. The canonical topology is frame-invariant,
         so an animation re-uses one extraction across all frames
         (run_animation)."""
-        frame = frame_arrays(item)
+        frame = self._device_frame(item)
         v = jnp.asarray(np.asarray(verts, np.float32))
         tbw, _ = sample_blend_closest_points(
             v, frame["tvertices"], frame["weights"]
         )
-        normal = np.asarray(self._observed_grad_jit(params, frame, v))
-        sdf_v = np.asarray(self._sdf_at_jit(params, frame, v))
+        normal = self._chunked_vertex_eval(
+            self._observed_grad_jit, params, frame, v
+        )
+        sdf_v = self._chunked_vertex_eval(
+            self._sdf_at_jit, params, frame, v
+        )
         deformed = v + jnp.asarray(-normal * sdf_v[:, None])
         tpose_pts = pose_points_to_tpose_points(deformed, tbw, frame["big_A"])
         pose_pts = tpose_points_to_pose_points(tpose_pts, tbw, frame["A"])
@@ -548,7 +575,7 @@ class Engine:
         pts = np.asarray(item["pts"])
         sh = pts.shape[:3]
         flat = jnp.asarray(pts.reshape(-1, 3))
-        frame = frame_arrays(item)
+        frame = self._device_frame(item)
         voxel = float(np.asarray(item["voxel_size"]).ravel()[0])
         sigma = np.asarray(self._density_sweep_jit(params, frame, flat))
         if "msks" in item:
@@ -907,7 +934,6 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None,
     recorder = Recorder(cfg.record_dir, resume=cfg.resume, is_main=is_main)
 
     n_epochs = epochs if epochs is not None else cfg.train.epoch
-    max_iter = n_epochs * max(cfg.ep_iter, 1)
 
     loader = Loader(
         ds,
@@ -917,6 +943,9 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None,
         shard_id=jax.process_index(),
         num_threads=cfg.train.get("num_workers", 8) // 2 or 1,
     )
+    # ETA basis: ep_iter <= 0 means full-dataset epochs (len(loader)
+    # reflects the per-shard iteration count either way)
+    max_iter = n_epochs * max(len(loader), 1)
 
     # init / resume. fix_random pins the sampling key chain; otherwise
     # it varies per wall-clock start (reference train_net.py:12-15:
@@ -1077,6 +1106,8 @@ def _run_train_baseline(cfg: Config, epochs: int | None = None,
         num_shards=jax.process_count(), shard_id=jax.process_index(),
         num_threads=2,
     )
+    # ETA basis (ep_iter <= 0 => full-dataset epochs)
+    max_iter = n_epochs * max(len(loader), 1)
     state = trainer.init_state(jax.random.PRNGKey(42), ds[0])
 
     begin_epoch = 0
@@ -1111,7 +1142,7 @@ def _run_train_baseline(cfg: Config, epochs: int | None = None,
                 if recorder.step % cfg.log_interval == 0:
                     print(
                         recorder.log_line(
-                            n_epochs * max(cfg.ep_iter, 1),
+                            max_iter,
                             float(trainer.sched(int(state.step))),
                         )
                     )

@@ -49,11 +49,14 @@ class RenderSettings(NamedTuple):
     # whole-frame tile (8192 rays x 64 samples) sat exactly in the band
     # and rendered silently wrong images. Dense model calls above this
     # bound are applied per ray sub-chunk via lax.map — numerically
-    # exact for the row-wise field math (the only semantic change is
-    # that the filter's argmin forcing acts per chunk, which matters
-    # only for fully-empty chunks). Compacted calls are already bounded
-    # by their per-tile capacity and are NOT re-chunked (capacity
-    # semantics). 0 disables.
+    # exact for the row-wise field math; the keep-at-least-one argmin /
+    # argmax forcing acts per chunk rather than globally, which mirrors
+    # the reference's own per-chunk forcing inside its 2048-ray chunk
+    # loop (tpose_renderer.py:170-181): at eval the forced point is
+    # masked out of raw, at train each chunk contributes its one forced
+    # point to the bw-consistency loss exactly as the reference's chunks
+    # do. Compacted calls are already bounded by their per-tile capacity
+    # and are NOT re-chunked (capacity semantics). 0 disables.
     dense_chunk_rows: int = 131072
 
 

@@ -49,10 +49,15 @@ class TestUNet:
         from animatable_nerf_tpu.baselines.unet import _max_pool
 
         for H, W in ((32, 32), (17, 23), (8, 18)):
-            x = jnp.asarray(rng.randn(2, H, W, 5).astype(np.float32))
-            ref = nn.max_pool(x, (2, 2), strides=(1, 1), padding="SAME")
-            got = _max_pool(x, 2, 1)
-            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+            for window in (2, 3, 4, 5):
+                x = jnp.asarray(rng.randn(2, H, W, 5).astype(np.float32))
+                ref = nn.max_pool(
+                    x, (window, window), strides=(1, 1), padding="SAME"
+                )
+                got = _max_pool(x, window, 1)
+                np.testing.assert_array_equal(
+                    np.asarray(got), np.asarray(ref)
+                )
 
     def test_forward_mask_channel(self, rng):
         net = UNet(n_classes=3, layer_widths=TINY_UNET, use_mask=True)

@@ -127,6 +127,35 @@ def test_animation_sdf_shared_topology(trained, tmp_path, monkeypatch):
     assert len(plys) >= 2
 
 
+def test_sdf_repose_chunked_vertex_eval(trained, tmp_path, monkeypatch):
+    """The flat-row-count miscompile guard (RenderSettings.
+    dense_chunk_rows) also covers the SDF mesh repose path: per-vertex
+    field programs run in fixed-size chunks, and the chunked evaluation
+    must match the flat call."""
+    import jax
+
+    opts, _ = trained
+    base = list(opts) + [
+        "vis_posed_mesh", "True",
+        "network_module", "sdf_pdf",
+        "test_dataset_module", "lib.datasets.anisdf_mesh_dataset",
+        "voxel_size", "[0.05, 0.05, 0.05]",
+        "exp_name", "reposechunk",
+    ]
+    cfg = load_config(CFG, opts=base + ["dense_chunk_rows", "37"])
+    eng = engine.Engine(cfg)
+    ds = engine.make_dataset(cfg, "test")
+    params = eng.init_params(jax.random.PRNGKey(0), ds)
+    item = ds[0]
+    verts, _ = eng.canonical_sdf_mesh(params, item)
+    assert len(verts) > 37, "need multiple chunks to exercise the guard"
+    posed_chunked = eng.repose_canonical_mesh(params, verts, item)
+
+    eng_flat = engine.Engine(load_config(CFG, opts=base + ["dense_chunk_rows", "0"]))
+    posed_flat = eng_flat.repose_canonical_mesh(params, verts, item)
+    np.testing.assert_allclose(posed_chunked, posed_flat, atol=1e-6)
+
+
 def test_raster_flow(trained, tmp_path, monkeypatch):
     """run_raster (run.py --type raster): posed meshes rasterized into a
     training-view camera via the native z-buffer; PNG + depth per frame."""
