@@ -179,6 +179,15 @@ def default_config() -> Config:
                 "shuffle": True,
                 "collator": "",
                 "batch_sampler": "default",
+                # converted VGG19-head weights (tools/convert_vgg_weights.py)
+                # switch the NHR/NT trainers to the exact reference
+                # perceptual objective (lib/losses/nhr_perceptual_loss.py);
+                # "" uses the documented multi-scale stand-in
+                "vgg_weights": "",
+                # reference parity flag (lib/config/config.py:85): gates
+                # the VGGPerceptualLoss import there; both losses are
+                # always importable here (train/perceptual.py)
+                "use_vgg": False,
             },
             "test": {
                 "batch_size": 1,

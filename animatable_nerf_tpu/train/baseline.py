@@ -1,10 +1,16 @@
 """Trainer for the image-space baselines (NHR / NT).
 
 Reference counterparts: lib/train/trainers/nhr.py and nt.py — full-image
-forward + image loss (the reference adds a VGG perceptual term; without
-bundled pretrained VGG weights we use masked MSE + L1 + a multi-scale
-gradient term, which plays the same role of sharpening high-frequency
-detail — deviation documented).
+forward + VGG19 perceptual loss (lib/losses/nhr_perceptual_loss.py).
+
+When `train.vgg_weights` points at a converted VGG19 head
+(tools/convert_vgg_weights.py), the loss is the exact reference
+objective: mask-multiplied rgb stacked with the mask channel, L1 between
+VGG19 relu1_2/relu2_2 features plus image L1 (nhr.py:25-31). Without
+weights (none are bundled — they derive from ImageNet models) the
+fallback is masked MSE + L1 + a multi-scale gradient term, which plays
+the same role of sharpening high-frequency detail — deviation
+documented.
 
 The whole iteration is one jitted program; full-image convs dominate so
 there is no ray batching.
@@ -56,6 +62,17 @@ class BaselineTrainer:
         self.cfg = cfg
         self.model = model
         self.tx, self.sched = make_optimizer(cfg)
+        # exact reference objective when converted VGG19 weights are
+        # supplied (train.vgg_weights); {} selects the documented
+        # stand-in. Passed as a jit ARGUMENT (never close over big
+        # arrays on the TPU path — remote-compile embeds constants).
+        vgg_path = cfg.train.get("vgg_weights", "")
+        if vgg_path:
+            from .perceptual import load_vgg_npz
+
+            self._vgg = load_vgg_npz(vgg_path)
+        else:
+            self._vgg = {}
         self._step_fn = jax.jit(self._train_step)
 
     def _frame(self, item):
@@ -74,24 +91,41 @@ class BaselineTrainer:
             step=jnp.asarray(0),
         )
 
-    def _loss(self, params, frame):
+    def _loss(self, params, frame, vgg):
         out = self.model.apply(params, frame, train=True)
         pred = out["rgb_map"]
         gt = frame["img"]
         m = frame["msk"][..., None]
         img_loss = jnp.mean((pred - gt) ** 2)
-        pyr = _image_pyramid_l1(pred, gt)
-        mask_loss = 0.0
-        if "mask" in out:
-            mask_loss = jnp.mean(
-                (out["mask"] - (frame["msk"] > 0).astype(jnp.float32)) ** 2
-            )
-        loss = img_loss + 0.1 * pyr + 0.1 * mask_loss
+        if self._vgg:
+            # reference objective (nhr.py:25-31 / nt.py): mask-multiply
+            # rgb and gt, stack the predicted mask channel against the
+            # gt mask, VGG19 feature L1 + image L1
+            from .perceptual import perceptual_loss
+
+            mskf = (frame["msk"] > 0).astype(jnp.float32)[..., None]
+            rgb = pred * mskf
+            img = gt * mskf
+            pm = out["mask"][..., None] if "mask" in out else mskf
+            x = jnp.concatenate([rgb, pm], axis=-1)[None]
+            target = jnp.concatenate([img, mskf], axis=-1)[None]
+            feat_loss, l1_loss = perceptual_loss(vgg, x, target)
+            loss = feat_loss + l1_loss
+            extra = {"vgg_loss": feat_loss, "l1_loss": l1_loss}
+        else:
+            pyr = _image_pyramid_l1(pred, gt)
+            mask_loss = 0.0
+            if "mask" in out:
+                mask_loss = jnp.mean(
+                    (out["mask"] - (frame["msk"] > 0).astype(jnp.float32))
+                    ** 2
+                )
+            loss = img_loss + 0.1 * pyr + 0.1 * mask_loss
+            extra = {"pyr_loss": pyr, "mask_loss": mask_loss}
         stats = {
             "loss": loss,
             "img_loss": img_loss,
-            "pyr_loss": pyr,
-            "mask_loss": mask_loss,
+            **extra,
             # masked MSE over the masked PIXEL COUNT (a mean over all
             # pixels would inflate PSNR on sparse subjects)
             "psnr": -10.0 * jnp.log(
@@ -104,12 +138,12 @@ class BaselineTrainer:
         }
         return loss, stats
 
-    def _train_step(self, state: BaselineState, frame):
+    def _train_step(self, state: BaselineState, frame, vgg):
         import optax
 
         (loss, stats), grads = jax.value_and_grad(
             self._loss, has_aux=True
-        )(state.params, frame)
+        )(state.params, frame, vgg)
         updates, opt_state = self.tx.update(
             grads, state.opt_state, state.params
         )
@@ -120,4 +154,4 @@ class BaselineTrainer:
         )
 
     def train_step(self, state, item, key=None):
-        return self._step_fn(state, self._frame(item))
+        return self._step_fn(state, self._frame(item), self._vgg)

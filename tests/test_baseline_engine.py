@@ -69,3 +69,25 @@ class TestNTEngine:
         cfg2.eval = True
         out = engine.run_evaluate(cfg2, max_items=1, save_images=False)
         assert np.isfinite(out["psnr"])
+
+
+class TestNHRVGGLoss:
+    def test_train_with_vgg_perceptual(self, synth_root, tmp_path):
+        """train.vgg_weights switches BaselineTrainer to the exact
+        reference objective (VGG19 feature L1 + image L1 on the
+        rgb+mask stack — lib/train/trainers/nhr.py:25-31)."""
+        from animatable_nerf_tpu.train.perceptual import random_vgg19_head
+
+        npz = str(tmp_path / "vgg19_head.npz")
+        np.savez(
+            npz, **{k: np.asarray(v)
+                    for k, v in random_vgg19_head(0).items()}
+        )
+        cfg = _cfg(
+            synth_root, tmp_path, "nhr", "nhr",
+            extra=("train.vgg_weights", npz),
+        )
+        state = engine.run_train(cfg, epochs=1)
+        assert np.isfinite(
+            float(jax.tree_util.tree_leaves(state.params)[0].sum())
+        )
