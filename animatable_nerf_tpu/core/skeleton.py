@@ -71,16 +71,18 @@ def rigid_transforms(
     rot_mats = batch_rodrigues(poses)  # (24, 3, 3)
     rel_joints = joints.at[1:].add(-joints[parents[1:]])  # (24, 3)
 
-    # 4x4 per-joint local transforms
+    # 4x4 per-joint local transforms (joint count from the tree: 24 for
+    # SMPL, 52/55 for SMPL-H/X host-side models)
+    n_joints = parents.shape[0]
     tm = jnp.concatenate([rot_mats, rel_joints[..., None]], axis=-1)  # (24,3,4)
     bottom = jnp.tile(
-        jnp.array([[[0.0, 0.0, 0.0, 1.0]]], dtype=poses.dtype), (N_JOINTS, 1, 1)
+        jnp.array([[[0.0, 0.0, 0.0, 1.0]]], dtype=poses.dtype), (n_joints, 1, 1)
     )
     tm = jnp.concatenate([tm, bottom], axis=-2)  # (24, 4, 4)
 
     # compose along the static kinematic tree (unrolled: 24 joints)
     chain = [tm[0]]
-    for i in range(1, N_JOINTS):
+    for i in range(1, n_joints):
         chain.append(jnp.matmul(chain[parents[i]], tm[i], precision=_HI))
     transforms = jnp.stack(chain, axis=0)  # (24, 4, 4)
 

@@ -53,10 +53,13 @@ def load_smpl(path: str) -> dict:
 
 def big_pose_vector(n_joints: int = N_BONES, angle_deg: float = 30.0):
     """The canonical 'big pose': legs spread 30 degrees
-    (prepare_lbs_meta.py:211-216, tpose_dataset.py:80-90)."""
-    return big_poses_vec(angle_deg).reshape(-1)[: n_joints * 3].reshape(
-        n_joints, 3
-    )
+    (prepare_lbs_meta.py:211-216, tpose_dataset.py:80-90). Valid for any
+    joint count >= 3 (the spread rotations sit on joints 1 and 2 — SMPL-H
+    pickles carry 52 joints, SMPL-X 55)."""
+    big = np.zeros((n_joints, 3), np.float32)
+    big[1, 2] = np.deg2rad(angle_deg)
+    big[2, 2] = np.deg2rad(-angle_deg)
+    return big
 
 
 def barycentric_interpolation(val: np.ndarray, coords: np.ndarray):
@@ -74,7 +77,19 @@ class SMPLModel:
     inside jitted programs).
     """
 
-    def __init__(self, smpl: dict, n_bones: int = N_BONES):
+    def __init__(self, smpl: dict, n_bones: int | None = None):
+        """n_bones: None derives the bone count from the pickle's
+        kinematic tree — 24 for SMPL, 52 for SMPL-H, 55 for SMPL-X raw
+        pickles (the reference vendors the full smplx package for
+        offline prep, lib/utils/smplx/body_models.py; every runtime path
+        here is joint-count-generic so the larger models load
+        unchanged). Pass 24 to truncate an SMPL-H/X model to the SMPL
+        body bones."""
+        if n_bones is None:
+            n_bones = min(
+                np.asarray(smpl["kintree_table"]).shape[-1],
+                np.asarray(smpl["weights"]).shape[-1],
+            )
         self.v_template = np.asarray(smpl["v_template"], np.float64)
         self.shapedirs = np.asarray(smpl["shapedirs"], np.float64)
         self.J_regressor = np.asarray(smpl["J_regressor"], np.float64)

@@ -97,6 +97,37 @@ class TestSMPLModel:
         assert np.count_nonzero(bp) == 2
 
 
+    def test_smplh_style_auto_bones(self, rng):
+        """SMPL-H/X raw pickles carry more joints (52/55); the bone
+        count derives from the kinematic tree and every path is
+        joint-count-generic (the reference vendors smplx for this,
+        lib/utils/smplx/body_models.py)."""
+        V, B = 40, 52
+        smpl = _fake_smpl(rng, V=V)
+        J = np.zeros((B, V))
+        for j in range(B):
+            J[j, rng.randint(0, V, 3)] = 1.0 / 3.0
+        w = rng.rand(V, B) ** 4
+        w /= w.sum(-1, keepdims=True)
+        kt = np.zeros((2, B), np.int64)
+        kt[0, 1:] = rng.randint(0, np.arange(1, B))  # valid tree: parent < child
+        smpl.update(J_regressor=J, weights=w, kintree_table=kt)
+
+        model = SMPLModel(smpl)
+        assert model.n_bones == B
+        posed, joints, A = model.lbs(np.zeros((B, 3)))
+        np.testing.assert_allclose(posed, model.v_template, atol=1e-5)
+        poses = (rng.randn(B, 3) * 0.2).astype(np.float32)
+        posed, _, A = model.lbs(poses)
+        np.testing.assert_allclose(
+            model.inverse_lbs(posed, A), model.v_template, atol=1e-4
+        )
+        bp = big_pose_vector(B)
+        assert bp.shape == (B, 3) and np.count_nonzero(bp) == 2
+        # explicit n_bones truncates to the SMPL body skeleton
+        assert SMPLModel(smpl, n_bones=24).n_bones == 24
+
+
 class TestPointMesh:
     def test_matches_naive_brute_force(self, rng):
         verts = rng.randn(20, 3).astype(np.float32)
