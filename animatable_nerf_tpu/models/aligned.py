@@ -100,6 +100,17 @@ class _AlignedBase(nn.Module):
         )
         return keep_mask_with_argmin(pnorm[..., 0], th)
 
+    def _filter_th(self):
+        """Forward-path filter threshold. LBW/PBW read the configured
+        norm_th (aligned_aninerf_lbw_network.py:100); SMPL and LBWPDF
+        hard-code 0.1 in the reference forwards
+        (aligned_aninerf_smpl_network.py:70,
+        aligned_aninerf_lbw_pdf_network.py:138) — pinned by the golden
+        oracle tests."""
+        if isinstance(self, (AlignedSMPL, AlignedLBWPDF)):
+            return 0.1
+        return self.norm_th
+
     def _head(self, tpose, dirs, dists, frame):
         """Softplus NeRF density + color (aligned_aninerf_pdf_network.py:
         177-201)."""
@@ -200,7 +211,7 @@ class _AlignedBase(nn.Module):
         cap = eval_capacity(
             pose_pts.shape[0], min(keep_frac * cap_widen, 1.0)
         )
-        th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
+        th = self._filter_th()
         if conservative and "pdist_packed" in frame:
             pind = grid_pdist_keep(pose_pts, frame, th)
         else:
@@ -255,7 +266,7 @@ class _AlignedBase(nn.Module):
         inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
         # exact weighted-distance filter on the stream (pass 1 was the
         # conservative min-distance superset)
-        th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
+        th = self._filter_th()
         c_keep = keep_mask_with_argmin(
             jnp.where(slot_valid, c_pnorm[..., 0], jnp.inf), th
         )
@@ -317,7 +328,7 @@ class _AlignedBase(nn.Module):
         c_init_pbw, c_pnorm = self._compact_knn_prior(c_pose, frame)
         surv = sv
         if conservative:
-            th = 0.1 if isinstance(self, AlignedSMPL) else self.norm_th
+            th = self._filter_th()
             surv = sv & keep_mask_with_argmin(
                 jnp.where(sv, c_pnorm[..., 0], jnp.inf), th
             )
@@ -370,7 +381,7 @@ class _AlignedBase(nn.Module):
             )
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
-        pind = self._filter(pose_pts, frame, self.norm_th)
+        pind = self._filter(pose_pts, frame, self._filter_th())
         # masked-out points never reach the warp in the reference
         # (boolean gather); keep them off the singular-blend hazard here
         # too (models/common.py substitute_masked)
@@ -462,13 +473,11 @@ class AlignedPBW(AlignedLBW):
 
 class AlignedSMPL(_AlignedBase):
     """Pure SMPL-weight warp, no learned deformation (ablation);
-    norm_th hard-coded to 0.1 (aligned_aninerf_smpl_network.py:71)."""
+    norm_th hard-coded to 0.1 (aligned_aninerf_smpl_network.py:71, via
+    _filter_th)."""
 
     def setup(self):
         self._canonical_head()
-
-    def _filter(self, pose_pts, frame, th):
-        return super()._filter(pose_pts, frame, 0.1)
 
     def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False,
                 init_pbw=None):
@@ -487,7 +496,13 @@ class AlignedSMPL(_AlignedBase):
 
 class AlignedLBWPDF(AlignedLBW):
     """Learned blend weights AND a residual displacement field (ablation,
-    aligned_aninerf_lbw_pdf_network.py:89-121)."""
+    aligned_aninerf_lbw_pdf_network.py:89-121).
+
+    Unlike LBW/PBW (which read cfg.norm_th), the reference LBWPDF
+    forward hard-codes its point filter at 0.1
+    (aligned_aninerf_lbw_pdf_network.py:138, via _filter_th) — pinned
+    by the golden oracle test; the configured norm_th is deliberately
+    ignored here."""
 
     def setup(self):
         self.bw_field = BlendWeightField(

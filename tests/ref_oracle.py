@@ -1,0 +1,203 @@
+"""Load the ACTUAL reference PyTorch code as a golden oracle.
+
+Round-1 parity tests re-transcribed the torch architectures inside the
+tests (tests/test_parity_torch.py); a transcription mistake made twice
+would pass undetected. This shim imports the reference's own modules
+from /root/reference (read-only) so golden tests run the reference
+network code itself as the oracle:
+
+  /root/reference/lib/networks/bw_deform/tpose_nerf_network.py
+  /root/reference/lib/networks/bw_deform/aligned_*.py
+  /root/reference/lib/networks/bw_deform/anisdf_*.py
+  /root/reference/lib/networks/renderer/tpose_renderer.py
+
+Three shims make the 2019-era code importable on Python 3.12 + torch
+2.x cpu without its CUDA deps:
+
+  1. `imp` polyfill — `imp.load_source` via importlib (the module was
+     removed in Python 3.12; used by lib/networks/make_network.py).
+  2. `lib.config` stub — a dict-backed attribute object replacing the
+     global yacs cfg built by argparse at import time
+     (lib/config/config.py:183-194). Tests mutate it per family.
+  3. `pytorch3d` stub — brute-force exact-arithmetic `knn_points`
+     (squared distances + topk; exact at test scales) standing in for
+     the CUDA kernel; the mesh-sampling entry points are present but
+     unused by the model forward paths (sample_utils.py:20-25).
+
+Nothing from the reference tree is copied — its modules are imported
+in place and executed as the test oracle.
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import sys
+import types
+from collections import namedtuple
+
+REF_ROOT = "/root/reference"
+
+
+class RefCfg:
+    """Attribute/dict hybrid standing in for the reference's yacs cfg
+    (lib/config/yacs.py CfgNode): attribute reads, `.get`, and the
+    `'key' in cfg` membership test used by tpose_nerf_network.py:34."""
+
+    def __init__(self, **kw):
+        self.__dict__["_d"] = dict(kw)
+
+    def __getattr__(self, k):
+        try:
+            return self.__dict__["_d"][k]
+        except KeyError:
+            raise AttributeError(k)
+
+    def __setattr__(self, k, v):
+        self.__dict__["_d"][k] = v
+
+    def __contains__(self, k):
+        return k in self.__dict__["_d"]
+
+    def get(self, k, default=None):
+        return self.__dict__["_d"].get(k, default)
+
+    def update(self, **kw):
+        self.__dict__["_d"].update(kw)
+
+
+# Defaults matching the shipped configs' common surface
+# (configs/aninerf_s9p.yaml; lib/config/config.py:9-137). Small frame
+# counts keep the latent tables test-sized — layer dims don't depend on
+# them.
+_DEFAULTS = dict(
+    num_train_frame=3,
+    num_eval_frame=2,
+    num_latent_code=3,
+    norm_th=0.05,
+    train_th=0.1,
+    xyz_res=10,
+    view_res=4,
+    tpose_viewdir=True,
+    test_novel_pose=False,
+    aninerf_animation=False,
+    task="oracle_task",
+    exp_name="oracle_exp",
+    N_samples=8,
+    perturb=0,
+    white_bkgd=False,
+    raw_noise_std=0.0,
+    color_with_viewdir=True,
+    erode_edge=True,
+    trained_model_dir="/tmp/oracle_trained_model",
+)
+
+_installed_cfg = None
+
+
+def _exact_knn_points(src, ref, K=1, **_kw):
+    """pytorch3d.ops.knn_points replacement: exact squared distances
+    (no matmul cancellation) + topk-smallest. Matches the CUDA kernel's
+    contract used by sample_utils.guard_knn_points (:310-312): returns
+    SQUARED dists and vertex indices."""
+    import torch
+
+    d2 = ((src[:, :, None, :] - ref[:, None, :, :]) ** 2).sum(-1)
+    dists, idx = torch.topk(d2, K, dim=-1, largest=False)
+    KNN = namedtuple("KNN", ["dists", "idx"])
+    return KNN(dists=dists, idx=idx)
+
+
+def _install_pytorch3d_stub():
+    if "pytorch3d" in sys.modules:
+        return
+    pkg = types.ModuleType("pytorch3d")
+    pkg.__path__ = []
+    _c = types.ModuleType("pytorch3d._C")
+    structures = types.ModuleType("pytorch3d.structures")
+
+    class Meshes:  # only constructed by unused mesh-sampling helpers
+        def __init__(self, *a, **k):
+            raise NotImplementedError("oracle stub: Meshes unused")
+
+    structures.Meshes = Meshes
+    ops = types.ModuleType("pytorch3d.ops")
+    ops.__path__ = []
+    p2p = types.ModuleType("pytorch3d.ops.packed_to_padded")
+    p2p.packed_to_padded = lambda *a, **k: (_ for _ in ()).throw(
+        NotImplementedError("oracle stub: packed_to_padded unused")
+    )
+    knn = types.ModuleType("pytorch3d.ops.knn")
+    knn.knn_points = _exact_knn_points
+    mfan = types.ModuleType("pytorch3d.ops.mesh_face_areas_normals")
+    mfan.mesh_face_areas_normals = lambda *a, **k: (_ for _ in ()).throw(
+        NotImplementedError("oracle stub: mesh_face_areas_normals unused")
+    )
+    spfm = types.ModuleType("pytorch3d.ops.sample_points_from_meshes")
+    spfm.sample_points_from_meshes = lambda *a, **k: (_ for _ in ()).throw(
+        NotImplementedError("oracle stub: sample_points_from_meshes unused")
+    )
+    spfm._rand_barycentric_coords = lambda *a, **k: (_ for _ in ()).throw(
+        NotImplementedError("oracle stub: _rand_barycentric_coords unused")
+    )
+    pkg._C = _c
+    pkg.structures = structures
+    pkg.ops = ops
+    ops.packed_to_padded = p2p
+    ops.knn = knn
+    ops.mesh_face_areas_normals = mfan
+    ops.sample_points_from_meshes = spfm
+    for name, mod in [
+        ("pytorch3d", pkg),
+        ("pytorch3d._C", _c),
+        ("pytorch3d.structures", structures),
+        ("pytorch3d.ops", ops),
+        ("pytorch3d.ops.packed_to_padded", p2p),
+        ("pytorch3d.ops.knn", knn),
+        ("pytorch3d.ops.mesh_face_areas_normals", mfan),
+        ("pytorch3d.ops.sample_points_from_meshes", spfm),
+    ]:
+        sys.modules[name] = mod
+
+
+def _install_imp_polyfill():
+    if "imp" in sys.modules:
+        return
+    imp_mod = types.ModuleType("imp")
+
+    def load_source(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    imp_mod.load_source = load_source
+    sys.modules["imp"] = imp_mod
+
+
+def install(**overrides) -> RefCfg:
+    """Install all shims and return the mutable oracle cfg. Idempotent;
+    later calls update the existing cfg in place (module-level state is
+    shared by design — the reference reads the global at call time)."""
+    global _installed_cfg
+    _install_imp_polyfill()
+    _install_pytorch3d_stub()
+    if _installed_cfg is None:
+        cfg = RefCfg(**_DEFAULTS)
+        libcfg = types.ModuleType("lib.config")
+        libcfg.cfg = cfg
+        sys.modules["lib.config"] = libcfg
+        if REF_ROOT not in sys.path:
+            sys.path.insert(0, REF_ROOT)
+        _installed_cfg = cfg
+    _installed_cfg.update(**_DEFAULTS)
+    _installed_cfg.update(**overrides)
+    return _installed_cfg
+
+
+def load(name: str):
+    """Import a reference module (e.g.
+    'lib.networks.bw_deform.tpose_nerf_network') after install()."""
+    assert _installed_cfg is not None, "call install() first"
+    return importlib.import_module(name)
