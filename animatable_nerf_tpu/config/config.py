@@ -282,6 +282,18 @@ def load_config(cfg_file: str, opts=(), run_type: str = "") -> Config:
 
     cfg.merge_from_list(list(opts))  # opts win over overlays, like the reference
 
+    # raw_noise_std is a vestigial key: every shipped reference config
+    # sets it to 0 and NOTHING consumes it — the reference's raw2outputs
+    # (nerf_net_utils.py:6-36) has no noise branch (the key survives
+    # from the original NeRF codebase). Reject loudly instead of
+    # silently ignoring a value that looks like it regularizes.
+    if float(cfg.get("raw_noise_std", 0) or 0) != 0.0:
+        raise ValueError(
+            "raw_noise_std != 0 is not implemented: the reference's own "
+            "raw2outputs has no density-noise path (the key is dead in "
+            "every shipped config); set it to 0"
+        )
+
     # derived fields (config.py:140-153)
     if cfg.num_latent_code < 0:
         cfg.num_latent_code = cfg.num_train_frame

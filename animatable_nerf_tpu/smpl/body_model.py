@@ -83,8 +83,11 @@ class SMPLModel:
         pickles (the reference vendors the full smplx package for
         offline prep, lib/utils/smplx/body_models.py; every runtime path
         here is joint-count-generic so the larger models load
-        unchanged). Pass 24 to truncate an SMPL-H/X model to the SMPL
-        body bones."""
+        unchanged). Passing 24 keeps the first 24 kinematic-tree joints,
+        which only APPROXIMATES the SMPL body skeleton for SMPL-H/X
+        (their columns 22/23 are finger joints, not SMPL's hand joints);
+        weights of dropped bones are renormalized away, with the sum
+        clamped so hand-dominated vertices don't divide by ~0."""
         if n_bones is None:
             n_bones = min(
                 np.asarray(smpl["kintree_table"]).shape[-1],
@@ -94,7 +97,7 @@ class SMPLModel:
         self.shapedirs = np.asarray(smpl["shapedirs"], np.float64)
         self.J_regressor = np.asarray(smpl["J_regressor"], np.float64)
         w = np.asarray(smpl["weights"], np.float64)[:, :n_bones]
-        self.weights = w / w.sum(axis=-1, keepdims=True)
+        self.weights = w / np.maximum(w.sum(axis=-1, keepdims=True), 1e-8)
         self.parents = np.asarray(smpl["kintree_table"])[0][:n_bones]
         self.parents = self.parents.copy()
         self.parents[0] = 0

@@ -184,9 +184,12 @@ def vgg_perceptual_loss(params, pred, gt, mask=None, layer_weights=None,
     """
     if layer_weights is None:
         layer_weights = (1.0,) * 5
-    if is_gram and mask is not None:
-        raise ValueError("mask must be None when is_gram is True "
-                         "(perceptual_loss.py:95-97)")
+    if is_gram:
+        # keep the reference's call surface: its forward ASSERTS a mask
+        # is passed with is_gram and then discards it
+        # (perceptual_loss.py:95-97) — reference-style call sites pass
+        # one, so accept and ignore it rather than raising
+        mask = None
     pf = vgg16_gray_taps(params, pred)
     gf = vgg16_gray_taps(params, gt)
     losses = []
@@ -344,7 +347,10 @@ class NLayerDiscriminator(nn.Module):
             1, (4, 4), strides=(1, 1), padding=[(2, 2), (2, 2)],
             name=f"conv{self.n_layers + 1}",
         )(x)
-        if self.use_sigmoid:
+        if self.use_sigmoid and not self.get_interm_feat:
+            # the reference's getIntermFeat path iterates only
+            # n_layers+2 stages, so its sigmoid module is SKIPPED there
+            # (discriminator.py:93-99) — match it
             x = jax.nn.sigmoid(x)
         feats.append(x)
         return feats if self.get_interm_feat else x

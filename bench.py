@@ -24,6 +24,12 @@ is met. Replace with a measured number when the licensed datasets and
 an A100 are available.
 
 Prints ONE JSON line.
+
+`BENCH_MODEL=sdf_pdf` switches the measured model to the SDF-PDF
+flagship extension (same whole-frame tiled protocol; KNN-family
+pass-1 runs on the engine's per-frame packed distance grid exactly as
+Engine.render_item attaches it). Default is the AniNeRF path — the
+driver contract is unchanged.
 """
 
 from __future__ import annotations
@@ -68,11 +74,29 @@ def main():
         for k, v in ge._rays(rng, N_RAYS, bounds=frame_np["pbounds"]).items()
     }
 
-    model = AniNeRF(num_train_frames=60)
-    # eval hot path: bf16 MLP trunks (params stay f32; geometry,
-    # filtering, compositing stay f32). Quality-guarded below against
-    # the f32 render.
-    model_fast = AniNeRF(num_train_frames=60, dtype=jnp.bfloat16)
+    bench_model = os.environ.get("BENCH_MODEL", "aninerf")
+    if bench_model == "sdf_pdf":
+        from animatable_nerf_tpu.models import SDFPDF
+        from animatable_nerf_tpu.ops.knn_pallas import build_pdist_payload
+
+        model = SDFPDF(num_latents=60)
+        # no bf16 trunk variant for the weight-normed SDF family: the
+        # autograd-normal path dominates and runs f32 either way
+        model_fast = model
+        # engine-attached per-frame packed distance grid (pass-1 runs a
+        # 16-byte trilerp gather instead of a 6912-vertex sweep; see
+        # Engine._device_frame)
+        packed, margin, bnds = jax.jit(
+            lambda v: build_pdist_payload(v, res=64)
+        )(frame["pvertices"])
+        frame = {**frame, "pdist_packed": packed, "pdist_margin": margin,
+                 "pdist_bounds": bnds}
+    else:
+        model = AniNeRF(num_train_frames=60)
+        # eval hot path: bf16 MLP trunks (params stay f32; geometry,
+        # filtering, compositing stay f32). Quality-guarded below against
+        # the f32 render.
+        model_fast = AniNeRF(num_train_frames=60, dtype=jnp.bfloat16)
     settings = RenderSettings(
         n_samples=N_SAMPLES, perturb=False, eval_tile=EVAL_TILE
     )
@@ -143,9 +167,11 @@ def main():
         return float(np.median(times)), render(params, rays)
 
     render_f32 = make_render(model)
-    render_fast = make_render(model_fast)
     dt_f32, out_f32 = time_render(render_f32)
-    dt_fast, out_fast = time_render(render_fast)
+    if model_fast is not model:
+        dt_fast, out_fast = time_render(make_render(model_fast))
+    else:
+        dt_fast, out_fast = dt_f32, out_f32
 
     # quality guard: bf16 trunk must not visibly move the render; pick
     # whichever quality-passing variant is faster
@@ -165,6 +191,7 @@ def main():
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / baseline, 3),
                 "detail": {
+                    "model": bench_model,
                     "n_rays": N_RAYS,
                     "n_samples": N_SAMPLES,
                     "eval_tile": EVAL_TILE,

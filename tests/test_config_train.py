@@ -58,6 +58,24 @@ def test_config_opts_override_overlays(tmp_path):
     assert os.path.basename(cfg.result_dir) == "cli"
 
 
+def test_config_rejects_nonzero_raw_noise_std(tmp_path):
+    """raw_noise_std is a dead key in the reference too (no consumer in
+    nerf_net_utils.raw2outputs; every shipped config sets 0) — loading a
+    nonzero value must fail loudly instead of silently not regularizing."""
+    import pytest
+
+    c = tmp_path / "c.yaml"
+    c.write_text("exp_name: x\nraw_noise_std: 0\n")
+    load_config(str(c))  # zero is fine
+    c.write_text("exp_name: x\nraw_noise_std: 0.5\n")
+    with pytest.raises(ValueError, match="raw_noise_std"):
+        load_config(str(c))
+    # also via CLI opts
+    c.write_text("exp_name: x\n")
+    with pytest.raises(ValueError, match="raw_noise_std"):
+        load_config(str(c), opts=["raw_noise_std", "1.0"])
+
+
 def test_config_dotted_opts():
     cfg = default_config()
     cfg.merge_from_list(["train.lr", "0.01", "test.frame_sampler_interval", "5"])

@@ -258,9 +258,14 @@ def test_vgg16_gray_perceptual_torch_parity():
     style = vgg_perceptual_loss(params, jnp.asarray(pred), jnp.asarray(gt),
                                 is_gram=True)
     assert all(np.isfinite(float(v)) for v in style)
-    with pytest.raises(ValueError):
-        vgg_perceptual_loss(params, jnp.asarray(pred), jnp.asarray(gt),
-                            mask=jnp.asarray(mask), is_gram=True)
+    # reference-style call sites pass a mask with is_gram=True (its
+    # forward asserts one is passed, then discards it —
+    # perceptual_loss.py:95-97): accepted and ignored here
+    style_masked = vgg_perceptual_loss(
+        params, jnp.asarray(pred), jnp.asarray(gt),
+        mask=jnp.asarray(mask), is_gram=True)
+    for a, b in zip(style, style_masked):
+        assert float(a) == float(b)
 
 
 def test_convert_vgg_weights_roundtrip(tmp_path):
