@@ -924,7 +924,7 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None,
         return _run_train_baseline(cfg, epochs, guard=guard)
     model = make_model(cfg)
     if cfg.aninerf_animation:
-        trainer = AnimationTrainer(cfg, model)
+        trainer = AnimationTrainer(cfg, model, mesh=mesh)
     else:
         # mesh => explicit-SPMD shard_map DP step (one frame per device)
         trainer = Trainer(cfg, model, mesh=mesh)

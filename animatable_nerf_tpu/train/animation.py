@@ -69,30 +69,26 @@ from .trainer import Trainer
 
 
 class AnimationTrainer(Trainer):
-    """Drop-in stage-2 trainer: same TrainState/step/epoch interface as
-    train.trainer.Trainer (train_epoch with its dispatch-fusion and
-    frame-store machinery is inherited) but with the consistency loss
-    and the frozen base network. The optimizer is rebuilt in init_state —
-    the novel_pose_bw trainable mask needs the param tree. Under a mesh
-    the vmapped DP path batches `dp` frames per optimizer update with a
-    mean gradient, the same DDP semantics as stage 1 (the reference
-    trains stage 2 single-GPU, one frame per update)."""
+    """Drop-in stage-2 trainer: inherits train.trainer.Trainer's full
+    step machinery — the vmapped step, the K-steps dispatch fusion,
+    the frame store, AND the explicit-SPMD shard_map DP step (one frame
+    per device, gradient pmean over 'dp') — by overriding `_loss_one`
+    with the consistency loss. The optimizer is rebuilt in init_state:
+    the novel_pose_bw trainable mask needs the param tree (the frozen
+    base network mirrors aninerf_animation_trainer.py:27-31)."""
 
     def __init__(self, cfg, model, mesh=None):
         from .optim import make_optimizer
 
-        super().__init__(cfg, model, mesh=None)  # stage-2 has no
-        # shard_map step of its own; mesh DP runs through the vmapped
-        # loss (see class docstring)
-        del mesh
+        super().__init__(cfg, model, mesh=mesh)
         self._tx_factory = make_optimizer
-        # the real tx/step fns are built in init_state once the
-        # trainable mask is known; poison the base ones so misuse fails
-        # loudly instead of training with an unmasked optimizer
+        self.n_anim = int(cfg.get("n_anim_samples", N_ANIM_SAMPLES))
+        # the real tx is built in init_state once the trainable mask is
+        # known; poison the base one so misuse fails loudly instead of
+        # training with an unmasked optimizer (the jitted step fns read
+        # self.tx at first trace, after init_state has replaced it)
         self.tx = None
         self.sched = None
-        self._step_fn = None
-        self._multi_step_fn = None
 
     def init_state(self, key, sample_batch):
         from .trainer import TrainState
@@ -109,66 +105,12 @@ class AnimationTrainer(Trainer):
         mask = novel_pose_trainable_mask(params)
         self.tx, self.sched = self._tx_factory(self.cfg, trainable_mask=mask)
         opt_state = self.tx.init(params)
-        self._build_step()
         return TrainState(params, opt_state, jnp.asarray(0))
 
-    def _build_step(self):
-        from .trainer import TrainState
-
-        n_anim = int(self.cfg.get("n_anim_samples", N_ANIM_SAMPLES))
-
-        def step(state, batch, key, store=None):
-            from .trainer import assemble_from_store
-
-            full = assemble_from_store(batch, store)
-
-            def loss_fn(params):
-                B = full["wbounds"].shape[0]
-                keys = jax.random.split(key, B)
-                if B == 1:
-                    # B==1 vmap bypass, as in Trainer._train_step
-                    fb1 = jax.tree_util.tree_map(lambda x: x[0], full)
-                    return animation_loss(
-                        self.model, params, fb1, keys[0], n_samples=n_anim
-                    )
-                losses, stats = jax.vmap(
-                    lambda fb, k: animation_loss(
-                        self.model, params, fb, k, n_samples=n_anim
-                    )
-                )(full, keys)
-                return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, stats)
-
-            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
-            updates, opt_state = self.tx.update(
-                grads, state.opt_state, state.params
-            )
-            params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-            n_frames = full["A"].shape[0]
-            return TrainState(
-                params, opt_state, state.step + n_frames
-            ), stats
-
-        self._step_fn = jax.jit(step)
-
-        def steps(state, batches, key, store=None):
-            n_steps = next(iter(batches.values())).shape[0]
-            keys = jax.random.split(key, n_steps)
-            return jax.lax.scan(
-                lambda st, xs: step(st, xs[0], xs[1], store), state,
-                (batches, keys),
-            )
-
-        self._multi_step_fn = jax.jit(steps)
-
-    def train_step(self, state, batch, key, store=None):
-        from .trainer import _store_args
-
-        return self._step_fn(state, batch, key, _store_args(store))
-
-    def train_steps(self, state, batches, key, store=None):
-        """K stage-2 steps fused into one dispatch (leaves (K, B, ...))."""
-        from .trainer import _store_args
-
-        return self._multi_step_fn(state, batches, key, _store_args(store))
+    def _loss_one(self, params, fb, key, step):
+        """Per-frame stage-2 consistency loss (replaces the rendering
+        loss; consumed by the inherited vmapped AND shard_map steps)."""
+        del step
+        return animation_loss(
+            self.model, params, fb, key, n_samples=self.n_anim
+        )
