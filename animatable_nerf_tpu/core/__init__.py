@@ -13,6 +13,7 @@ from .lbs import (
     pose_dirs_to_tpose_dirs,
     tpose_points_to_pose_points,
     tpose_dirs_to_pose_dirs,
+    backward_warp_points_dirs,
 )
 from .grid import grid_trilerp, pts_sample_blend_weights
 from .rays import get_rays_np, get_near_far_np, get_near_far_masked, get_bound_2d_mask

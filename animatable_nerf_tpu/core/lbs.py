@@ -122,3 +122,29 @@ def tpose_dirs_to_pose_dirs(ddirs, bw, A):
     """Forward LBS warp of directions. blend_utils.py:93-105."""
     M = _blend_transforms(bw, A)
     return _matvec3(M[..., :3, :3], ddirs)
+
+
+def backward_warp_points_dirs(ppts, pdirs, bw, A, big_A):
+    """Fused posed -> T-pose -> big-pose warp for points AND dirs.
+
+    Semantically identical to the reference's call sequence
+    pose_points_to_tpose_points + tpose_points_to_pose_points (+ the two
+    dir variants, anisdf_pdf_network.py:92-103), but the blended
+    transforms M(bw, A) and M(bw, big_A) and the 3x3 inverse are
+    computed ONCE and shared — the reference re-blends per call (4
+    (N,24)x(24,16) matmuls + 2 analytic inverses for the same weights).
+    Same floating-point operations on each path, so results are
+    bit-identical to the unfused sequence.
+
+    Returns (init_bigpose, bigpose_dirs | None).
+    """
+    M1 = _blend_transforms(bw, A)
+    R1_inv = inverse_3x3(M1[..., :3, :3], det_eps=1e-6)
+    M2 = _blend_transforms(bw, big_A)
+    R2 = M2[..., :3, :3]
+    tpose = _matvec3(R1_inv, ppts - M1[..., :3, 3])
+    init_bigpose = _matvec3(R2, tpose) + M2[..., :3, 3]
+    dirs = None
+    if pdirs is not None:
+        dirs = _matvec3(R2, _matvec3(R1_inv, pdirs))
+    return init_bigpose, dirs

@@ -94,6 +94,20 @@ class _AlignedBase(nn.Module):
         bw, dist = sample_blend_closest_points(pts, ref, frame["weights"])
         return bw, dist[..., 0]
 
+    def _warp_both(self, pose_pts, pose_dirs, pbw, frame):
+        """Fused posed -> T-pose -> big-pose warp for points and dirs
+        (core/lbs.py backward_warp_points_dirs: shared blends/inverse,
+        bit-identical to the reference's separate calls)."""
+        from ..core import backward_warp_points_dirs
+
+        dirs_in = (
+            pose_dirs if (self.tpose_viewdir and pose_dirs is not None)
+            else None
+        )
+        return backward_warp_points_dirs(
+            pose_pts, dirs_in, pbw, frame["A"], frame["big_A"]
+        )
+
     def _filter(self, pose_pts, frame, th):
         _, pnorm = jax.lax.stop_gradient(
             sample_blend_closest_points(pose_pts, frame["pvertices"], frame["weights"])
@@ -430,19 +444,11 @@ class AlignedLBW(_AlignedBase):
             pbw = self.novel_pose_bw(pose_pts, init_pbw, frame["bw_latent_index"])
         else:
             pbw = self.bw_field(pose_pts, init_pbw, frame["latent_index"] + 1)
-        tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
-        tpose = tpose_points_to_pose_points(tpose, pbw, frame["big_A"])
-        dirs = self._warp_dirs(pose_dirs, pbw, frame)
+        tpose, dirs = self._warp_both(pose_pts, pose_dirs, pbw, frame)
         return tpose, dirs, {"pbw": pbw}
 
     def _canonical_bw(self, tpose, init_tbw, frame):
         return self.bw_field(tpose, init_tbw, jnp.zeros_like(frame["latent_index"]))
-
-    def _warp_dirs(self, pose_dirs, pbw, frame):
-        if not self.tpose_viewdir or pose_dirs is None:
-            return None
-        d = pose_dirs_to_tpose_dirs(pose_dirs, pbw, frame["A"])
-        return tpose_dirs_to_pose_dirs(d, pbw, frame["big_A"])
 
 
 class AlignedPBW(AlignedLBW):
@@ -462,9 +468,7 @@ class AlignedPBW(AlignedLBW):
         if init_pbw is None:
             init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
         pbw = self.bw_field(pose_pts, init_pbw, frame["poses"])
-        tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
-        tpose = tpose_points_to_pose_points(tpose, pbw, frame["big_A"])
-        dirs = self._warp_dirs(pose_dirs, pbw, frame)
+        tpose, dirs = self._warp_both(pose_pts, pose_dirs, pbw, frame)
         return tpose, dirs, {"pbw": pbw}
 
     def _canonical_bw(self, tpose, init_tbw, frame):
@@ -484,13 +488,7 @@ class AlignedSMPL(_AlignedBase):
         pbw = init_pbw
         if pbw is None:
             pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
-        tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
-        tpose = tpose_points_to_pose_points(tpose, pbw, frame["big_A"])
-        if self.tpose_viewdir and pose_dirs is not None:
-            d = pose_dirs_to_tpose_dirs(pose_dirs, pbw, frame["A"])
-            dirs = tpose_dirs_to_pose_dirs(d, pbw, frame["big_A"])
-        else:
-            dirs = None
+        tpose, dirs = self._warp_both(pose_pts, pose_dirs, pbw, frame)
         return tpose, dirs, {}
 
 
@@ -523,9 +521,7 @@ class AlignedLBWPDF(AlignedLBW):
             pbw = self.novel_pose_bw(pose_pts, init_pbw, frame["bw_latent_index"])
         else:
             pbw = self.bw_field(pose_pts, init_pbw, frame["latent_index"] + 1)
-        init_tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
-        init_bigpose = tpose_points_to_pose_points(init_tpose, pbw, frame["big_A"])
+        init_bigpose, dirs = self._warp_both(pose_pts, pose_dirs, pbw, frame)
         resd = self.resd_field(init_bigpose, frame["poses"])
         tpose = init_bigpose + resd
-        dirs = self._warp_dirs(pose_dirs, pbw, frame)
         return tpose, dirs, {"pbw": pbw, "resd": resd}

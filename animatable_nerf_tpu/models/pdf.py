@@ -31,6 +31,7 @@ from ..core import (
     tpose_points_to_pose_points,
     pose_dirs_to_tpose_dirs,
     tpose_dirs_to_pose_dirs,
+    backward_warp_points_dirs,
     sample_blend_closest_points,
 )
 from ..core.sampling import z_vals_to_dists
@@ -95,16 +96,19 @@ class _PDFBase(nn.Module):
             pbw, _ = sample_blend_closest_points(
                 pose_pts, frame["pvertices"], frame["weights"]
             )
-        init_tpose = pose_points_to_tpose_points(pose_pts, pbw, frame["A"])
-        init_bigpose = tpose_points_to_pose_points(init_tpose, pbw, frame["big_A"])
+        # fused two-stage warp: the blended transforms and the 3x3
+        # inverse are shared between the point and dir paths
+        # (bit-identical to the reference's four separate blends —
+        # core/lbs.py backward_warp_points_dirs)
+        dirs_in = (
+            pose_dirs if (self.tpose_viewdir and pose_dirs is not None)
+            else None
+        )
+        init_bigpose, tpose_dirs = backward_warp_points_dirs(
+            pose_pts, dirs_in, pbw, frame["A"], frame["big_A"]
+        )
         resd = self.resd_field(init_bigpose, frame["poses"])
         tpose = init_bigpose + resd
-
-        if self.tpose_viewdir and pose_dirs is not None:
-            init_tdirs = pose_dirs_to_tpose_dirs(pose_dirs, pbw, frame["A"])
-            tpose_dirs = tpose_dirs_to_pose_dirs(init_tdirs, pbw, frame["big_A"])
-        else:
-            tpose_dirs = None
         return tpose, tpose_dirs, init_bigpose, resd
 
     def _filter(self, pose_pts, frame):

@@ -43,7 +43,10 @@ def _knn_kernel(src_ref, ref_ref, values_ref, vals_out_ref,
 
     # exact f32 distances on the VPU: the matmul form |s|^2 - 2 s.r + |r|^2
     # suffers cancellation through the MXU's reduced-precision passes and
-    # can flip neighbor selection (IDW then amplifies the flip).
+    # can flip neighbor selection (IDW then amplifies the flip). A
+    # HIGHEST-precision MXU variant measured SLOWER (23.1 vs 17.2 ms/op
+    # at 131k x 6912): the K=3 contraction uses 3/128 of the systolic
+    # depth and HIGHEST multiplies the passes.
     dx = src[:, 0:1] - refT[0:1, :]                          # (T, M)
     dy = src[:, 1:2] - refT[1:2, :]
     dz = src[:, 2:3] - refT[2:3, :]
@@ -69,7 +72,9 @@ def _knn_kernel(src_ref, ref_ref, values_ref, vals_out_ref,
         )
         acc_disp += disp
         acc_wd += disp * d
-        cur = jnp.where(onehot > 0, _BIG, cur)
+        # knock out the selected column with an fma (one pass; d2 + BIG
+        # stays finite and above every real distance)
+        cur = cur + onehot * _BIG
 
     vals_out_ref[:] = acc_vals / acc_disp
     dist_out_ref[:] = acc_wd / acc_disp

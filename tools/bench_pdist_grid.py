@@ -78,7 +78,10 @@ def main():
 
     def ladder_frac(fr):
         """Probe compact_count at the config capacity for frame `fr`,
-        return the smallest rung that fits (Engine._pick_level logic)."""
+        return the QUANTIZED capacity fraction that fits it with 15%
+        headroom (engine ladder semantics: 4096-point quanta landed at
+        the measured need instead of /8 /4 /2 rungs — render time is
+        ~linear in capacity)."""
         probe = jax.jit(
             lambda p, r: render_rays(
                 base, p, r, fr, settings, train=False
@@ -86,11 +89,11 @@ def main():
         )
         count = int(np.asarray(probe(params, rays))[0])
         need = int(count * 1.15) + 1
-        f = base.eval_keep_frac
-        for frac in (f / 8, f / 4, f / 2):
-            if eval_capacity(N_RAYS * N_SAMPLES, frac) >= need:
-                return frac, count
-        return f, count
+        pts = N_RAYS * N_SAMPLES
+        cap_max = eval_capacity(pts, base.eval_keep_frac)
+        cap_q = min(-(-need // 4096) * 4096, cap_max)
+        frac = (cap_q + 256) / pts if cap_q < cap_max else base.eval_keep_frac
+        return frac, count
 
     def time_render(fr, frac):
         m = base.clone(eval_keep_frac=frac)
