@@ -175,6 +175,46 @@ def grid_corner_distance_bound(packed, pts01, cell):
     return lb.reshape(pts01.shape[:-1])
 
 
+def grid_corner_distance_upper(packed, pts01, cell):
+    """Certified UPPER bound of a 1-Lipschitz field from its
+    corner-packed grid: min over the cell's 8 corners of
+    d(corner)*(1 + 2^-7) + |x - corner| (dual of
+    grid_corner_distance_bound; the (1 + 2^-7) factor absorbs bf16
+    corner round-off). For clamped out-of-grid points the caller must
+    ADD the clamp excess (d(x) <= d(clamp(x)) + excess).
+    """
+    Dm, Hm, Wm, _ = packed.shape
+    p = pts01.reshape(-1, 3)
+    sizes = jnp.array([Dm + 1, Hm + 1, Wm + 1], dtype=p.dtype)
+    idx = jnp.clip(p * (sizes - 1.0), 0.0, sizes - 1.0)
+    i0 = jnp.minimum(
+        jnp.floor(idx).astype(jnp.int32),
+        jnp.array([Dm - 1, Hm - 1, Wm - 1], jnp.int32),
+    )
+    frac = idx - i0.astype(idx.dtype)
+    lin = (i0[:, 0] * Hm + i0[:, 1]) * Wm + i0[:, 2]
+    g = jnp.take(packed.reshape(-1, 8), lin, axis=0).astype(jnp.float32)
+
+    fx = frac[:, 0] * cell[0]
+    fy = frac[:, 1] * cell[1]
+    fz = frac[:, 2] * cell[2]
+    gx = cell[0] - fx
+    gy = cell[1] - fy
+    gz = cell[2] - fz
+    x2, y2, z2 = fx * fx, fy * fy, fz * fz
+    X2, Y2, Z2 = gx * gx, gy * gy, gz * gz
+    scale = jnp.float32(1.0 + 2.0 ** -7)
+    ub = None
+    for k, (ax, ay, az) in enumerate(
+        [(x2, y2, z2), (x2, y2, Z2), (x2, Y2, z2), (x2, Y2, Z2),
+         (X2, y2, z2), (X2, y2, Z2), (X2, Y2, z2), (X2, Y2, Z2)]
+    ):
+        r = jnp.sqrt(ax + ay + az)
+        b = g[:, k] * scale + r
+        ub = b if ub is None else jnp.minimum(ub, b)
+    return ub.reshape(pts01.shape[:-1])
+
+
 def pts_sample_blend_weights_packed(pts, packed, bounds,
                                     n_channels: int = 25):
     """`pts_sample_blend_weights` over a corner-packed volume."""

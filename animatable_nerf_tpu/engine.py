@@ -252,13 +252,33 @@ class Engine:
         # per sampled point. knn_grid_res 0 disables.
         res = int(cfg.get("knn_grid_res", 64))
         self._pdist_jit = None
+        self._knn_blocks_jit = None
         if (res > 1 and getattr(self.model, "knn_pass1", False)
                 and getattr(self.model, "eval_keep_frac", 0.0)):
-            from .ops.knn_pallas import build_pdist_payload
+            from .ops.knn_pallas import (
+                build_pdist_payload, build_d5_payload, build_knn_blocks,
+            )
 
             self._pdist_jit = jax.jit(
                 functools.partial(build_pdist_payload, res=res)
             )
+            # block-culled pass-2 KNN tensors (ops/knn_pallas.py
+            # knn_blend_blocked): Morton-sorted vertex blocks + per-frame
+            # d5 grid driving a certified tile-radius cull. OFF by
+            # default after measurement (v5e, 262k queries x 6912 verts):
+            # 136-1012 ms vs 57 ms for the flat kernel across block
+            # sizes 1024/512/128 — per-block vector-op overhead dominates
+            # at small widths and Morton blocks of a surface cloud are
+            # too extended to cull at large widths. Kept as a tested
+            # opt-in (exact: max delta 0.0 vs flat) for denser vertex
+            # clouds where per-block extents shrink.
+            if bool(cfg.get("knn_blocked", False)):
+                self._knn_blocks_jit = jax.jit(
+                    lambda v, w: (
+                        build_d5_payload(v, res=res),
+                        build_knn_blocks(v, w),
+                    )
+                )
 
     def _device_frame(self, item, with_vis: bool = False):
         """frame_arrays(item) with a 1-frame device cache keyed by
@@ -276,6 +296,14 @@ class Engine:
                 packed, margin, bnds = self._pdist_jit(frame["pvertices"])
                 frame = {**frame, "pdist_packed": packed,
                          "pdist_margin": margin, "pdist_bounds": bnds}
+                if self._knn_blocks_jit is not None:
+                    (d5p, _), (kv, kw, kb) = self._knn_blocks_jit(
+                        frame["pvertices"], frame["weights"]
+                    )
+                    frame.update(
+                        d5_packed=d5p, knn_verts=kv, knn_values=kw,
+                        knn_bboxes=kb,
+                    )
             c = {"key": cache_key, "frame": frame}
             self._frame_dev_cache = c if cache_key is not None else {}
         if with_vis and "vis" not in c:

@@ -251,11 +251,9 @@ class _AlignedBase(nn.Module):
         compacted set (fused kernel; data-only)."""
         from ..ops.knn_pallas import sample_blend_closest_points_fused
 
-        return jax.lax.stop_gradient(
-            sample_blend_closest_points_fused(
-                c_pose, frame["pvertices"], frame["weights"]
-            )
-        )
+        from .common import knn_blend_for_frame
+
+        return jax.lax.stop_gradient(knn_blend_for_frame(c_pose, frame))
 
     def _eval_compacted(self, pose_pts, vd, dists, z_flat, frame,
                         novel_pose, n_rays, n_samples, precomposite,

@@ -120,6 +120,49 @@ def grid_pdist_keep(pose_pts, frame, threshold):
     )
 
 
+def grid_d5_upper(pose_pts, frame):
+    """Certified per-point UPPER bound of the 5th-nearest-vertex
+    distance from the per-frame d5 payload (ops/knn_pallas.py
+    build_d5_payload; attached by the engine as `d5_packed` alongside
+    the blocked-KNN tensors). Drives the blocked kernel's tile-radius
+    cull: a vertex block farther than this bound from a query cannot
+    hold any of its 5 nearest."""
+    from ..core.grid import grid_corner_distance_upper
+
+    mn, mx = frame["pdist_bounds"][0], frame["pdist_bounds"][1]
+    res_cells = jnp.asarray(frame["d5_packed"].shape[:3], jnp.float32)
+    cell = (mx - mn) / res_cells
+    pts01 = (pose_pts - mn) / (mx - mn)
+    ub = grid_corner_distance_upper(frame["d5_packed"], pts01, cell)
+    excess = jnp.linalg.norm(
+        jnp.maximum(jnp.maximum(mn - pose_pts, pose_pts - mx), 0.0),
+        axis=-1,
+    )
+    return ub + excess + 1e-5
+
+
+def knn_blend_for_frame(pose_pts, frame):
+    """Pass-2 KNN dispatch: the block-culled kernel when the engine
+    attached the blocked tensors (knn_verts/knn_values/knn_bboxes +
+    d5_packed), the flat fused kernel / XLA twin otherwise. Same
+    contract as core.knn.sample_blend_closest_points; identical output
+    up to index tie-breaks (the blocked kernel tie-breaks in Morton
+    order)."""
+    from ..ops.knn_pallas import (
+        knn_blend_blocked, sample_blend_closest_points_fused,
+    )
+
+    if "knn_verts" in frame and jax.default_backend() == "tpu":
+        d5ub = grid_d5_upper(pose_pts, frame)
+        return knn_blend_blocked(
+            pose_pts, d5ub, frame["knn_verts"], frame["knn_values"],
+            frame["knn_bboxes"],
+        )
+    return sample_blend_closest_points_fused(
+        pose_pts, frame["pvertices"], frame["weights"]
+    )
+
+
 def inside_bounds(pts, bounds, pad: float = 0.0):
     """All-axes AABB membership: (N, 3), (2, 3) -> (N,) bool.
 

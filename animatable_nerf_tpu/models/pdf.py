@@ -46,6 +46,7 @@ from ..fields import (
 from .common import (
     keep_mask_with_argmin,
     grid_pdist_keep,
+    knn_blend_for_frame,
     inside_bounds,
     broadcast_viewdirs,
     raw_alpha_from_sigma,
@@ -163,9 +164,7 @@ class _PDFBase(nn.Module):
                 compact_payload(pind, [pose_pts, vd, dists, z_flat], cap)
             )
             c_pbw, c_pnorm = jax.lax.stop_gradient(
-                sample_blend_closest_points_fused(
-                    c_pose, frame["pvertices"], frame["weights"]
-                )
+                knn_blend_for_frame(c_pose, frame)
             )
             c_keep = keep_mask_with_argmin(
                 jnp.where(slot_valid, c_pnorm[..., 0], jnp.inf), NORM_TH
@@ -174,9 +173,7 @@ class _PDFBase(nn.Module):
             # the fused Pallas KNN — the XLA twin would materialize the
             # (N, 6890) distance matrix
             pbw_all, pnorm = jax.lax.stop_gradient(
-                sample_blend_closest_points_fused(
-                    pose_pts, frame["pvertices"], frame["weights"]
-                )
+                knn_blend_for_frame(pose_pts, frame)
             )
             pind = keep_mask_with_argmin(pnorm[..., 0], NORM_TH)
             sidx, slot_valid, (c_pose, c_vd, c_dists, c_z, c_pbw), n, ovf = (

@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -247,6 +248,344 @@ def build_pdist_payload(vertices, res: int = 96, pad: float = 0.05):
     margin = 0.5 * jnp.linalg.norm(cell)
     bounds = jnp.stack([mn, mx]).astype(jnp.float32)
     return packed, margin.astype(jnp.float32), bounds
+
+
+def _kth_dist_kernel(src_ref, ref_ref, out_ref, *, k: int):
+    """k-th nearest distance per query (for the d5 payload build)."""
+    src = src_ref[:]
+    refT = ref_ref[:]
+    dx = src[:, 0:1] - refT[0:1, :]
+    dy = src[:, 1:2] - refT[1:2, :]
+    dz = src[:, 2:3] - refT[2:3, :]
+    cur = dx * dx + dy * dy + dz * dz
+    T, M = cur.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
+    dmin = jnp.min(cur, axis=1, keepdims=True)
+    for _ in range(k - 1):
+        is_min = cur <= dmin
+        idx = jnp.min(jnp.where(is_min, col, M), axis=1, keepdims=True)
+        cur = cur + (col == idx).astype(jnp.float32) * _BIG
+        dmin = jnp.min(cur, axis=1, keepdims=True)
+    out_ref[:] = jnp.sqrt(dmin)
+
+
+def kth_distance(src, ref, k: int = 5, tile: int = 256, chunk: int = 4096):
+    """(N, 3) queries -> (N,) distance to the k-th nearest vertex.
+    Pallas on TPU, chunked XLA twin elsewhere."""
+    N = src.shape[0]
+    if jax.default_backend() == "tpu":
+        M = ref.shape[0]
+        Np = _round_up(max(N, tile), tile)
+        Mp = _round_up(M, 128)
+        src_p = jnp.zeros((Np, 3), jnp.float32).at[:N].set(
+            src.astype(jnp.float32))
+        ref_p = jnp.full((Mp, 3), _FAR_COORD, jnp.float32).at[:M].set(
+            ref.astype(jnp.float32))
+        out = pl.pallas_call(
+            functools.partial(_kth_dist_kernel, k=k),
+            grid=(Np // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, Mp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        )(src_p, ref_p.T)
+        return out[:N, 0]
+    Np = _round_up(max(N, chunk), chunk)
+    src_p = jnp.zeros((Np, 3), src.dtype).at[:N].set(src)
+
+    def chunk_kth(s):
+        d2 = jnp.sum((s[:, None, :] - ref[None]) ** 2, axis=-1)
+        neg, _ = jax.lax.top_k(-d2, k)
+        return jnp.sqrt(jnp.maximum(-neg[:, k - 1], 0.0))
+
+    out = jax.lax.map(chunk_kth, src_p.reshape(-1, chunk, 3))
+    return out.reshape(-1)[:N]
+
+
+def build_d5_payload(vertices, res: int = 64, pad: float = 0.05,
+                     k: int = 5):
+    """Per-frame grid of k-th-nearest-vertex distances, corner-packed.
+
+    d_k(., V) is 1-Lipschitz (each of the k order statistics of the
+    distance multiset moves at most |dx| when the query moves dx), so a
+    certified per-point UPPER bound is
+        min over the cell's 8 corners of d_k(c_i)*(1 + 2^-7) + |x - c_i|
+    (the bf16 factor covers corner round-off; out-of-grid queries add
+    the clamp excess). Consumed by the blocked KNN kernel's tile-radius
+    cull (knn_blend_blocked).
+
+    Returns (packed (res-1,)^3 x8 bf16, bounds (2, 3) f32).
+    """
+    from ..core.grid import pack_corner_volume
+
+    mn = vertices.min(axis=0) - pad
+    mx = vertices.max(axis=0) + pad
+    axes = [jnp.linspace(mn[a], mx[a], res) for a in range(3)]
+    gx, gy, gz = jnp.meshgrid(*axes, indexing="ij")
+    nodes = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    d = kth_distance(nodes, vertices, k=k).reshape(res, res, res)
+    packed = pack_corner_volume(d[..., None]).astype(jnp.bfloat16)
+    bounds = jnp.stack([mn, mx]).astype(jnp.float32)
+    return packed, bounds
+
+
+def _morton_key(q, bits: int = 8):
+    """Interleave three `bits`-bit integer coords into a Morton key."""
+    def spread(x):
+        x = x.astype(jnp.uint32)
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    return (
+        spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    )
+
+
+def build_knn_blocks(vertices, values, block: int = 128, bits: int = 8):
+    """Spatially sort the vertex cloud and emit per-block AABBs for the
+    blocked KNN kernel's cull. Morton order keeps each 128-vertex block
+    spatially tight, so block bboxes are small and most (query tile,
+    block) pairs fail the radius test.
+
+    Returns (verts_sorted (Mp, 3) with far-coordinate padding,
+    values_sorted (Mp, C) zero-padded, bboxes (B, 8) f32 [lo3 hi3 pad2]).
+    KNN results are permutation-invariant except index tie-breaks.
+    """
+    M = vertices.shape[0]
+    mn = vertices.min(axis=0)
+    mx = vertices.max(axis=0)
+    scale = (2.0 ** bits - 1.0) / jnp.maximum(mx - mn, 1e-9)
+    q = jnp.clip((vertices - mn) * scale, 0, 2 ** bits - 1).astype(jnp.int32)
+    order = jnp.argsort(_morton_key(q, bits))
+    vs = vertices[order]
+    ws = values[order]
+    Mp = _round_up(M, block)
+    vs_p = jnp.full((Mp, 3), _FAR_COORD, vs.dtype).at[:M].set(vs)
+    ws_p = jnp.zeros((Mp, values.shape[1]), ws.dtype).at[:M].set(ws)
+    # bbox over REAL vertices only (padding sits at the far coordinate
+    # and would inflate the last block's bbox into always-processed)
+    valid = (jnp.arange(Mp) < M)[:, None]
+    vb_lo = jnp.where(valid, vs_p, jnp.inf).reshape(-1, block, 3).min(axis=1)
+    vb_hi = jnp.where(valid, vs_p, -jnp.inf).reshape(-1, block, 3).max(axis=1)
+    # an all-pad block gets an inverted bbox at +-inf whose distance to
+    # any tile is +inf -> always skipped (its pads are never neighbors)
+    bboxes = jnp.concatenate(
+        [vb_lo, vb_hi, jnp.zeros((vb_lo.shape[0], 2), vs_p.dtype)], axis=-1
+    )
+    return vs_p, ws_p, bboxes
+
+
+def _knn_blocked_kernel(meta_ref, bbox_ref, src_ref, refT_ref, values_ref,
+                        vals_out_ref, dist_out_ref,
+                        *, k: int, eps: float, block: int, n_blocks: int,
+                        n_chan: int):
+    """Block-culled KNN for one query tile (queries pre-sorted by Morton
+    key in the wrapper so tiles are spatially tight).
+
+    meta_ref (SMEM, (n_tiles, 8)), row = this tile (program_id):
+    [tile_lo3, tile_hi3, tile_radius, 0] — tile AABB + the max
+    certified 5-NN-distance bound over the tile's queries. bbox_ref
+    (SMEM, (n_blocks, 8)): Morton-block AABBs; blocks farther from the
+    tile AABB than the radius are skipped via value-carrying lax.cond —
+    certified exact (a skipped block's every vertex is farther from
+    every query than that query's 5th neighbor). All-padding blocks
+    carry a far-sentinel bbox and always skip.
+
+    Top-k state (distance², global sorted-id, value row) is carried as
+    VALUES through the block loop (a scratch read-modify-write version
+    measured 17x slower — the per-slot VMEM round-trips serialize);
+    ties break to the lowest sorted id like the flat kernel's column
+    tie-break.
+    """
+    src = src_ref[:]
+    T = src.shape[0]
+    ti = pl.program_id(0)
+    rt = meta_ref[ti, 6]
+    r2 = rt * rt
+
+    bd = jnp.full((T, k), _BIG, jnp.float32)
+    bi = jnp.full((T, k), 2.0e9, jnp.float32)
+    bv = jnp.zeros((T, k * n_chan), jnp.float32)
+
+    for b in range(n_blocks):
+        d2b = jnp.float32(0.0)
+        for a in range(3):
+            g = jnp.maximum(
+                jnp.maximum(
+                    bbox_ref[b, a] - meta_ref[ti, 3 + a],
+                    meta_ref[ti, a] - bbox_ref[b, 3 + a],
+                ),
+                0.0,
+            )
+            d2b = d2b + g * g
+
+        def process(state, b=b):
+            bd, bi, bv = state
+            refb = refT_ref[:, b * block:(b + 1) * block]     # (3, W)
+            vb = values_ref[b * block:(b + 1) * block, :]     # (W, C)
+            dx = src[:, 0:1] - refb[0:1, :]
+            dy = src[:, 1:2] - refb[1:2, :]
+            dz = src[:, 2:3] - refb[2:3, :]
+            cur = dx * dx + dy * dy + dz * dz                 # (T, W)
+            colb = (
+                jax.lax.broadcasted_iota(jnp.int32, cur.shape, 1)
+                + b * block
+            )
+            for _ in range(k):
+                dmin = jnp.min(cur, axis=1, keepdims=True)
+                is_min = cur <= dmin
+                idxm = jnp.min(
+                    jnp.where(is_min, colb, jnp.int32(2 ** 30)),
+                    axis=1, keepdims=True,
+                )
+                oneh = (colb == idxm).astype(jnp.float32)
+                val = jnp.dot(oneh, vb,
+                              preferred_element_type=jnp.float32)
+                cur = cur + oneh * _BIG
+                cd, ci, cv = dmin, idxm.astype(jnp.float32), val
+                nbd, nbi, nbv = [], [], []
+                for si in range(k):
+                    bds = bd[:, si:si + 1]
+                    bis = bi[:, si:si + 1]
+                    bvs = bv[:, si * n_chan:(si + 1) * n_chan]
+                    better = (cd < bds) | ((cd == bds) & (ci < bis))
+                    nbd.append(jnp.where(better, cd, bds))
+                    nbi.append(jnp.where(better, ci, bis))
+                    nbv.append(jnp.where(better, cv, bvs))
+                    cd = jnp.where(better, bds, cd)
+                    ci = jnp.where(better, bis, ci)
+                    cv = jnp.where(better, bvs, cv)
+                bd = jnp.concatenate(nbd, axis=1)
+                bi = jnp.concatenate(nbi, axis=1)
+                bv = jnp.concatenate(nbv, axis=1)
+            return bd, bi, bv
+
+        bd, bi, bv = jax.lax.cond(
+            d2b <= r2, process, lambda st: st, (bd, bi, bv)
+        )
+
+    acc_vals = jnp.zeros((T, n_chan), jnp.float32)
+    acc_disp = jnp.zeros((T, 1), jnp.float32)
+    acc_wd = jnp.zeros((T, 1), jnp.float32)
+    for si in range(k):
+        d = jnp.sqrt(bd[:, si:si + 1])
+        disp = 1.0 / (d + eps)
+        acc_vals = acc_vals + disp * bv[:, si * n_chan:(si + 1) * n_chan]
+        acc_disp = acc_disp + disp
+        acc_wd = acc_wd + disp * d
+    vals_out_ref[:] = acc_vals / acc_disp
+    dist_out_ref[:] = acc_wd / acc_disp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "eps", "tile", "block", "interpret"),
+)
+def knn_blend_blocked(src, d5ub, verts_sorted, values_sorted,
+                      bboxes, k: int = 5, eps: float = 1e-8,
+                      tile: int = 256, block: int = 128,
+                      interpret: bool = False):
+    """Block-culled fused KNN (TPU): same contract as knn_blend_pallas
+    but sweeps only Morton blocks within each tile's certified 5-NN
+    radius. Inputs from build_knn_blocks + a per-query d5 UPPER bound
+    (models/common.py grid_d5_upper over build_d5_payload).
+
+    MEASURED SLOWER than the flat kernel on the SMPL-scale cloud
+    (v5e, 262k x 6912: 136 ms at block 1024 / 205 at 512 / 1012 at 128
+    vs 57 ms flat; output EXACT — max delta 0.0): each (T, block)
+    vector op costs ~0.5 us regardless of width, so the ~30-op
+    extraction+merge chain per (tile, block) pair needs wide blocks to
+    amortize, while the cull needs narrow blocks to reject anything on
+    a surface-shaped cloud (wide Morton blocks span the body). Engine
+    default is OFF (`knn_blocked` config opt-in) — kept for denser
+    clouds where narrow blocks stay spatially tight."""
+    N = src.shape[0]
+    Mp, C = values_sorted.shape
+    Np = _round_up(max(N, tile), tile)
+    n_blocks = Mp // block
+
+    # sort queries by Morton key so each tile is spatially tight (an
+    # unsorted run measured 17x SLOWER than the flat kernel: ray-major
+    # tiles span the whole body, every block passes the cull, and the
+    # per-block machinery is pure overhead). One argsort + two gathers;
+    # outputs scatter back through the inverse permutation.
+    mn = jnp.min(src, axis=0)
+    inv_ext = (2.0 ** 8 - 1.0) / jnp.maximum(
+        jnp.max(src, axis=0) - mn, 1e-9
+    )
+    qz = jnp.clip((src - mn) * inv_ext, 0, 255).astype(jnp.int32)
+    order = jnp.argsort(_morton_key(qz))
+    inv_order = jnp.argsort(order)
+    src_s = jnp.take(src.astype(jnp.float32), order, axis=0)
+    d5_s = jnp.take(d5ub.astype(jnp.float32), order, axis=0)
+
+    src_p = jnp.zeros((Np, 3), jnp.float32).at[:N].set(src_s)
+    d5_p = jnp.zeros((Np,), jnp.float32).at[:N].set(d5_s)
+
+    # per-tile AABB + radius (meta), computed in XLA
+    st = src_p.reshape(-1, tile, 3)
+    meta = jnp.concatenate(
+        [
+            st.min(axis=1), st.max(axis=1),
+            d5_p.reshape(-1, tile).max(axis=1, keepdims=True),
+            jnp.zeros((Np // tile, 1), jnp.float32),
+        ],
+        axis=-1,
+    )
+
+    # all-pad blocks: replace the build's +-inf bbox with a finite
+    # sentinel far box (SMEM floats must be finite for the arithmetic;
+    # its distance to any real tile exceeds every radius)
+    bb = jnp.asarray(bboxes, jnp.float32).reshape(n_blocks, 8)
+    bb = jnp.where(jnp.isfinite(bb), bb, jnp.float32(_FAR_COORD))
+
+    kernel = functools.partial(
+        _knn_blocked_kernel, k=k, eps=eps, block=block,
+        n_blocks=n_blocks, n_chan=C,
+    )
+    sampled, wdist = pl.pallas_call(
+        kernel,
+        grid=(Np // tile,),
+        in_specs=[
+            # SMEM tables ride whole (block shape == array shape — the
+            # TPU lowering rejects partial last-two-dim blocks); the
+            # kernel indexes meta rows by program_id
+            pl.BlockSpec(meta.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_blocks, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Mp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, C), jnp.float32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(meta, bb, src_p, verts_sorted.T.astype(jnp.float32),
+      values_sorted.astype(jnp.float32))
+    return (
+        jnp.take(sampled[:N], inv_order, axis=0),
+        jnp.take(wdist[:N], inv_order, axis=0),
+    )
 
 
 def sample_blend_closest_points_fused(src, ref, values, k: int = 5,

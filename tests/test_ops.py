@@ -288,3 +288,111 @@ def test_pdist_grid_payload_conservative():
         slack = (th + float(margin)) * (1 + 2 ** -7) + 1e-4
         far_kept = keep & inb & (exact > slack + float(margin))
         assert far_kept.sum() <= 1
+
+
+def test_d5_payload_upper_bound():
+    """build_d5_payload + grid_d5_upper: the certified bound must be >=
+    the exact 5th-nearest distance everywhere (it drives the blocked
+    kernel's block cull — an underestimate would drop true neighbors)."""
+    import functools
+    from animatable_nerf_tpu.ops.knn_pallas import build_d5_payload
+    from animatable_nerf_tpu.models.common import grid_d5_upper
+
+    rng = np.random.RandomState(5)
+    verts = jnp.asarray((rng.randn(150, 3) * 0.3).astype(np.float32))
+    packed, bounds = jax.jit(
+        functools.partial(build_d5_payload, res=16)
+    )(verts)
+    q = np.concatenate([
+        rng.randn(3000, 3).astype(np.float32) * 0.45,
+        rng.randn(100, 3).astype(np.float32) * 2.0,
+    ])
+    d2 = ((q[:, None] - np.asarray(verts)[None]) ** 2).sum(-1)
+    exact_d5 = np.sqrt(np.sort(d2, axis=-1)[:, 4])
+    frame = {"d5_packed": packed, "pdist_bounds": bounds}
+    ub = np.asarray(grid_d5_upper(jnp.asarray(q), frame))
+    assert (ub >= exact_d5 - 1e-5).all(), (
+        f"d5 bound underestimates by {np.max(exact_d5 - ub)}"
+    )
+    # and it is not uselessly loose for in-bounds queries
+    b = np.asarray(bounds)
+    inb = ((q >= b[0]) & (q <= b[1])).all(-1)
+    assert np.median(ub[inb] - exact_d5[inb]) < 0.2
+
+
+def test_knn_blocked_matches_twin_interpret():
+    """knn_blend_blocked (interpret mode) == the XLA twin on random
+    clouds: the Morton sort, block bboxes, d5-radius cull and the
+    insertion-register top-k must reproduce the exact KNN."""
+    from animatable_nerf_tpu.core.knn import sample_blend_closest_points
+    from animatable_nerf_tpu.ops.knn_pallas import (
+        build_knn_blocks, knn_blend_blocked,
+    )
+
+    rng = np.random.RandomState(7)
+    M, C, N = 700, 24, 600
+    verts = jnp.asarray((rng.randn(M, 3) * 0.3).astype(np.float32))
+    w = rng.rand(M, C).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    w = jnp.asarray(w)
+    q = jnp.asarray((rng.randn(N, 3) * 0.35).astype(np.float32))
+
+    want_v, want_d = sample_blend_closest_points(q, verts, w)
+
+    kv, kw, kb = build_knn_blocks(verts, w, block=128)
+    # exact d5 as the radius bound (the payload bound is looser but
+    # certified; exactness of the cull only needs ub >= d5)
+    d2 = ((np.asarray(q)[:, None] - np.asarray(verts)[None]) ** 2).sum(-1)
+    d5 = jnp.asarray(np.sqrt(np.sort(d2, axis=-1)[:, 4]) + 1e-5)
+    got_v, got_d = knn_blend_blocked(
+        q, d5, kv, kw, kb, tile=256, interpret=True
+    )
+    # vs the twin: the twin's MXU-HIGHEST matmul d2 differs from the
+    # kernels' exact VPU differences by ~1e-7, flipping near-tie
+    # neighbors — tolerate the tiny resulting deltas
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=1e-4, atol=1e-5
+    )
+    # vs the FLAT Pallas kernel (identical d2 arithmetic): tight
+    from animatable_nerf_tpu.ops.knn_pallas import knn_blend_pallas
+
+    flat_v, flat_d = knn_blend_pallas(q, verts, w, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(flat_v), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(flat_d), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_knn_blocked_with_payload_bound_interpret():
+    """End-to-end blocked dispatch with the PAYLOAD d5 bound (the
+    production configuration): still exact vs the twin."""
+    import functools
+    from animatable_nerf_tpu.core.knn import sample_blend_closest_points
+    from animatable_nerf_tpu.ops.knn_pallas import (
+        build_knn_blocks, build_d5_payload, knn_blend_blocked,
+    )
+    from animatable_nerf_tpu.models.common import grid_d5_upper
+
+    rng = np.random.RandomState(9)
+    M, C, N = 512, 24, 500
+    verts = jnp.asarray((rng.randn(M, 3) * 0.3).astype(np.float32))
+    w = jnp.asarray(rng.rand(M, C).astype(np.float32))
+    q = jnp.asarray((rng.randn(N, 3) * 0.4).astype(np.float32))
+    want_v, want_d = sample_blend_closest_points(q, verts, w)
+    packed, bounds = jax.jit(
+        functools.partial(build_d5_payload, res=12)
+    )(verts)
+    d5ub = grid_d5_upper(q, {"d5_packed": packed, "pdist_bounds": bounds})
+    kv, kw, kb = build_knn_blocks(verts, w, block=128)
+    got_v, got_d = knn_blend_blocked(q, d5ub, kv, kw, kb, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=1e-4, atol=1e-5
+    )
