@@ -61,6 +61,7 @@ class ResidualField(nn.Module):
     """
 
     xyz_res: int = 10
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pts, pose_vec):
@@ -69,7 +70,7 @@ class ResidualField(nn.Module):
         pose = jnp.broadcast_to(pose_vec, (*pe.shape[:-1], pose_vec.shape[-1]))
         feat = jnp.concatenate([pe, pose], axis=-1)
         out = SkipMLP(
-            depth=8, width=256, out_dim=3, name="mlp"
+            depth=8, width=256, out_dim=3, name="mlp", dtype=self.dtype
         )(feat)
         return 0.05 * jnp.tanh(out)
 
@@ -168,6 +169,11 @@ class GeometricFieldNetwork(nn.Module):
     skip_in: Sequence[int] = (4,)
     bias: float = 0.5
     scale: float = 1.0
+    # matmul/activation compute dtype (params + weight norms stay f32;
+    # output is cast back to f32). bf16 is the eval fast-variant knob:
+    # the 9-layer trunk's inter-layer (N, 256) activations are the HBM
+    # bound at whole-frame point counts.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pts):
@@ -183,16 +189,21 @@ class GeometricFieldNetwork(nn.Module):
             ),
         )
 
-        inputs = positional_encoding(pts * self.scale, self.multires)
+        inputs = positional_encoding(pts * self.scale, self.multires).astype(
+            self.dtype
+        )
         x = inputs
         n = len(dims)
         for l in range(n - 1):
             if l in self.skip_in:
-                x = jnp.concatenate([x, inputs], axis=-1) / np.sqrt(2)
-            x = wn_apply(layers[l], x)
+                x = jnp.concatenate([x, inputs], axis=-1) / np.sqrt(2).astype(
+                    self.dtype
+                )
+            x = wn_apply(layers[l], x, dtype=self.dtype)
             if l < n - 2:
                 # softplus with beta=100: log(1 + exp(100 x)) / 100
                 x = jax.nn.softplus(100.0 * x) / 100.0
+        x = x.astype(jnp.float32)
         return jnp.concatenate([x[..., :1] / self.scale, x[..., 1:]], axis=-1)
 
 
@@ -209,6 +220,7 @@ class ColorNetwork(nn.Module):
     use_normals: bool = True
     use_viewdir: bool = True
     view_res: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, points, normals, viewdirs, features, latent_index):
@@ -218,17 +230,26 @@ class ColorNetwork(nn.Module):
         if self.use_normals:
             parts.append(normals)
         parts.append(features)
-        x = jnp.concatenate(parts, axis=-1)
+        x = jnp.concatenate(
+            [p.astype(self.dtype) for p in parts], axis=-1
+        )
 
-        h = nn.relu(WNDense(256, name="lin0")(x))
-        h = nn.relu(WNDense(256, name="lin1")(h))
-        h = nn.relu(WNDense(256, name="lin2")(h))
+        dt = self.dtype
+        h = nn.relu(WNDense(256, name="lin0", dtype=dt)(x))
+        h = nn.relu(WNDense(256, name="lin1", dtype=dt)(h))
+        h = nn.relu(WNDense(256, name="lin2", dtype=dt)(h))
         latent = nn.Embed(self.num_latents, 128, name="color_latent")(
             jnp.reshape(latent_index, (1,))
-        )[0]
+        )[0].astype(dt)
         latent = jnp.broadcast_to(latent, (*h.shape[:-1], 128))
-        h = nn.relu(WNDense(256, name="lin3")(jnp.concatenate([h, latent], -1)))
-        return jax.nn.sigmoid(WNDense(3, name="lin4")(h))
+        h = nn.relu(
+            WNDense(256, name="lin3", dtype=dt)(
+                jnp.concatenate([h, latent], -1)
+            )
+        )
+        return jax.nn.sigmoid(
+            WNDense(3, name="lin4", dtype=dt)(h).astype(jnp.float32)
+        )
 
 
 class BetaNetwork(nn.Module):

@@ -105,10 +105,22 @@ def _wn_init(v_init: Callable, in_dim: int, out_dim: int):
     return init
 
 
-def wn_apply(p, x):
-    """Apply a weight-normalized dense layer given params {v, g, b}."""
+def wn_apply(p, x, dtype=None):
+    """Apply a weight-normalized dense layer given params {v, g, b}.
+
+    `dtype` (optional) is the matmul compute dtype: the norm and the
+    normalized weight are always formed in the param dtype (f32 — the
+    per-unit norm is a reduction over 256+ rows and bf16 round-off
+    there would rescale whole output units), then weight, input and
+    bias are cast for the matmul. Output stays in `dtype` so stacked
+    layers keep their activations narrow (the trunk's HBM traffic is
+    the bound, not the MXU)."""
     v, g, b = p["v"], p["g"], p["b"]
     w = v * (g / (jnp.linalg.norm(v, axis=0) + 1e-12))
+    if dtype is not None:
+        w = w.astype(dtype)
+        b = b.astype(dtype)
+        x = x.astype(dtype)
     return x @ w + b
 
 
@@ -117,17 +129,19 @@ class WNDense(nn.Module):
 
     Norms are per output unit (torch nn.utils.weight_norm dim=0 on the
     (out, in) weight — anisdf_pdf_network.py:410-411). `v_init` draws the
-    initial direction.
+    initial direction. Params stay float32; `dtype` only sets the
+    matmul compute precision.
     """
 
     features: int
     v_init: Callable = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
         p = self.param("wn", _wn_init(self.v_init, in_dim, self.features))
-        return wn_apply(p, x)
+        return wn_apply(p, x, dtype=self.dtype)
 
 
 def geometric_mlp_params(

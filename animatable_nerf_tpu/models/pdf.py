@@ -20,6 +20,8 @@ latent_index, bw_latent_index.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -83,6 +85,12 @@ class _PDFBase(nn.Module):
     # sdf/rgb back densely for its ray-ordered alpha
     # (_train_compacted_neus). 0 disables.
     train_keep_frac: float = 0.0
+    # MLP compute dtype (params, geometry, KNN, filtering, compositing
+    # stay f32). bf16 is the eval fast-variant: the resd/sdf/color
+    # trunks' inter-layer activations are the HBM bound; normals come
+    # from jax.grad THROUGH the bf16 trunk and are cast back to f32.
+    # bench.py quality-guards the variant against the f32 render.
+    dtype: Any = jnp.float32
 
     def _warp(self, pose_pts, pose_dirs, frame, pbw=None):
         """posed SMPL -> canonical big pose (+ residual displacement).
@@ -235,10 +243,12 @@ class NeRFPDF(_PDFBase):
     """
 
     def setup(self):
-        self.resd_field = ResidualField(xyz_res=self.xyz_res)
-        self.nerf_network = GeometricFieldNetwork()
+        self.resd_field = ResidualField(xyz_res=self.xyz_res,
+                                        dtype=self.dtype)
+        self.nerf_network = GeometricFieldNetwork(dtype=self.dtype)
         self.color_network = ColorNetwork(
-            num_latents=self.num_latents, use_normals=False
+            num_latents=self.num_latents, use_normals=False,
+            dtype=self.dtype,
         )
 
     def density(self, wpts, frame):
@@ -357,13 +367,15 @@ class SDFPDF(_PDFBase):
     color_with_viewdir: bool = True
 
     def setup(self):
-        self.resd_field = ResidualField(xyz_res=self.xyz_res)
-        self.sdf_network = GeometricFieldNetwork()
+        self.resd_field = ResidualField(xyz_res=self.xyz_res,
+                                        dtype=self.dtype)
+        self.sdf_network = GeometricFieldNetwork(dtype=self.dtype)
         self.beta_network = BetaNetwork(init_val=self.beta_init)
         self.color_network = ColorNetwork(
             num_latents=self.num_latents,
             use_normals=True,
             use_viewdir=self.color_with_viewdir,
+            dtype=self.dtype,
         )
 
     # ---------------------------------------------------------- sdf utils
@@ -591,13 +603,15 @@ class NeuSPDF(SDFPDF):
     sigmoid-CDF residuals."""
 
     def setup(self):
-        self.resd_field = ResidualField(xyz_res=self.xyz_res)
-        self.sdf_network = GeometricFieldNetwork()
+        self.resd_field = ResidualField(xyz_res=self.xyz_res,
+                                        dtype=self.dtype)
+        self.sdf_network = GeometricFieldNetwork(dtype=self.dtype)
         self.variance_network = SingleVarianceNetwork()
         self.color_network = ColorNetwork(
             num_latents=self.num_latents,
             use_normals=True,
             use_viewdir=self.color_with_viewdir,
+            dtype=self.dtype,
         )
 
     def _eval_compacted_neus(self, pose_pts, vd, z_flat, frame, n_rays,

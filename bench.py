@@ -80,9 +80,10 @@ def main():
         from animatable_nerf_tpu.ops.knn_pallas import build_pdist_payload
 
         model = SDFPDF(num_latents=60)
-        # no bf16 trunk variant for the weight-normed SDF family: the
-        # autograd-normal path dominates and runs f32 either way
-        model_fast = model
+        # bf16 MLP compute for the resd/sdf/color trunks (params, KNN,
+        # geometry, weight norms, compositing stay f32; normals are
+        # jax.grad through the bf16 trunk). Quality-guarded below.
+        model_fast = SDFPDF(num_latents=60, dtype=jnp.bfloat16)
         # engine-attached per-frame packed distance grid (pass-1 runs a
         # 16-byte trilerp gather instead of a 6912-vertex sweep; see
         # Engine._device_frame)

@@ -270,6 +270,53 @@ def test_aligned_stage2_animation(data):
 @pytest.mark.parametrize(
     "cls", [models.NeRFPDF, models.SDFPDF, models.NeuSPDF]
 )
+def test_pdf_bf16_compute_dtype_variant(cls, data):
+    """The bf16 eval fast-variant (dtype=bfloat16 on the resd/sdf/color
+    trunks; bench.py's quality-guarded SDF fast path): identical param
+    trees (compute-only knob), output within bf16 tolerance of f32, and
+    finite grads through the bf16 trunks (normals/eikonal are jax.grad
+    THROUGH the cast)."""
+    frame, (wpts, vd, z) = data
+    m32 = cls(num_latents=3)
+    m16 = cls(num_latents=3, dtype=jnp.bfloat16)
+    p32 = jax.jit(
+        lambda: m32.init(jax.random.PRNGKey(0), wpts, vd, z, frame,
+                         train=False)
+    )()
+    p16 = jax.jit(
+        lambda: m16.init(jax.random.PRNGKey(0), wpts, vd, z, frame,
+                         train=False)
+    )()
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        p32, p16,
+    )
+    o32 = jax.jit(
+        lambda p: m32.apply(p, wpts, vd, z, frame, train=False)
+    )(p32)
+    o16 = jax.jit(
+        lambda p: m16.apply(p, wpts, vd, z, frame, train=False)
+    )(p32)
+    r32, r16 = np.asarray(o32["raw"]), np.asarray(o16["raw"])
+    assert np.isfinite(r16).all()
+    # rgb channels are sigmoid-bounded; bf16 keeps them within ~1e-2
+    np.testing.assert_allclose(r16[..., :3], r32[..., :3], atol=2e-2)
+
+    def loss(p):
+        out = m16.apply(p, wpts, vd, z, frame, train=True)
+        return jnp.mean(out["raw"] ** 2) + jnp.mean(out["resd"] ** 2)
+
+    g = jax.jit(jax.grad(loss))(p32)
+    assert all(
+        bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g)
+    )
+
+
+@pytest.mark.parametrize(
+    "cls", [models.NeRFPDF, models.SDFPDF, models.NeuSPDF]
+)
 def test_pdf_eval_compaction_matches_full_path(cls, data):
     """Compacted eval == masked full path for the PDF/SDF/NeuS family
     (NeuS compacts the MLP work and scatters sdf back densely for the
