@@ -607,3 +607,298 @@ def sample_blend_closest_points_fused(src, ref, values, k: int = 5,
             values.reshape(-1, *values.shape[-2:]),
         )
     return knn_blend_pallas(src, ref, values, k=k, eps=eps)
+
+
+# ------------------------------------------------------------------ cell-list
+
+
+def _knn_select_body(src, refT, values, k: int, eps: float):
+    """The shared selection/IDW body of the flat and cell-list kernels.
+
+    Kept as ONE function so the cell-list kernel is arithmetic-for-
+    arithmetic identical to `_knn_kernel`: same f32 distance form, same
+    lowest-column tie-break, same accumulation order — a complete
+    candidate list therefore reproduces the flat kernel BIT-exactly.
+    """
+    dx = src[:, 0:1] - refT[0:1, :]
+    dy = src[:, 1:2] - refT[1:2, :]
+    dz = src[:, 2:3] - refT[2:3, :]
+    d2 = dx * dx + dy * dy + dz * dz
+
+    T, M = d2.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
+
+    acc_vals = jnp.zeros((T, values.shape[1]), jnp.float32)
+    acc_disp = jnp.zeros((T, 1), jnp.float32)
+    acc_wd = jnp.zeros((T, 1), jnp.float32)
+    cur = d2
+    for _ in range(k):
+        dmin = jnp.min(cur, axis=1, keepdims=True)
+        is_min = cur <= dmin
+        idx_min = jnp.min(jnp.where(is_min, col, M), axis=1, keepdims=True)
+        onehot = (col == idx_min).astype(jnp.float32)
+        d = jnp.sqrt(dmin)
+        disp = 1.0 / (d + eps)
+        acc_vals += disp * jnp.dot(
+            onehot, values, preferred_element_type=jnp.float32
+        )
+        acc_disp += disp
+        acc_wd += disp * d
+        cur = cur + onehot * _BIG
+    return acc_vals / acc_disp, acc_wd / acc_disp
+
+
+def build_cell_knn(vertices, values, res=(12, 12, 12), cap: int = 2048,
+                   slot_cap: int = 512, k: int = 5, th: float = 0.1,
+                   pad: float = None):
+    """Per-frame supercell candidate lists for the cell-list KNN kernel.
+
+    The flat kernel sweeps all M vertices per query and is VPU-roofline
+    bound; the Morton-blocked cull (knn_blend_blocked) lost to
+    per-(tile, block) vector-op overhead. This is the third design
+    point: queries are grouped by SUPERCELL (see knn_blend_celled), and
+    each Pallas tile streams ONE precomputed candidate block from HBM
+    via scalar-prefetch block indexing — wide ops only, no per-row
+    gathers, no in-kernel cull branches.
+
+    Certified completeness (the exactness contract): a cell's list
+    holds every vertex within
+        r_cell = d5(center) + half_diag + 1e-4
+    of the cell box. d_k(., V) is 1-Lipschitz, so for ANY x in the
+    cell d5(x) <= d5(center) + half_diag <= r_cell, i.e. the true
+    5-NN of every point of the cell are in the list. Lists are built
+    only for cells that can contain a point passing the reference's
+    weighted filter (d1(center) < th + half_diag + 1e-4 — d1 is
+    1-Lipschitz, and wdist < th implies d1 < th); all other cells
+    route to a benign 1-vertex fallback list (their queries can never
+    pass the exact filter re-applied on the stream, and their slots'
+    blend weights must merely be a valid simplex for the LBS warp).
+    Within a list, vertices keep ascending global order, so the
+    kernel's lowest-column tie-break equals the flat kernel's
+    lowest-global-index tie-break.
+
+    Returns a payload dict (engine-attachable) plus an `overflow` bool:
+    True when more than `slot_cap` cells are survivor-possible or a
+    list exceeds `cap` — the caller must then keep the flat kernel for
+    the frame (checked host-side once per frame; exact either way).
+
+    Reference op replaced: pytorch3d knn_points over all vertices per
+    query (lib/utils/sample_utils.py:309-348).
+    """
+    M = vertices.shape[0]
+    rx, ry, rz = res
+    verts = vertices.astype(jnp.float32)
+    vals = values.astype(jnp.float32)
+    if pad is None:
+        pad = th + 1e-3
+    mn = verts.min(axis=0) - pad
+    mx = verts.max(axis=0) + pad
+    cell = (mx - mn) / jnp.asarray([rx, ry, rz], jnp.float32)
+    hd = 0.5 * jnp.linalg.norm(cell)
+
+    ax = [mn[a] + (jnp.arange(r) + 0.5) * cell[a]
+          for a, r in enumerate((rx, ry, rz))]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    centers = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    R = centers.shape[0]
+
+    d1c = nearest_distance_fused(centers, verts)
+    d5c = kth_distance(centers, verts, k=k)
+
+    possible = d1c < th + hd + 1e-4
+    n_possible = possible.sum()
+    rank = jnp.cumsum(possible.astype(jnp.int32)) - 1
+    lut = jnp.where(
+        possible & (rank < slot_cap), rank, slot_cap
+    ).astype(jnp.int32)
+
+    # slot -> cell id (stable possible-first order matches `rank`)
+    order = jnp.argsort(jnp.where(possible, 0, 1), stable=True)
+    slot_cell = order[:slot_cap]                        # (S,)
+    slot_real = jnp.arange(slot_cap) < n_possible
+
+    lo = centers[slot_cell] - 0.5 * cell                # (S, 3) box lows
+    hi = lo + cell
+    r_s = jnp.where(slot_real, d5c[slot_cell] + hd + 1e-4, -1.0)
+
+    # vertex-to-box distance per (slot, vertex)
+    g = jnp.maximum(
+        jnp.maximum(lo[:, None, :] - verts[None], verts[None] - hi[:, None, :]),
+        0.0,
+    )                                                   # (S, M, 3)
+    d2box = jnp.sum(g * g, axis=-1)                     # (S, M)
+    keep = d2box <= (r_s * r_s)[:, None]
+    counts = keep.sum(axis=-1)                          # (S,)
+    overflow = (n_possible > slot_cap) | jnp.any(
+        jnp.where(slot_real, counts, 0) > cap
+    )
+
+    # order-preserving per-slot compaction to `cap` entries
+    idx = jnp.argsort(jnp.where(keep, 0, 1), axis=-1, stable=True)[:, :cap]
+    valid = jnp.arange(cap)[None, :] < jnp.minimum(counts, cap)[:, None]
+    cverts = jnp.where(
+        valid[..., None], jnp.take(verts, idx, axis=0), _FAR_COORD
+    )                                                   # (S, cap, 3)
+    cvals = jnp.where(
+        valid[..., None], jnp.take(vals, idx, axis=0), 0.0
+    )                                                   # (S, cap, C)
+
+    # benign fallback list (slot id == slot_cap): vertex 0 alone
+    fb_v = jnp.full((1, cap, 3), _FAR_COORD, jnp.float32).at[0, 0].set(
+        verts[0]
+    )
+    fb_w = jnp.zeros((1, cap, vals.shape[1]), jnp.float32).at[0, 0].set(
+        vals[0]
+    )
+    cverts = jnp.concatenate([cverts, fb_v], axis=0)
+    cvals = jnp.concatenate([cvals, fb_w], axis=0)
+
+    payload = {
+        "cknn_verts": jnp.swapaxes(cverts, 1, 2),       # (S+1, 3, cap)
+        "cknn_vals": cvals,                             # (S+1, cap, C)
+        "cknn_lut": lut.reshape(rx, ry, rz),
+        "cknn_bounds": jnp.stack([mn, mx]),
+    }
+    return payload, overflow
+
+
+def _knn_celled_kernel(tslot_ref, src_ref, cverts_ref, cvals_ref,
+                       vals_out_ref, dist_out_ref, *, k: int, eps: float):
+    out_v, out_d = _knn_select_body(
+        src_ref[:], cverts_ref[0], cvals_ref[0], k, eps
+    )
+    vals_out_ref[:] = out_v
+    dist_out_ref[:] = out_d
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "eps", "tile", "interpret")
+)
+def knn_blend_celled(src, cknn_verts, cknn_vals, cknn_lut, cknn_bounds,
+                     k: int = 5, eps: float = 1e-8, tile: int = 64,
+                     interpret: bool = False):
+    """Cell-list fused KNN: same contract as knn_blend_pallas, sweeping
+    only each query's supercell candidate list (build_cell_knn).
+
+    Routing is sort-based (no scatters beyond a slot_cap-sized boundary
+    write): queries are stably sorted by slot id, each slot's run is
+    padded to a tile multiple, and every Pallas tile block-streams its
+    slot's (3+C, cap) candidate payload from HBM through scalar-prefetch
+    block indexing — consecutive tiles of the same slot reuse the
+    already-resident block. Outputs ride the two sort permutations back
+    to input order.
+
+    Exactness: bit-identical to knn_blend_pallas for every query whose
+    cell list is complete (build_cell_knn certifies completeness for
+    all queries that can pass the weighted filter); other queries get a
+    conservative wdist (>= true — the IDW mean over a candidate subset
+    can only grow) and a valid-simplex blend, and the callers'
+    exact-filter re-application masks them exactly as the flat path
+    does. Shares the forced-argmin empty-batch caveat of
+    grid_pdist_keep.
+
+    MEASURED SLOWER than the flat sweep on the SMPL-scale cloud (v5e,
+    131k shell queries x 6912 verts, tools/bench_knn_celled.py): 23.1
+    ms at res 12^3/cap 2304/tile 128 (29.0 at tile 256) vs 17.1 flat,
+    output exact (max delta 0.0 on the 97.5%-in-shell stream). Third
+    measured design point after the flat sweep and the Morton-blocked
+    cull, and the one that isolates WHY candidate pruning cannot win
+    here: each vector op costs ~0.5 us regardless of width, so a pass
+    over a (tile, cap) slab is issue-floor-bound below ~1.2M elements
+    — and the 0.1-norm filter shell forces cap >= ~2300 (a cell's list
+    must cover d5(x) <= dist-to-surface + d5-at-surface + 2 x
+    half-diag for EVERY x it may contain), while tile is capped by the
+    per-slot padding waste. (tile x cap) can therefore never reach the
+    compute-bound regime the flat kernel's (256, 6912) passes sit in:
+    the flat sweep is already the right design at SMPL vertex density,
+    and the selection loop, not the candidate count, is the cost.
+    Kept as a tested kernel-level facility (no engine attach); it
+    would win on clouds 10x denser, where cap/M shrinks while the
+    floor stays put.
+    """
+    N = src.shape[0]
+    S1, _, cap = cknn_verts.shape                       # S+1 slots
+    S = S1 - 1
+    C = cknn_vals.shape[-1]
+    rx, ry, rz = cknn_lut.shape
+
+    mn, mx = cknn_bounds[0], cknn_bounds[1]
+    res = jnp.asarray([rx, ry, rz], jnp.float32)
+    cell = (mx - mn) / res
+    ijk = jnp.clip(
+        jnp.floor((src - mn) / cell).astype(jnp.int32),
+        0,
+        jnp.asarray([rx - 1, ry - 1, rz - 1], jnp.int32),
+    )
+    slot = cknn_lut.reshape(-1)[
+        (ijk[:, 0] * ry + ijk[:, 1]) * rz + ijk[:, 2]
+    ]                                                   # (N,) int32
+
+    slot_sorted, idx_sorted = jax.lax.sort(
+        (slot, jnp.arange(N, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    src_sorted = jnp.take(src.astype(jnp.float32), idx_sorted, axis=0)
+
+    starts = jnp.searchsorted(slot_sorted, jnp.arange(S + 1), side="left")
+    starts_ext = jnp.concatenate(
+        [starts.astype(jnp.int32), jnp.asarray([N], jnp.int32)]
+    )                                                   # (S+2,)
+    count = starts_ext[1:] - starts_ext[:-1]            # (S+1,)
+    pc = -(-count // tile) * tile
+    pstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pc).astype(jnp.int32)]
+    )                                                   # (S+2,)
+
+    cap_pad = _round_up(N + (S + 1) * (tile - 1) + 1, tile)
+    # slot id per padded row: +1 at every slot's padded start (a
+    # (S+1)-row scatter — small scatters are fine), then a cumsum
+    boundary = jnp.zeros((cap_pad,), jnp.int32).at[pstart[1:]].add(
+        1, mode="drop"
+    )
+    slot_pad = jnp.clip(jnp.cumsum(boundary), 0, S)     # (cap_pad,)
+    pos = jnp.arange(cap_pad, dtype=jnp.int32)
+    r = pos - pstart[slot_pad]
+    src_idx = starts_ext[slot_pad] + r
+    alive = r < count[slot_pad]
+    q_pad = jnp.where(
+        alive[:, None],
+        jnp.take(src_sorted, jnp.clip(src_idx, 0, max(N - 1, 0)), axis=0),
+        0.0,
+    )
+    tile_slot = slot_pad.reshape(-1, tile)[:, 0]        # (n_tiles,)
+
+    n_tiles = cap_pad // tile
+    kernel = functools.partial(_knn_celled_kernel, k=k, eps=eps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i, ts: (i, 0)),
+            pl.BlockSpec((1, 3, cap), lambda i, ts: (ts[i], 0, 0)),
+            pl.BlockSpec((1, cap, C), lambda i, ts: (ts[i], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, C), lambda i, ts: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i, ts: (i, 0)),
+        ],
+    )
+    out_pad, wd_pad = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct((cap_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_slot, q_pad, cknn_verts, cknn_vals)
+
+    # destination of sorted query p, then ride the inverse permutation
+    p = jnp.arange(N, dtype=jnp.int32)
+    dest = pstart[slot_sorted] + (p - starts_ext[slot_sorted])
+    _, dest_orig = jax.lax.sort(
+        (idx_sorted, dest), num_keys=1, is_stable=True
+    )
+    return (
+        jnp.take(out_pad, dest_orig, axis=0),
+        jnp.take(wd_pad, dest_orig, axis=0),
+    )

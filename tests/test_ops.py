@@ -396,3 +396,70 @@ def test_knn_blocked_with_payload_bound_interpret():
     np.testing.assert_allclose(
         np.asarray(got_d), np.asarray(want_d), rtol=1e-4, atol=1e-5
     )
+
+
+def test_knn_celled_bitexact_on_survivors_interpret():
+    """knn_blend_celled (interpret) is BIT-exact vs the flat Pallas
+    kernel for every query that can pass the weighted filter (the
+    build certifies list completeness there via the 1-Lipschitz d5
+    bound), conservative (wdist >= flat) everywhere else, and returns a
+    finite valid-simplex blend even for far/fallback queries."""
+    from animatable_nerf_tpu.ops.knn_pallas import (
+        build_cell_knn, knn_blend_celled, knn_blend_pallas,
+    )
+
+    rng = np.random.RandomState(0)
+    M, N = 800, 4096
+    verts = rng.randn(M, 3).astype(np.float32)
+    verts /= np.linalg.norm(verts, axis=-1, keepdims=True)
+    verts *= 0.5
+    vals = rng.rand(M, 24).astype(np.float32)
+    vals /= vals.sum(-1, keepdims=True)
+    q = verts[rng.randint(0, M, N)] + rng.randn(N, 3).astype(
+        np.float32) * 0.06
+    q[:16] = 5.0                      # far outside the grid bounds
+    verts[10] = verts[11]             # exact coincident-vertex tie
+    q[100] = verts[10] + 0.001
+
+    payload, ovf = jax.jit(
+        lambda v, w: build_cell_knn(v, w, res=(8, 8, 8), cap=800,
+                                    slot_cap=512)
+    )(jnp.asarray(verts), jnp.asarray(vals))
+    assert not bool(ovf)
+    got_v, got_d = knn_blend_celled(
+        jnp.asarray(q), payload["cknn_verts"], payload["cknn_vals"],
+        payload["cknn_lut"], payload["cknn_bounds"], interpret=True,
+    )
+    flat_v, flat_d = knn_blend_pallas(
+        jnp.asarray(q), jnp.asarray(verts), jnp.asarray(vals),
+        interpret=True,
+    )
+    got_v, got_d, flat_v, flat_d = map(
+        np.asarray, (got_v, got_d, flat_v, flat_d)
+    )
+    keep = flat_d[:, 0] < 0.1
+    assert keep.sum() > 1000
+    np.testing.assert_array_equal(got_v[keep], flat_v[keep])
+    np.testing.assert_array_equal(got_d[keep], flat_d[keep])
+    assert float((got_d[~keep] - flat_d[~keep]).min()) >= 0.0
+    assert np.isfinite(got_v).all() and np.isfinite(got_d).all()
+    s = got_v.sum(-1)
+    np.testing.assert_allclose(s, 1.0, atol=1e-4)
+
+
+def test_knn_celled_overflow_flag():
+    """Candidate lists that exceed `cap` (or more survivor-possible
+    cells than `slot_cap`) must raise the frame-level overflow flag —
+    the engine then keeps the flat kernel for the frame."""
+    from animatable_nerf_tpu.ops.knn_pallas import build_cell_knn
+
+    rng = np.random.RandomState(1)
+    verts = jnp.asarray((rng.randn(500, 3) * 0.05).astype(np.float32))
+    vals = jnp.asarray(rng.rand(500, 24).astype(np.float32))
+    # a dense blob: every cell near it needs ~all vertices -> cap 64
+    # must overflow
+    _, ovf = jax.jit(
+        lambda v, w: build_cell_knn(v, w, res=(6, 6, 6), cap=64,
+                                    slot_cap=8)
+    )(verts, vals)
+    assert bool(ovf)
