@@ -37,7 +37,12 @@ python run.py --type evaluate --cfg_file configs/synthetic.yaml exp_name $EXP $C
 echo "=== SDF eval: HELD-OUT view 12 ==="
 python run.py --type evaluate --cfg_file configs/synthetic.yaml exp_name $EXP $COMMON network_module sdf_pdf test_view "12," test.frame_sampler_interval 4 2>&1 | tail -3
 echo "=== SDF mesh metrics (canonical mc + re-pose vs analytic GT) ==="
-python run.py --type visualize --cfg_file configs/synthetic.yaml exp_name $EXP $COMMON network_module sdf_pdf vis_posed_mesh True 2>&1 | tail -5
+# the SDF families use the canonical-grid mesh dataset + sdf mesh
+# renderer (reference configs/sdf_pdf_*: mesh_cfg); COMMON's
+# test_dataset_module opt would stomp the mesh_cfg overlay (opts win,
+# like the reference), so override it back after COMMON
+python run.py --type visualize --cfg_file configs/synthetic.yaml exp_name $EXP $COMMON network_module sdf_pdf vis_posed_mesh True \
+  test_dataset_module lib.datasets.anisdf_mesh_dataset mesh_th 0.0 2>&1 | tail -5
 
 echo "=== NeuS: $((NEUS_EPOCHS * 500)) steps (10% schedule), 12 views ==="
 python train_net.py --cfg_file configs/synthetic.yaml exp_name $NEUS_EXP resume False \
@@ -49,5 +54,6 @@ python run.py --type evaluate --cfg_file configs/synthetic.yaml exp_name $NEUS_E
 echo "=== NeuS eval: HELD-OUT view 12 ==="
 python run.py --type evaluate --cfg_file configs/synthetic.yaml exp_name $NEUS_EXP $COMMON network_module neus_pdf test_view "12," test.frame_sampler_interval 4 2>&1 | tail -3
 echo "=== NeuS mesh metrics ==="
-python run.py --type visualize --cfg_file configs/synthetic.yaml exp_name $NEUS_EXP $COMMON network_module neus_pdf vis_posed_mesh True 2>&1 | tail -5
+python run.py --type visualize --cfg_file configs/synthetic.yaml exp_name $NEUS_EXP $COMMON network_module neus_pdf vis_posed_mesh True \
+  test_dataset_module lib.datasets.anisdf_mesh_dataset mesh_th 0.0 2>&1 | tail -5
 echo ALL_DONE
