@@ -164,6 +164,219 @@ def _render_blob_image(H, W, K, R, T, centers, colors, wbounds, sigma=0.045,
     return img.reshape(H, W, 3), acc_full.reshape(H, W)
 
 
+# ---------------------------------------------------------------------------
+# Watertight capsule-union subject (subject="capsule").
+#
+# The blob subject's soft Gaussian tails are provably unrepresentable by a
+# watertight-surface prior (BASELINE.md, round-2 long-schedule analysis), so
+# the SDF families (anisdf_pdf_network.py:156-224) need a subject whose true
+# geometry IS a surface: a union of capsules along the 23 skeleton bones.
+# Properties, all exact by construction:
+#   - the posed body SDF is analytic and 1-Lipschitz:
+#     sdf(x) = min_k (dist(x, posed segment k) - r_k);
+#   - surface vertices carry ONE-HOT skinning weights on the segment's
+#     parent joint, so LBS-posed vertices lie exactly on the posed capsule
+#     union (a capsule is rotation-invariant about its axis and a one-hot
+#     LBS transform is the bone's rigid transform);
+#   - images are sphere-traced from the exact SDF with fixed world lights
+#     and a canonical-space albedo (multi-view/multi-frame consistent);
+#   - masks are hard silhouettes (ray hits the surface);
+#   - GT meshes (write_gt_meshes) are marching cubes at level 0 of the
+#     same analytic SDF — a perfectly trained SDF extracted at 0 matches.
+# Radii stay <= 0.08 so every interior point is within the hard-coded 0.1
+# KNN shell (models/pdf.py NORM_TH, anisdf_pdf_network.py:172) of a
+# surface vertex.
+
+CAPSULE_SEGMENTS = [(int(SMPL_PARENTS[c]), c) for c in range(1, 24)]
+
+# indexed by child joint - 1 (segment parent->child)
+CAPSULE_RADII = np.array(
+    [
+        0.070, 0.070, 0.080,  # hips L/R, spine1
+        0.055, 0.055, 0.080,  # knees L/R (thighs), spine2
+        0.045, 0.045, 0.080,  # ankles L/R (shins), spine3
+        0.035, 0.035, 0.045,  # feet L/R, neck
+        0.060, 0.060, 0.075,  # collars L/R, head
+        0.050, 0.050,         # shoulders L/R
+        0.042, 0.042,         # elbows L/R (upper arms)
+        0.035, 0.035,         # wrists L/R (forearms)
+        0.030, 0.030,         # hands L/R
+    ],
+    dtype=np.float32,
+)
+
+
+def capsule_union_sdf_np(pts, seg_a, seg_b, radii, chunk=262144):
+    """Exact SDF of the capsule union: min_k (dist(x, seg_k) - r_k).
+
+    seg_a/seg_b: (K, 3) segment endpoints; radii: (K,). 1-Lipschitz.
+    """
+    pts = np.asarray(pts, np.float32).reshape(-1, 3)
+    seg_a = np.asarray(seg_a, np.float32)
+    ba = np.asarray(seg_b, np.float32) - seg_a
+    bb = np.maximum((ba * ba).sum(-1), 1e-12)
+    out = np.empty(len(pts), np.float32)
+    for i in range(0, len(pts), chunk):
+        p = pts[i : i + chunk]
+        pa = p[:, None, :] - seg_a[None]
+        h = np.clip((pa * ba).sum(-1) / bb, 0.0, 1.0)
+        d = np.linalg.norm(pa - h[..., None] * ba[None], axis=-1) - radii
+        out[i : i + chunk] = d.min(-1)
+    return out
+
+
+def _capsule_surface_verts(joints, parents, n_verts, rng):
+    """Sample vertices ON the capsule-union surface with one-hot weights
+    on each segment's parent joint (exact rigid skinning)."""
+    segs = CAPSULE_SEGMENTS
+    radii = CAPSULE_RADII
+    lens = np.array(
+        [np.linalg.norm(joints[b] - joints[a]) for a, b in segs], np.float32
+    )
+    # allocate counts proportional to capsule surface area
+    area = 2 * np.pi * radii * lens + 4 * np.pi * radii**2
+    counts = np.maximum((n_verts * area / area.sum()).astype(int), 4)
+    while counts.sum() > n_verts:
+        counts[counts.argmax()] -= 1
+    counts[area.argmax()] += n_verts - counts.sum()
+
+    pts, wrows = [], []
+    for k, (a, b) in enumerate(segs):
+        n = counts[k]
+        r = radii[k]
+        ja, jb = joints[a], joints[b]
+        axis = jb - ja
+        L = max(np.linalg.norm(axis), 1e-8)
+        az = axis / L
+        ref = np.array([0.0, 0.0, 1.0]) if abs(az[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+        u = np.cross(az, ref)
+        u /= np.linalg.norm(u)
+        v = np.cross(az, u)
+        # split cylinder side vs spherical caps by area
+        side_frac = (2 * np.pi * r * L) / (2 * np.pi * r * L + 4 * np.pi * r**2)
+        n_side = int(round(n * side_frac))
+        th = rng.rand(n_side) * 2 * np.pi
+        t = rng.rand(n_side)
+        side = (
+            ja[None]
+            + t[:, None] * axis[None]
+            + r * (np.cos(th)[:, None] * u[None] + np.sin(th)[:, None] * v[None])
+        )
+        n_cap = n - n_side
+        dirs = rng.randn(n_cap, 3)
+        dirs /= np.maximum(np.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+        # flip each direction into the outward hemisphere of its end
+        end_sel = rng.rand(n_cap) < 0.5
+        sign = np.where((dirs @ az > 0) == end_sel, 1.0, -1.0)
+        dirs = dirs * sign[:, None]
+        caps = np.where(end_sel[:, None], jb[None], ja[None]) + r * dirs
+        pts.append(np.concatenate([side, caps], 0).astype(np.float32))
+        w = np.zeros((n, 24), np.float32)
+        w[:, a] = 1.0
+        wrows.append(w)
+    return np.concatenate(pts, 0), np.concatenate(wrows, 0)
+
+
+def _capsule_shade_jax(pts, rd, seg_a, seg_b, radii, Minv):
+    """Shared shading: normal from the argmin capsule, albedo from the
+    rest-canonical position of the hit point, two fixed world lights."""
+    import jax.numpy as jnp
+
+    ba = seg_b - seg_a
+    bb = jnp.maximum(jnp.sum(ba * ba, -1), 1e-12)
+    pa = pts[:, None, :] - seg_a[None]
+    h = jnp.clip(jnp.sum(pa * ba, -1) / bb, 0.0, 1.0)
+    d = jnp.linalg.norm(pa - h[..., None] * ba[None], axis=-1) - radii
+    k = jnp.argmin(d, -1)
+    hk = jnp.take_along_axis(h, k[:, None], 1)[:, 0]
+    cp = seg_a[k] + hk[:, None] * ba[k]
+    n = pts - cp
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    xc = jnp.einsum("nij,nj->ni", Minv[k, :, :3], pts) + Minv[k, :, 3]
+    albedo = 0.55 + 0.40 * jnp.sin(
+        xc * jnp.array([7.0, 5.0, 9.0]) + jnp.array([0.0, 2.0, 4.0])
+    )
+    l1 = jnp.array([0.442, 0.786, 0.432])
+    l2 = jnp.array([-0.577, -0.577, 0.577])
+    shade = (
+        0.35
+        + 0.55 * jnp.maximum(jnp.sum(n * l1, -1), 0.0)
+        + 0.25 * jnp.maximum(jnp.sum(n * l2, -1), 0.0)
+    )
+    return albedo * jnp.clip(shade, 0.0, 1.0)[:, None], jnp.min(d, -1)
+
+
+def _capsule_trace_jax(ro, rd, near, far, seg_a, seg_b, radii, Minv):
+    """Sphere-trace the exact capsule-union SDF (jitted)."""
+    import jax
+    import jax.numpy as jnp
+
+    ba = seg_b - seg_a
+    bb = jnp.maximum(jnp.sum(ba * ba, -1), 1e-12)
+
+    def sdf(p):
+        pa = p[:, None, :] - seg_a[None]
+        h = jnp.clip(jnp.sum(pa * ba, -1) / bb, 0.0, 1.0)
+        d = jnp.linalg.norm(pa - h[..., None] * ba[None], axis=-1) - radii
+        return jnp.min(d, -1)
+
+    def step(i, t):
+        d = sdf(ro + t[:, None] * rd)
+        return jnp.minimum(t + jnp.maximum(d, 0.0), far + 0.2)
+
+    t = jax.lax.fori_loop(0, 96, step, near)
+    x = ro + t[:, None] * rd
+    rgb, d = _capsule_shade_jax(x, rd, seg_a, seg_b, radii, Minv)
+    hit = d < 1e-3
+    return jnp.where(hit[:, None], rgb, 0.0), hit
+
+
+def _render_capsule_image(H, W, K, R, T, seg_a, seg_b, radii, Minv, wbounds):
+    """Sphere-traced rendering of the capsule body (hard silhouette)."""
+    import jax
+    import jax.numpy as jnp
+
+    ray_o, ray_d = get_rays_np(H, W, K, R, T)
+    ro = ray_o.reshape(-1, 3)
+    rd = ray_d.reshape(-1, 3)
+    near, far, mask = get_near_far_np(wbounds, ro, rd)
+    img = np.zeros((H * W, 3), np.float32)
+    hit_full = np.zeros((H * W,), bool)
+    if mask.sum() == 0:
+        return img.reshape(H, W, 3), hit_full.reshape(H, W)
+    ro, rd = ro[mask], rd[mask]
+    n = len(ro)
+    target = 1 << (n - 1).bit_length()
+    pad = lambda a: np.pad(a, [(0, target - n)] + [(0, 0)] * (a.ndim - 1), mode="edge")
+    rgb, hit = jax.jit(_capsule_trace_jax)(
+        jnp.asarray(pad(ro)), jnp.asarray(pad(rd)),
+        jnp.asarray(pad(near)), jnp.asarray(pad(far)),
+        jnp.asarray(seg_a), jnp.asarray(seg_b),
+        jnp.asarray(radii), jnp.asarray(Minv),
+    )
+    img[mask] = np.asarray(rgb)[:n]
+    hit_full[mask] = np.asarray(hit)[:n]
+    return img.reshape(H, W, 3), hit_full.reshape(H, W)
+
+
+def _capsule_world_frames(A, Rw, Th, posed_joints, joints):
+    """Per-segment world endpoints + inverse world-from-rest transforms.
+
+    World transform of segment (p, c): x_w = Rw (A_p[:3,:3] x + A_p[:3,3]) + Th.
+    Returns (seg_a, seg_b, radii, Minv (K,3,4)) with Minv mapping world ->
+    rest canonical (for the frame-invariant albedo)."""
+    wj = posed_joints @ Rw.T + Th
+    seg_a = np.stack([wj[a] for a, _ in CAPSULE_SEGMENTS]).astype(np.float32)
+    seg_b = np.stack([wj[b] for _, b in CAPSULE_SEGMENTS]).astype(np.float32)
+    Minv = np.zeros((len(CAPSULE_SEGMENTS), 3, 4), np.float32)
+    for k, (p, _c) in enumerate(CAPSULE_SEGMENTS):
+        Rk = Rw @ A[p, :3, :3]
+        tk = Rw @ A[p, :3, 3] + Th.reshape(3)
+        Minv[k, :, :3] = Rk.T
+        Minv[k, :, 3] = -Rk.T @ tk
+    return seg_a, seg_b, CAPSULE_RADII, Minv
+
+
 def _bw_volume(pverts, weights, box_padding=0.05, voxel=0.025):
     """Posed blend-weight volume in the reference's 25-channel layout
     (24 weights + distance-to-surface; prepare_blend_weights.py:156-213),
@@ -192,15 +405,25 @@ def generate_synthetic_dataset(
     n_verts: int = 1380,
     n_blobs: int = 256,
     seed: int = 0,
+    subject: str = "blobs",
 ):
-    """Write a complete reference-format dataset under `root`."""
+    """Write a complete reference-format dataset under `root`.
+
+    subject: "blobs" (Gaussian density cloud — soft, density-family
+    friendly) or "capsule" (watertight capsule-union body with hard
+    silhouettes and an analytic SDF — what the SDF families need)."""
     import cv2
 
+    if subject not in ("blobs", "capsule"):
+        raise ValueError(f"unknown subject {subject!r}")
     rng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
     joints = REST_JOINTS.copy()
     parents = SMPL_PARENTS
-    tverts, weights = _make_vertices(joints, parents, n_verts, rng)
+    if subject == "capsule":
+        tverts, weights = _capsule_surface_verts(joints, parents, n_verts, rng)
+    else:
+        tverts, weights = _make_vertices(joints, parents, n_verts, rng)
 
     # lbs metadata (prepare_lbs_meta.py outputs)
     lbs = os.path.join(root, "lbs")
@@ -286,13 +509,25 @@ def generate_synthetic_dataset(
 
         wbounds = get_bounds(wverts)
         centers = wverts[blob_idx]
+        if subject == "capsule":
+            cap_frame = _capsule_world_frames(
+                A, Rw, Th.reshape(3), np.asarray(posed_joints), joints
+            )
         frame_ims = []
         for v in range(n_views):
-            img, acc = _render_blob_image(
-                H, W, Ks[v], Rs[v].astype(np.float32),
-                (Ts[v][:, 0] / 1000.0).astype(np.float32),
-                centers, blob_colors, wbounds,
-            )
+            if subject == "capsule":
+                img, hit = _render_capsule_image(
+                    H, W, Ks[v], Rs[v].astype(np.float32),
+                    (Ts[v][:, 0] / 1000.0).astype(np.float32),
+                    *cap_frame, wbounds,
+                )
+                acc = hit.astype(np.float32)
+            else:
+                img, acc = _render_blob_image(
+                    H, W, Ks[v], Rs[v].astype(np.float32),
+                    (Ts[v][:, 0] / 1000.0).astype(np.float32),
+                    centers, blob_colors, wbounds,
+                )
             msk = (acc > 0.3).astype(np.uint8)
             img = img * msk[..., None]
             rel = os.path.join(f"Camera_B{v}", f"{f:04d}.jpg")
@@ -373,22 +608,31 @@ def write_gt_meshes(
     amp: float = 240.0,
     voxel: float = 0.02,
     frames=None,
+    subject: str = "blobs",
 ):
     """Emit analytic ground-truth surface meshes `object/{frame:06d}.obj`
     for an existing synthetic dataset — the GT layout the mesh evaluator
     consumes (reference mesh_evaluator.py:30,100-136), closing the
     chamfer/P2S loop end-to-end on synthetic data.
 
-    The GT surface is the `level` isosurface of the same Gaussian-blob
-    density the images were volume-rendered from, so a perfectly trained
-    density field extracted at `mesh_th == level` matches it exactly.
-    Blob centers are recovered by replaying the generator's RNG
-    (n_verts/n_blobs/seed must match generation); the replay is verified
-    bit-exactly against the stored `lbs/tvertices.npy` before writing.
+    subject="blobs": the GT surface is the `level` isosurface of the same
+    Gaussian-blob density the images were volume-rendered from, so a
+    perfectly trained density field extracted at `mesh_th == level`
+    matches it exactly. Blob centers are recovered by replaying the
+    generator's RNG (n_verts/n_blobs/seed must match generation); the
+    replay is verified bit-exactly against the stored `lbs/tvertices.npy`
+    before writing.
+
+    subject="capsule": the GT surface is marching cubes at level 0 of the
+    analytic posed capsule-union SDF, replayed from the stored per-frame
+    `params/{f}.npy` poses — no RNG involved; n_verts/n_blobs/level/
+    sigma/amp are ignored.
     """
     from ..render.mesh import marching_cubes, largest_component
     from ..evaluators.mesh import export_obj
 
+    if subject == "capsule":
+        return _write_gt_meshes_capsule(root, voxel, frames)
     rng = np.random.RandomState(seed)
     tverts, _weights = _make_vertices(
         REST_JOINTS.copy(), SMPL_PARENTS, n_verts, rng
@@ -427,5 +671,56 @@ def write_gt_meshes(
         verts, faces = largest_component(verts, faces)
         path = os.path.join(root, "object", f"{f:06d}.obj")
         export_obj(path, verts, faces)
+        paths.append(path)
+    return paths
+
+
+def _write_gt_meshes_capsule(root, voxel=0.02, frames=None):
+    """Capsule-subject GT meshes: mc at level 0 of the analytic posed SDF
+    (see write_gt_meshes). Poses replayed from params/{f}.npy."""
+    import cv2
+
+    from ..core.skeleton import rigid_transforms_host
+    from ..render.mesh import marching_cubes, largest_component
+    from ..evaluators.mesh import export_obj
+
+    joints = np.load(os.path.join(root, "lbs", "joints.npy"))
+    parents = np.load(os.path.join(root, "lbs", "parents.npy"))
+    if frames is None:
+        vdir = os.path.join(root, "vertices")
+        frames = sorted(
+            int(os.path.splitext(f)[0]) for f in os.listdir(vdir)
+            if f.endswith(".npy")
+        )
+    paths = []
+    for f in frames:
+        prm = np.load(
+            os.path.join(root, "params", f"{f}.npy"), allow_pickle=True
+        ).item()
+        poses = np.asarray(prm["poses"], np.float32).reshape(-1, 3)
+        Rw = cv2.Rodrigues(np.asarray(prm["Rh"], np.float32).reshape(3))[0]
+        Th = np.asarray(prm["Th"], np.float32).reshape(3)
+        A, posed_joints = rigid_transforms_host(
+            poses, joints, parents, return_joints=True
+        )
+        seg_a, seg_b, radii, _ = _capsule_world_frames(
+            np.asarray(A), Rw.astype(np.float32), Th, np.asarray(posed_joints),
+            joints,
+        )
+        ends = np.concatenate([seg_a, seg_b], 0)
+        lo = ends.min(0) - radii.max() - 2 * voxel
+        hi = ends.max(0) + radii.max() + 2 * voxel
+        axes = [np.arange(lo[k], hi[k] + voxel, voxel, dtype=np.float32)
+                for k in range(3)]
+        shape = tuple(len(a) for a in axes)
+        grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1)
+        # mc extracts {vol == level} with inside > level: negate the SDF
+        sdf = capsule_union_sdf_np(grid, seg_a, seg_b, radii).reshape(shape)
+        verts, tris = marching_cubes(
+            -sdf, 0.0, spacing=(voxel,) * 3, origin=tuple(lo)
+        )
+        verts, tris = largest_component(verts, tris)
+        path = os.path.join(root, "object", f"{f:06d}.obj")
+        export_obj(path, verts, tris)
         paths.append(path)
     return paths

@@ -17,6 +17,8 @@ pvertices, tvertices (6890,3), tbounds, latent_index, bw_latent_index.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -53,13 +55,16 @@ class PoseCondBWField(nn.Module):
     frame latent (aligned_aninerf_pbw_network.py:45-60; input_ch = 135)."""
 
     xyz_res: int = 10
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pts, smpl_bw, pose_vec):
         pe = positional_encoding(pts, self.xyz_res)
         pose = jnp.broadcast_to(pose_vec, (*pe.shape[:-1], pose_vec.shape[-1]))
         feat = jnp.concatenate([pe, pose], axis=-1)
-        logits = SkipMLP(depth=8, width=256, out_dim=24, name="mlp")(feat)
+        logits = SkipMLP(
+            depth=8, width=256, out_dim=24, name="mlp", dtype=self.dtype
+        )(feat)
         return jax.nn.softmax(jnp.log(smpl_bw + 1e-9) + logits, axis=-1)
 
 
@@ -83,11 +88,16 @@ class _AlignedBase(nn.Module):
     # backward) run on the compacted in-shell points. Loss/grads equal
     # the dense masked path while survivors fit capacity. 0 disables.
     train_keep_frac: float = 0.0
+    # MLP compute dtype (see models/pdf.py _PDFBase.dtype: params,
+    # geometry, KNN, filtering and compositing stay f32); selected by
+    # the `compute_dtype` config key through models/registry.make_model
+    dtype: Any = jnp.float32
 
     def _canonical_head(self):
-        self.nerf_network = GeometricFieldNetwork()
+        self.nerf_network = GeometricFieldNetwork(dtype=self.dtype)
         self.color_network = ColorNetwork(
-            num_latents=self.num_latents, use_normals=False
+            num_latents=self.num_latents, use_normals=False,
+            dtype=self.dtype,
         )
 
     def _knn_bw(self, pts, ref, frame):
@@ -426,11 +436,13 @@ class AlignedLBW(_AlignedBase):
 
     def setup(self):
         self.bw_field = BlendWeightField(
-            num_latents=self.num_latents + 1, xyz_res=self.xyz_res
+            num_latents=self.num_latents + 1, xyz_res=self.xyz_res,
+            dtype=self.dtype,
         )
         if self.num_eval_frames > 0:
             self.novel_pose_bw = BlendWeightField(
-                num_latents=self.num_eval_frames, xyz_res=self.xyz_res
+                num_latents=self.num_eval_frames, xyz_res=self.xyz_res,
+                dtype=self.dtype,
             )
         self._canonical_head()
 
@@ -458,7 +470,7 @@ class AlignedPBW(AlignedLBW):
     """
 
     def setup(self):
-        self.bw_field = PoseCondBWField(xyz_res=self.xyz_res)
+        self.bw_field = PoseCondBWField(xyz_res=self.xyz_res, dtype=self.dtype)
         self._canonical_head()
 
     def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False,
@@ -502,13 +514,15 @@ class AlignedLBWPDF(AlignedLBW):
 
     def setup(self):
         self.bw_field = BlendWeightField(
-            num_latents=self.num_latents + 1, xyz_res=self.xyz_res
+            num_latents=self.num_latents + 1, xyz_res=self.xyz_res,
+            dtype=self.dtype,
         )
         if self.num_eval_frames > 0:
             self.novel_pose_bw = BlendWeightField(
-                num_latents=self.num_eval_frames, xyz_res=self.xyz_res
+                num_latents=self.num_eval_frames, xyz_res=self.xyz_res,
+                dtype=self.dtype,
             )
-        self.resd_field = ResidualField(xyz_res=self.xyz_res)
+        self.resd_field = ResidualField(xyz_res=self.xyz_res, dtype=self.dtype)
         self._canonical_head()
 
     def _deform(self, pose_pts, pose_dirs, frame, novel_pose: bool = False,

@@ -5,6 +5,8 @@ yaml configs resolve unchanged."""
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from .aninerf import AniNeRF
 from .pdf import NeRFPDF, SDFPDF, NeuSPDF
 from .aligned import AlignedLBW, AlignedPBW, AlignedSMPL, AlignedLBWPDF
@@ -48,6 +50,25 @@ def is_image_space(cfg) -> bool:
     )
 
 
+_COMPUTE_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def compute_dtype(cfg):
+    """Resolve the `compute_dtype` config key to the MLP-trunk dtype
+    (every family's `dtype` field: params, geometry, KNN, filtering and
+    compositing stay f32 — see models/pdf.py _PDFBase.dtype). bf16 is
+    the eval fast-variant bench.py quality-guards (max rgb delta vs the
+    f32 render < 0.02 measured; BASELINE.md). Unknown values raise loud
+    (the config contract: no silent no-op keys)."""
+    name = str(cfg.get("compute_dtype", "float32"))
+    if name not in _COMPUTE_DTYPES:
+        raise ValueError(
+            f"compute_dtype must be one of {sorted(_COMPUTE_DTYPES)}, "
+            f"got {name!r}"
+        )
+    return _COMPUTE_DTYPES[name]
+
+
 def make_model(cfg):
     """Instantiate a model from a config object (see config/)."""
     if is_image_space(cfg):
@@ -62,7 +83,10 @@ def make_model(cfg):
         return NT(size=1024, feature_dim=16)
     cls = MODELS[cfg.network_module]
     keep_frac = float(cfg.get("eval_keep_frac", 0.25))
-    kwargs = dict(num_eval_frames=cfg.num_eval_frame if cfg.aninerf_animation or cfg.test_novel_pose else 0)
+    kwargs = dict(
+        num_eval_frames=cfg.num_eval_frame if cfg.aninerf_animation or cfg.test_novel_pose else 0,
+        dtype=compute_dtype(cfg),
+    )
     if cls is AniNeRF:
         return AniNeRF(
             num_train_frames=cfg.num_train_frame,
@@ -89,6 +113,7 @@ def make_model(cfg):
             xyz_res=cfg.xyz_res,
             eval_keep_frac=keep_frac,
             train_keep_frac=float(cfg.get("train_keep_frac", 0.0)),
+            dtype=compute_dtype(cfg),
         )
     # aligned family
     return cls(

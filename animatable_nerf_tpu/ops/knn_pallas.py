@@ -37,48 +37,16 @@ def _round_up(x: int, m: int) -> int:
 
 def _knn_kernel(src_ref, ref_ref, values_ref, vals_out_ref,
                 dist_out_ref, *, k: int, eps: float):
-    """One query tile: src (T,3) vs all reference vertices (M,3)."""
-    src = src_ref[:]                      # (T, 3)
-    refT = ref_ref[:]                     # (3, M)
-    values = values_ref[:]                # (M, C)
+    """One query tile: src (T,3) vs all reference vertices (M,3).
 
-    # exact f32 distances on the VPU: the matmul form |s|^2 - 2 s.r + |r|^2
-    # suffers cancellation through the MXU's reduced-precision passes and
-    # can flip neighbor selection (IDW then amplifies the flip). A
-    # HIGHEST-precision MXU variant measured SLOWER (23.1 vs 17.2 ms/op
-    # at 131k x 6912): the K=3 contraction uses 3/128 of the systolic
-    # depth and HIGHEST multiplies the passes.
-    dx = src[:, 0:1] - refT[0:1, :]                          # (T, M)
-    dy = src[:, 1:2] - refT[1:2, :]
-    dz = src[:, 2:3] - refT[2:3, :]
-    d2 = dx * dx + dy * dy + dz * dz                         # (T, M)
-
-    T, M = d2.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
-
-    acc_vals = jnp.zeros((T, values.shape[1]), jnp.float32)
-    acc_disp = jnp.zeros((T, 1), jnp.float32)
-    acc_wd = jnp.zeros((T, 1), jnp.float32)
-    cur = d2
-    for _ in range(k):
-        dmin = jnp.min(cur, axis=1, keepdims=True)           # (T, 1)
-        # tie-break to the lowest column index, like a sequential scan
-        is_min = cur <= dmin
-        idx_min = jnp.min(jnp.where(is_min, col, M), axis=1, keepdims=True)
-        onehot = (col == idx_min).astype(jnp.float32)        # (T, M)
-        d = jnp.sqrt(dmin)
-        disp = 1.0 / (d + eps)
-        acc_vals += disp * jnp.dot(
-            onehot, values, preferred_element_type=jnp.float32
-        )
-        acc_disp += disp
-        acc_wd += disp * d
-        # knock out the selected column with an fma (one pass; d2 + BIG
-        # stays finite and above every real distance)
-        cur = cur + onehot * _BIG
-
-    vals_out_ref[:] = acc_vals / acc_disp
-    dist_out_ref[:] = acc_wd / acc_disp
+    Delegates to `_knn_select_body` — the ONE selection/IDW body shared
+    with the cell-list kernel, so the two stay arithmetic-identical by
+    construction (advisor r2: the previous duplicated copy could drift)."""
+    vals, wd = _knn_select_body(
+        src_ref[:], ref_ref[:], values_ref[:], k, eps
+    )
+    vals_out_ref[:] = vals
+    dist_out_ref[:] = wd
 
 
 @functools.partial(
@@ -613,12 +581,20 @@ def sample_blend_closest_points_fused(src, ref, values, k: int = 5,
 
 
 def _knn_select_body(src, refT, values, k: int, eps: float):
-    """The shared selection/IDW body of the flat and cell-list kernels.
+    """The shared selection/IDW body of the flat and cell-list kernels
+    (`_knn_kernel` and `_knn_celled_kernel` both call it): same f32
+    distance form, same lowest-column tie-break, same accumulation
+    order — a complete candidate list therefore reproduces the flat
+    kernel BIT-exactly.
 
-    Kept as ONE function so the cell-list kernel is arithmetic-for-
-    arithmetic identical to `_knn_kernel`: same f32 distance form, same
-    lowest-column tie-break, same accumulation order — a complete
-    candidate list therefore reproduces the flat kernel BIT-exactly.
+    Exact f32 distances on the VPU: the matmul form |s|^2 - 2 s.r + |r|^2
+    suffers cancellation through the MXU's reduced-precision passes and
+    can flip neighbor selection (IDW then amplifies the flip). A
+    HIGHEST-precision MXU variant measured SLOWER (23.1 vs 17.2 ms/op
+    at 131k x 6912): the K=3 contraction uses 3/128 of the systolic
+    depth and HIGHEST multiplies the passes. The selected column is
+    knocked out with an fma (one pass; d2 + _BIG stays finite and above
+    every real distance).
     """
     dx = src[:, 0:1] - refT[0:1, :]
     dy = src[:, 1:2] - refT[1:2, :]
@@ -691,6 +667,11 @@ def build_cell_knn(vertices, values, res=(12, 12, 12), cap: int = 2048,
     vals = values.astype(jnp.float32)
     if pad is None:
         pad = th + 1e-3
+    if pad < th:
+        # out-of-grid queries clamp to the border cell; exactness of the
+        # weighted filter for them needs the border shell to extend past
+        # th (queries beyond it must truly fail the filter) — advisor r2
+        raise ValueError(f"build_cell_knn requires pad >= th ({pad} < {th})")
     mn = verts.min(axis=0) - pad
     mx = verts.max(axis=0) + pad
     cell = (mx - mn) / jnp.asarray([rx, ry, rz], jnp.float32)
@@ -727,7 +708,9 @@ def build_cell_knn(vertices, values, res=(12, 12, 12), cap: int = 2048,
         0.0,
     )                                                   # (S, M, 3)
     d2box = jnp.sum(g * g, axis=-1)                     # (S, M)
-    keep = d2box <= (r_s * r_s)[:, None]
+    # dead slots (r_s sentinel -1) keep nothing — without the explicit
+    # mask they'd gather every vertex within d2box <= 1 (advisor r2)
+    keep = (d2box <= (r_s * r_s)[:, None]) & slot_real[:, None]
     counts = keep.sum(axis=-1)                          # (S,)
     overflow = (n_possible > slot_cap) | jnp.any(
         jnp.where(slot_real, counts, 0) > cap

@@ -83,6 +83,9 @@ def main():
         # bf16 MLP compute for the resd/sdf/color trunks (params, KNN,
         # geometry, weight norms, compositing stay f32; normals are
         # jax.grad through the bf16 trunk). Quality-guarded below.
+        # Production-reachable: `compute_dtype bfloat16` (config key or
+        # CLI opt) selects the same dtype through models/registry
+        # .make_model — pinned by test_compute_dtype_config_reaches_model.
         model_fast = SDFPDF(num_latents=60, dtype=jnp.bfloat16)
         # engine-attached per-frame packed distance grid (pass-1 runs a
         # 16-byte trilerp gather instead of a 6912-vertex sweep; see

@@ -703,3 +703,53 @@ def test_dense_train_immune_to_garbage_at_masked_points(name, data):
     leaves = jax.tree_util.tree_leaves(grads)
     for g in leaves:
         assert np.isfinite(np.asarray(g)).all(), f"{name}: non-finite grad"
+
+
+# ------------------------------------------------- compute_dtype plumbing
+def test_compute_dtype_config_reaches_model(data, tmp_path):
+    """VERDICT-r2 item 5: the `compute_dtype` config key must select the
+    MLP-trunk dtype through make_model for every family (previously a
+    silent no-op key), and the bf16 variant must stay within the bench's
+    0.02 rgb-delta quality guard vs the f32 render."""
+    from animatable_nerf_tpu.config import load_config
+    from animatable_nerf_tpu.models.registry import make_model
+
+    c = tmp_path / "c.yaml"
+    c.write_text("exp_name: x\nnetwork_module: sdf_pdf\nnum_latent_code: 3\n")
+    cfg16 = load_config(str(c), opts=["compute_dtype", "bfloat16"])
+    m16 = make_model(cfg16)
+    assert m16.dtype == jnp.bfloat16
+    cfg32 = load_config(str(c))
+    m32 = make_model(cfg32)
+    assert m32.dtype == jnp.float32
+
+    # every non-baseline family receives the key
+    for mod in ("aninerf", "aligned_lbw", "aligned_pbw", "aligned_smpl",
+                "aligned_lbw_pdf", "nerf_pdf", "neus_pdf"):
+        c.write_text(
+            f"exp_name: x\nnetwork_module: {mod}\nnum_latent_code: 3\n"
+            "num_train_frame: 3\n"
+        )
+        assert make_model(
+            load_config(str(c), opts=["compute_dtype", "bfloat16"])
+        ).dtype == jnp.bfloat16
+
+    # unknown values fail loudly (no silent no-op keys)
+    c.write_text("exp_name: x\nnetwork_module: sdf_pdf\nnum_latent_code: 3\n")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        make_model(load_config(str(c), opts=["compute_dtype", "float16"]))
+
+    # params are f32 in both variants; bf16 apply stays within the guard
+    frame, (wpts, vd, z) = data
+    params = jax.jit(
+        lambda: m32.init(jax.random.PRNGKey(0), wpts, vd, z, frame,
+                         train=False)
+    )()
+    out32 = jax.jit(
+        lambda p: m32.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    out16 = jax.jit(
+        lambda p: m16.apply(p, wpts, vd, z, frame, train=False)
+    )(params)
+    delta = float(jnp.abs(out16["raw"][..., :3] - out32["raw"][..., :3]).max())
+    assert delta < 0.02, f"bf16 rgb delta {delta} exceeds the quality guard"
