@@ -170,8 +170,11 @@ class _AlignedBase(nn.Module):
         """Stage-2 consistency pair sampled in observation space
         (aninerf_sample_animation_trainer.py:51-88 `ppts_to_tpose`):
         KNN-prior novel-pose bw -> warp to canonical -> canonical bw,
-        selection by in-bounds density."""
-        init_pbw, _ = self._knn_bw(pose_pts, frame["pvertices"], frame)
+        selection by in-bounds AND in-shell density (the reference also
+        requires the OBSERVATION-space KNN distance under norm_th,
+        aninerf_sample_animation_trainer.py:77-80 — caught by the
+        golden loss test)."""
+        init_pbw, pnorm = self._knn_bw(pose_pts, frame["pvertices"], frame)
         pbw = self.novel_pose_bw(
             pose_pts, init_pbw, frame["bw_latent_index"]
         )
@@ -180,7 +183,7 @@ class _AlignedBase(nn.Module):
         init_tbw, _ = self._knn_bw(tpose, frame["tvertices"], frame)
         tbw = self._canonical_bw(tpose, init_tbw, frame)
         sigma = self.nerf_network(tpose)[..., 0]
-        keep = inside_bounds(tpose, frame["tbounds"])
+        keep = inside_bounds(tpose, frame["tbounds"]) & (pnorm < self.norm_th)
         sigma = jnp.where(keep, sigma, 0.0)
         return pbw, tbw, self._anim_select(sigma, keep)
 

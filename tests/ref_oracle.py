@@ -160,6 +160,23 @@ def _install_pytorch3d_stub():
         sys.modules[name] = mod
 
 
+def _install_misc_stubs():
+    """Import-time-only deps of the trainer chain that are absent from
+    this image (lib/utils/if_nerf/if_nerf_net_utils.py imports trimesh/
+    imageio at module level; the oracle wrappers never call into them)."""
+    for name in ("trimesh", "imageio"):
+        if name in sys.modules:
+            continue
+        try:
+            importlib.import_module(name)
+        except ImportError:
+            stub = types.ModuleType(name)
+            stub.__getattr__ = lambda attr, _n=name: (_ for _ in ()).throw(
+                NotImplementedError(f"oracle stub: {_n}.{attr} unused")
+            )
+            sys.modules[name] = stub
+
+
 def _install_imp_polyfill():
     if "imp" in sys.modules:
         return
@@ -183,11 +200,17 @@ def install(**overrides) -> RefCfg:
     global _installed_cfg
     _install_imp_polyfill()
     _install_pytorch3d_stub()
+    _install_misc_stubs()
     if _installed_cfg is None:
         cfg = RefCfg(**_DEFAULTS)
         libcfg = types.ModuleType("lib.config")
         libcfg.cfg = cfg
         sys.modules["lib.config"] = libcfg
+        # the trainer import chain also reaches the submodule spelling
+        # (lib/train/recorder.py: `from lib.config.config import cfg`)
+        libcfgcfg = types.ModuleType("lib.config.config")
+        libcfgcfg.cfg = cfg
+        sys.modules["lib.config.config"] = libcfgcfg
         if REF_ROOT not in sys.path:
             sys.path.insert(0, REF_ROOT)
         _installed_cfg = cfg
