@@ -23,8 +23,13 @@ from .dataset import _imread_rgb
 
 
 def grid_points(bounds, voxel_size):
-    """Dense meshgrid over bounds (aninerf_mesh_dataset.py:144-156)."""
-    vs = np.asarray(voxel_size)
+    """Dense meshgrid over bounds (aninerf_mesh_dataset.py:144-156).
+
+    Steps stay PYTHON floats so np.arange runs in float32 exactly like
+    the reference (f32 bounds + weak-scalar step); an f64 step promotes
+    the accumulation and shifts grid nodes by ~4e-7 (golden data test).
+    """
+    vs = [float(v) for v in np.asarray(voxel_size).ravel()]
     x = np.arange(bounds[0, 0], bounds[1, 0] + vs[0], vs[0])
     y = np.arange(bounds[0, 1], bounds[1, 1] + vs[1], vs[1])
     z = np.arange(bounds[0, 2], bounds[1, 2] + vs[2], vs[2])

@@ -65,9 +65,14 @@ class _VisMixin:
         if key in cache:
             return cache[key]
         msks = []
-        ims = self.annots_ims[annot_pos]["ims"]
-        for nv in range(len(ims)):
-            im = ims[nv]
+        # TRAINING views only: the reference packages the carve masks
+        # for cfg.training_view (tpose_novel_view_dataset.py:32-36,
+        # aninerf_mesh_dataset.py:27-40) — including eval views would
+        # carve with masks the training never saw (golden data test)
+        ims = np.array(self.annots_ims[annot_pos]["ims"])[
+            list(self.cfg.training_view)
+        ]
+        for nv, im in zip(list(self.cfg.training_view), ims):
             candidates = [
                 os.path.join(self.data_root, "mask_cihp", im)[:-4] + ".png",
                 os.path.join(self.data_root, im.replace("images", "mask"))[:-4]
@@ -95,7 +100,7 @@ class _VisMixin:
     def _vis_cams(self, H, W):
         Ks = []
         RTs = []
-        for i in range(len(self.cams["K"])):
+        for i in list(self.cfg.training_view):
             K = np.array(self.cams["K"][i]).copy()
             K[:2] = K[:2] * self.cfg.ratio
             Ks.append(K)

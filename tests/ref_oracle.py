@@ -164,16 +164,29 @@ def _install_misc_stubs():
     """Import-time-only deps of the trainer chain that are absent from
     this image (lib/utils/if_nerf/if_nerf_net_utils.py imports trimesh/
     imageio at module level; the oracle wrappers never call into them)."""
-    for name in ("trimesh", "imageio"):
+    for name in ("trimesh", "imageio", "plyfile"):
         if name in sys.modules:
             continue
         try:
             importlib.import_module(name)
         except ImportError:
             stub = types.ModuleType(name)
-            stub.__getattr__ = lambda attr, _n=name: (_ for _ in ()).throw(
-                NotImplementedError(f"oracle stub: {_n}.{attr} unused")
-            )
+
+            def _poison(attr, _n=name):
+                # `from plyfile import PlyData` resolves the attribute at
+                # import time — hand back an object that only fails on USE
+                class _Unused:
+                    def __init__(self, *a, **k):
+                        raise NotImplementedError(
+                            f"oracle stub: {_n}.{attr} unused"
+                        )
+
+                    __call__ = __init__
+
+                _Unused.__name__ = attr
+                return _Unused
+
+            stub.__getattr__ = _poison
             sys.modules[name] = stub
 
 

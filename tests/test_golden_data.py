@@ -1,0 +1,318 @@
+"""Golden parity of the DATA LAYER against the reference's own dataset
+code (VERDICT-r2 item 3).
+
+The reference datasets (lib/datasets/tpose_dataset.py:163-279,
+tpose_pdf_dataset.py:191-316) are imported in place through
+tests/ref_oracle.py and run on data/synthetic.py's on-disk output; every
+batch key is compared item-for-item against data/dataset.py on the same
+files. Random ray sampling is pinned by seeding the GLOBAL numpy RNG on
+both sides (the reference samples through np.random; our datasets accept
+an injectable rng — pointed at the same global module here), so the
+train-split comparison is bit-exact on the sampled ray set.
+
+This closes the last untested half of the <=0.1 dB contract: eval PSNR
+is computed on exactly the rays the dataset emits.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import ref_oracle
+from animatable_nerf_tpu.config import default_config
+from animatable_nerf_tpu.data import (
+    TPoseDataset,
+    TPosePDFDataset,
+    generate_synthetic_dataset,
+)
+
+N_FRAMES, N_VIEWS, IMG = 3, 3, 96
+TRAIN_VIEWS = [0, 1]
+N_TRAIN_FRAME = 2
+N_EVAL_FRAME = 1
+N_RAND = 64
+
+
+@pytest.fixture(scope="module")
+def droot(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("golden_synth") / "human")
+    generate_synthetic_dataset(
+        root, n_frames=N_FRAMES, n_views=N_VIEWS, image_size=IMG,
+        n_verts=400, n_blobs=64, seed=5,
+    )
+    return root
+
+
+def _data_cfg_kv(droot, **over):
+    kv = dict(
+        training_view=TRAIN_VIEWS,
+        test_view=[2],
+        begin_ith_frame=0,
+        frame_interval=1,
+        num_train_frame=N_TRAIN_FRAME,
+        num_eval_frame=N_EVAL_FRAME,
+        N_rand=N_RAND,
+        ratio=1.0,
+        mask_bkgd=True,
+        erode_edge=True,
+        eval=False,
+        vertices="vertices",
+        params="params",
+        body_sample_ratio=0.5,
+        face_sample_ratio=0.0,
+        test_novel_pose=False,
+        aninerf_animation=False,
+        box_padding=0.05,
+        big_box=False,
+        voxel_size=[0.02, 0.02, 0.02],
+        # the oracle cfg is module-global and sticky across install()
+        # calls — pin every key that varies between tests explicitly
+        use_bigpose=False,
+    )
+    kv.update(over)
+    return kv
+
+
+def _ref_dataset(module, droot, split, **over):
+    ref_oracle.install(**_data_cfg_kv(droot, **over))
+    mod = ref_oracle.load(f"lib.datasets.{module}")
+    return mod.Dataset(droot, "synthetic", os.path.join(droot, "annots.npy"), split)
+
+
+def _our_dataset(cls, droot, split, **over):
+    cfg = default_config()
+    cfg.train_dataset.update(
+        data_root=droot, human="synthetic",
+        ann_file=os.path.join(droot, "annots.npy"),
+    )
+    cfg.test_dataset.update(
+        data_root=droot, human="synthetic",
+        ann_file=os.path.join(droot, "annots.npy"),
+    )
+    for k, v in _data_cfg_kv(droot, **over).items():
+        cfg[k] = v
+    ds = cls(cfg, split)
+    ds._rng = np.random  # share the reference's global-RNG stream
+    return ds
+
+
+def _compare_item(ref_item, our_item, pbw_keys=(), loose_keys=("A", "big_A")):
+    """Every reference key must exist in ours and match. `loose_keys`
+    compare to 1e-5 (XLA rigid-transform chain vs numpy); near/far to
+    1e-6 (different but equivalent op ordering in the exact slab test —
+    rgb/ray_o/ray_d/coord/mask_at_box stay BIT-equal, so the sampled ray
+    SET is pinned exactly); `pbw_keys` compare on the reference's voxel
+    extent (ours pads to the dataset max shape for jit-static shapes,
+    values in the original extent are untouched); everything else must
+    be bit-equal."""
+    for k, want in ref_item.items():
+        assert k in our_item, f"missing batch key {k}"
+        got = our_item[k]
+        want = np.asarray(want)
+        got = np.asarray(got)
+        if k in pbw_keys:
+            d, h, w = want.shape[:3]
+            np.testing.assert_array_equal(
+                got[:d, :h, :w], want, err_msg=f"key {k} (original extent)"
+            )
+        elif k == "pbounds" and "pbw" in pbw_keys:
+            # ours extends the pbw grid (and its bounds) to the dataset
+            # max shape with edge replication — the trilinear field over
+            # the ORIGINAL extent is unchanged (data/utils.pad_volume_to);
+            # the low corner and the voxel spacing must match exactly
+            np.testing.assert_array_equal(
+                got[0], want[0], err_msg="pbounds low corner"
+            )
+            ref_shape = np.asarray(ref_item["pbw"]).shape[:3]
+            our_shape = np.asarray(our_item["pbw"]).shape[:3]
+            want_sp = (want[1] - want[0]) / (np.asarray(ref_shape) - 1)
+            got_sp = (got[1] - got[0]) / (np.asarray(our_shape) - 1)
+            np.testing.assert_allclose(
+                got_sp, want_sp, rtol=1e-5, err_msg="pbounds voxel spacing"
+            )
+        elif k in loose_keys:
+            np.testing.assert_allclose(
+                got, want, rtol=1e-5, atol=1e-6, err_msg=f"key {k}"
+            )
+        elif k in ("near", "far"):
+            assert got.shape == want.shape, f"key {k} shape"
+            np.testing.assert_allclose(
+                got, want, rtol=1e-6, atol=1e-7, err_msg=f"key {k}"
+            )
+        else:
+            np.testing.assert_array_equal(got, want, err_msg=f"key {k}")
+
+
+class TestTPoseDatasetGolden:
+    def test_train_item_bit_equal(self, droot):
+        ref = _ref_dataset("tpose_dataset", droot, "train")
+        ours = _our_dataset(TPoseDataset, droot, "train")
+        assert len(ref) == len(ours) == N_TRAIN_FRAME * len(TRAIN_VIEWS)
+        for idx in range(len(ref)):
+            np.random.seed(100 + idx)
+            ref_item = ref[idx]
+            np.random.seed(100 + idx)
+            our_item = ours[idx]
+            assert ref_item["rgb"].shape[0] >= N_RAND  # sampler really ran
+            _compare_item(ref_item, our_item, pbw_keys=("pbw", "tbw"))
+
+    @pytest.mark.parametrize("ratio", [1.0, 0.5])
+    def test_test_item_bit_equal(self, droot, ratio):
+        """Deterministic test split; ratio 0.5 exercises the resize +
+        intrinsic-scaling path (tpose_dataset.py:193-201)."""
+        ref = _ref_dataset("tpose_dataset", droot, "test", ratio=ratio,
+                           eval=True)
+        ours = _our_dataset(TPoseDataset, droot, "test", ratio=ratio,
+                            eval=True)
+        assert len(ref) == len(ours)
+        ref_item = ref[0]
+        our_item = ours[0]
+        assert ref_item["mask_at_box"].sum() > 0
+        _compare_item(ref_item, our_item, pbw_keys=("pbw", "tbw"))
+
+    def test_novel_pose_window_and_latents(self, droot):
+        """test_novel_pose shifts the frame window past the training
+        frames and clamps latent_index (tpose_dataset.py:51-53,
+        266-270)."""
+        ref = _ref_dataset("tpose_dataset", droot, "test",
+                           test_novel_pose=True, eval=True)
+        ours = _our_dataset(TPoseDataset, droot, "test",
+                            test_novel_pose=True, eval=True)
+        assert len(ref) == len(ours) == N_EVAL_FRAME
+        ref_item = ref[0]
+        our_item = ours[0]
+        assert ref_item["latent_index"] == N_TRAIN_FRAME - 1
+        assert ref_item["frame_index"] == N_TRAIN_FRAME  # shifted window
+        _compare_item(ref_item, our_item, pbw_keys=("pbw", "tbw"))
+
+
+class TestTPosePDFDatasetGolden:
+    @pytest.mark.parametrize("use_bigpose", [False, True])
+    def test_train_item_bit_equal(self, droot, use_bigpose):
+        ref = _ref_dataset("tpose_pdf_dataset", droot, "train",
+                           use_bigpose=use_bigpose)
+        ours = _our_dataset(TPosePDFDataset, droot, "train",
+                            use_bigpose=use_bigpose)
+        assert len(ref) == len(ours)
+        for idx in (0, len(ref) - 1):
+            np.random.seed(200 + idx)
+            ref_item = ref[idx]
+            np.random.seed(200 + idx)
+            our_item = ours[idx]
+            # tvertices switches to the big-pose template with use_bigpose
+            # (tpose_pdf_dataset.py:243-247)
+            _compare_item(
+                ref_item, our_item,
+                loose_keys=("A", "big_A", "tvertices", "tbounds"),
+            )
+
+    def test_novel_pose_nearest_training_frame(self, droot):
+        """Novel-pose latent routing: nearest training pose by joint
+        distance via training_joints.npy (tpose_pdf_dataset.py:176-184,
+        302-307)."""
+        ref = _ref_dataset("tpose_pdf_dataset", droot, "test",
+                           test_novel_pose=True, eval=True)
+        ours = _our_dataset(TPosePDFDataset, droot, "test",
+                            test_novel_pose=True, eval=True)
+        ref_item = ref[0]
+        our_item = ours[0]
+        # the candidate set is file-defined (lbs/training_joints.npy);
+        # the generator writes every frame's joints, so here the nearest
+        # pose may be the frame itself — what matters is that both sides
+        # route identically through the same file
+        assert ref_item["latent_index"] >= 0
+        _compare_item(
+            ref_item, our_item,
+            loose_keys=("A", "big_A", "tvertices", "tbounds"),
+        )
+
+
+class TestNovelViewGolden:
+    def test_item_matches_reference(self, droot):
+        """Spiral-camera novel-view dataset
+        (tpose_novel_view_dataset.py:123-196): gen_path cameras, rays
+        within bounds, and the per-training-view visibility package
+        (msks/Ks/RT)."""
+        from animatable_nerf_tpu.data import NovelViewDataset
+
+        over = dict(render_views=6, eval=True, exp_name="golden_nv")
+        ref = _ref_dataset("tpose_novel_view_dataset", droot, "test", **over)
+        ours = _our_dataset(NovelViewDataset, droot, "test", **over)
+        assert len(ref) == len(ours) == 6
+        ref_item = ref[2]
+        our_item = ours[2]
+        assert ref_item["mask_at_box"].sum() > 0
+        # reference RT rows are (V, 4, 4); ours carry the acting (3, 4)
+        np.testing.assert_allclose(
+            np.asarray(our_item["RT"]),
+            np.asarray(ref_item.pop("RT"))[:, :3, :],
+            rtol=1e-6, atol=1e-7, err_msg="key RT",
+        )
+        _compare_item(
+            ref_item, our_item, pbw_keys=("pbw", "tbw"),
+            loose_keys=("A", "big_A", "ray_o", "ray_d", "Ks"),
+        )
+
+    def test_gen_path_matches_reference(self, droot):
+        """The spiral itself (render_utils.py:75-130) vs
+        data/camera_path.gen_path on the same annots."""
+        from animatable_nerf_tpu.data.camera_path import load_cams, gen_path
+
+        ref_oracle.install(**_data_cfg_kv(droot, render_views=8))
+        ru = ref_oracle.load("lib.utils.render_utils")
+        ann = os.path.join(droot, "annots.npy")
+        _K_ref, RT_ref = ru.load_cam(ann)
+        w2c_ref = np.asarray(ru.gen_path(RT_ref))
+        Ks, RTs = load_cams(ann, ratio=1.0)
+        # our load_cams returns (V, 3, 4); reference gen_path wants 4x4
+        w2c_ours = np.asarray(gen_path(RTs, 8))
+        assert w2c_ours.shape[0] == w2c_ref.shape[0] == 8
+        np.testing.assert_allclose(
+            w2c_ours.reshape(8, -1)[:, :12],
+            w2c_ref[:, :3, :].reshape(8, -1),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+class TestMeshDatasetGolden:
+    def test_item_and_inside_match_reference(self, droot):
+        """aninerf_mesh_dataset.py:100-156: the dense voxel grid over
+        wbounds AND the multi-view visibility mask. The reference
+        precomputes `inside` on the CPU in the dataset; ours carves on
+        the survivor stream in the renderer (render/visibility.py) —
+        semantics compared here on the same grid."""
+        import jax.numpy as jnp
+        from animatable_nerf_tpu.data import MeshDataset
+        from animatable_nerf_tpu.render.visibility import prepare_inside_mask
+
+        over = dict(eval=True, vis_tpose_mesh=False,
+                    voxel_size=[0.05, 0.05, 0.05])
+        ref = _ref_dataset("aninerf_mesh_dataset", droot, "test", **over)
+        ours = _our_dataset(MeshDataset, droot, "test", **over)
+        assert len(ref) == len(ours) == N_TRAIN_FRAME
+        ref_item = ref[1]
+        our_item = ours[1]
+        np.testing.assert_array_equal(
+            np.asarray(our_item["pts"]), ref_item["pts"], err_msg="pts grid"
+        )
+        want_inside = np.asarray(ref_item.pop("inside"))
+        pts = np.asarray(our_item["pts"], np.float32)
+        got_inside = np.asarray(
+            prepare_inside_mask(
+                jnp.asarray(pts.reshape(-1, 3)),
+                jnp.asarray(our_item["Ks"]),
+                jnp.asarray(our_item["RT"]),
+                jnp.asarray(our_item["msks"]),
+            )
+        ).reshape(want_inside.shape)
+        assert 0 < want_inside.sum() < want_inside.size  # non-vacuous
+        np.testing.assert_array_equal(
+            got_inside, want_inside > 0, err_msg="visibility carve"
+        )
+        _compare_item(
+            ref_item, our_item, pbw_keys=("pbw", "tbw"),
+            loose_keys=("A", "big_A"),
+        )

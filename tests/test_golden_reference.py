@@ -677,3 +677,123 @@ class TestGoldenPixels:
             got_cat, want_msk_sdf, rtol=2e-4, atol=2e-5
         )
         np.testing.assert_array_equal(got_lbl, want_msk_label)
+
+
+class TestGoldenVisibilityCarve:
+    """VERDICT-r2 item 7: the one renderer variant not previously
+    oracled — multi-view visibility carving
+    (lib/networks/renderer/tpose_renderer_mmsk.py:14-57
+    prepare_inside_pts + inside-only evaluation :59-95) vs
+    render/visibility.py + render_rays(inside_fn=...)."""
+
+    @pytest.mark.parametrize("keep_frac", [0.0, 0.5])
+    def test_mmsk_pixels_match_reference(self, keep_frac):
+        from animatable_nerf_tpu.render.renderer import (
+            RenderSettings, render_rays,
+        )
+        from animatable_nerf_tpu.render.visibility import make_inside_fn
+
+        cfg = ref_oracle.install(
+            num_train_frame=N_TRAIN_FRAME, num_eval_frame=N_EVAL_FRAME,
+            norm_th=0.05, train_th=0.1, N_samples=S, perturb=0,
+        )
+        mod = ref_oracle.load("lib.networks.bw_deform.tpose_nerf_network")
+        torch.manual_seed(83)
+        net = mod.Network().eval()
+        state = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+        params = jax.tree_util.tree_map(
+            jnp.asarray, torch_import.convert_aninerf(state)
+        )
+        ours = models.AniNeRF(
+            num_train_frames=N_TRAIN_FRAME, norm_th=0.05, train_th=0.1,
+            eval_keep_frac=keep_frac,
+        )
+        rng = np.random.RandomState(89)
+        batch = _np_batch(rng)
+        n_rays = 300
+        ray_o, ray_d, near, far, occ = _pixel_rays(
+            rng, batch["pbounds"], n_rays
+        )
+
+        # two synthetic training views with central-disk masks: the
+        # carve kills a real subset of samples (asserted non-vacuous)
+        V, H, W = 2, 48, 48
+        Ks = np.zeros((V, 3, 3), np.float32)
+        RTs44 = np.zeros((V, 4, 4), np.float32)
+        msks = np.zeros((V, H, W), np.uint8)
+        center = batch["pbounds"].mean(0)
+        for v in range(V):
+            ang = 0.7 + 2.1 * v
+            eye = center + 2.4 * np.array(
+                [np.sin(ang), 0.15, np.cos(ang)], np.float32
+            )
+            fwd = center - eye
+            fwd /= np.linalg.norm(fwd)
+            right = np.cross(fwd, [0, 1, 0])
+            right /= np.linalg.norm(right)
+            down = np.cross(fwd, right)
+            R = np.stack([right, down, fwd], 0).astype(np.float32)
+            T = (-R @ eye).astype(np.float32)
+            Ks[v] = np.array(
+                [[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32
+            )
+            RTs44[v, :3, :3] = R
+            RTs44[v, :3, 3] = T
+            RTs44[v, 3, 3] = 1.0
+            yy, xx = np.mgrid[0:H, 0:W]
+            msks[v] = (
+                (yy - H / 2) ** 2 + (xx - W / 2) ** 2 < (H * 0.32) ** 2
+            ).astype(np.uint8)
+
+        # reference render through the mmsk chunk-loop renderer
+        mmsk = ref_oracle.load("lib.networks.renderer.tpose_renderer_mmsk")
+        renderer = mmsk.Renderer(net)
+        tb = _torch_batch(batch)
+        tb.update(
+            ray_o=_t(ray_o)[None], ray_d=_t(ray_d)[None],
+            near=_t(near)[None], far=_t(far)[None],
+            Ks=_t(Ks)[None], RT=_t(RTs44)[None], msks=_t(msks)[None],
+            H=_t(np.asarray(H, np.int64)), W=_t(np.asarray(W, np.int64)),
+        )
+        with torch.no_grad():
+            ret = renderer.render(tb)
+        want_rgb = ret["rgb_map"][0].numpy()
+        want_acc = ret["acc_map"][0].numpy()
+
+        rays = {
+            "ray_o": jnp.asarray(ray_o), "ray_d": jnp.asarray(ray_d),
+            "near": jnp.asarray(near), "far": jnp.asarray(far),
+            "occupancy": jnp.asarray(occ),
+        }
+        settings = RenderSettings(n_samples=S, perturb=False)
+        inside_fn = make_inside_fn(
+            jnp.asarray(Ks), jnp.asarray(RTs44[:, :3, :]), jnp.asarray(msks)
+        )
+        out = jax.jit(
+            lambda p: render_rays(
+                ours, p, rays, _jax_frame(batch), settings, train=False,
+                inside_fn=inside_fn,
+            )
+        )(params)
+
+        # the carve must actually kill some-but-not-all lit pixels
+        # relative to the uncarved render (else the test is vacuous)
+        out_plain = jax.jit(
+            lambda p: render_rays(
+                ours, p, rays, _jax_frame(batch), settings, train=False
+            )
+        )(params)
+        lit_plain = np.asarray(out_plain["acc_map"]) > 1e-4
+        lit_carved = want_acc > 1e-4
+        assert lit_carved.sum() < lit_plain.sum()
+        assert lit_carved.sum() > 0
+
+        psnr = _delta_psnr(out["rgb_map"], want_rgb)
+        assert psnr > 60.0, f"carved rgb delta PSNR {psnr:.1f} dB"
+        np.testing.assert_allclose(
+            np.asarray(out["acc_map"]), want_acc, rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["depth_map"]), ret["depth_map"][0].numpy(),
+            rtol=1e-3, atol=1e-4,
+        )
