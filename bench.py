@@ -25,11 +25,11 @@ an A100 are available.
 
 Prints ONE JSON line.
 
-`BENCH_MODEL=sdf_pdf` switches the measured model to the SDF-PDF
-flagship extension (same whole-frame tiled protocol; KNN-family
-pass-1 runs on the engine's per-frame packed distance grid exactly as
-Engine.render_item attaches it). Default is the AniNeRF path — the
-driver contract is unchanged.
+`BENCH_MODEL=sdf_pdf|nerf_pdf|neus_pdf` switches the measured model to
+the corresponding KNN-family extension (same whole-frame tiled
+protocol; pass-1 runs on the engine's per-frame packed distance grid
+exactly as Engine.render_item attaches it). Default is the AniNeRF
+path — the driver contract is unchanged.
 """
 
 from __future__ import annotations
@@ -75,18 +75,21 @@ def main():
     }
 
     bench_model = os.environ.get("BENCH_MODEL", "aninerf")
-    if bench_model == "sdf_pdf":
-        from animatable_nerf_tpu.models import SDFPDF
+    if bench_model in ("sdf_pdf", "nerf_pdf", "neus_pdf"):
+        from animatable_nerf_tpu.models import SDFPDF, NeRFPDF, NeuSPDF
         from animatable_nerf_tpu.ops.knn_pallas import build_pdist_payload
 
-        model = SDFPDF(num_latents=60)
+        cls = {
+            "sdf_pdf": SDFPDF, "nerf_pdf": NeRFPDF, "neus_pdf": NeuSPDF,
+        }[bench_model]
+        model = cls(num_latents=60)
         # bf16 MLP compute for the resd/sdf/color trunks (params, KNN,
         # geometry, weight norms, compositing stay f32; normals are
         # jax.grad through the bf16 trunk). Quality-guarded below.
         # Production-reachable: `compute_dtype bfloat16` (config key or
         # CLI opt) selects the same dtype through models/registry
         # .make_model — pinned by test_compute_dtype_config_reaches_model.
-        model_fast = SDFPDF(num_latents=60, dtype=jnp.bfloat16)
+        model_fast = cls(num_latents=60, dtype=jnp.bfloat16)
         # engine-attached per-frame packed distance grid (pass-1 runs a
         # 16-byte trilerp gather instead of a 6912-vertex sweep; see
         # Engine._device_frame)

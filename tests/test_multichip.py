@@ -237,3 +237,138 @@ class TestUnevenSharding:
             np.asarray(out_p["rgb_map"])[:407],
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestMultiHostSeams:
+    """VERDICT-r2 item 8: the process-topology seams, tested WITHOUT a
+    real multi-process launch by faking jax.process_index/process_count.
+    Reference semantics: lib/datasets/samplers.py:75-131 (per-rank
+    disjoint covering shards) and train_net.py:47-58 / recorder.py:42-43
+    (rank-0-only checkpoint/record IO)."""
+
+    def test_loader_shards_disjoint_and_cover(self):
+        from animatable_nerf_tpu.data.loader import Loader
+
+        class _DS:
+            def __len__(self):
+                return 23  # prime: uneven shards
+
+        for n_shards in (2, 4, 8):
+            shards = []
+            for sid in range(n_shards):
+                ld = Loader(_DS(), shuffle=True, max_iter=-1,
+                            num_shards=n_shards, shard_id=sid)
+                ld.set_epoch(3)
+                shards.append(list(ld._indices()))
+            flat = [i for s in shards for i in s]
+            # disjoint AND covering
+            assert len(flat) == len(set(flat)) == 23
+            # epoch-seeded shuffle: same epoch -> same partition
+            ld2 = Loader(_DS(), shuffle=True, max_iter=-1,
+                         num_shards=n_shards, shard_id=0)
+            ld2.set_epoch(3)
+            assert list(ld2._indices()) == shards[0]
+            # different epoch -> different permutation (same coverage)
+            ld2.set_epoch(4)
+            assert list(ld2._indices()) != shards[0]
+
+    def test_loader_iteration_based_shards_stay_local(self):
+        from animatable_nerf_tpu.data.loader import Loader
+
+        class _DS:
+            def __len__(self):
+                return 10
+
+        ld0 = Loader(_DS(), shuffle=False, max_iter=12, num_shards=2,
+                     shard_id=0)
+        ld1 = Loader(_DS(), shuffle=False, max_iter=12, num_shards=2,
+                     shard_id=1)
+        i0, i1 = set(ld0._indices()), set(ld1._indices())
+        assert len(ld0._indices()) == len(ld1._indices()) == 12
+        assert i0.isdisjoint(i1)
+
+    @pytest.mark.parametrize("rank", [0, 1])
+    def test_run_train_rank_gating(self, rank, tmp_path, monkeypatch):
+        """Non-zero ranks must write NO checkpoints, records or results;
+        rank 0 writes both (engine.py:961 is_main gating)."""
+        from animatable_nerf_tpu import engine as eng
+        from animatable_nerf_tpu.config import default_config
+        from animatable_nerf_tpu.data import generate_synthetic_dataset
+
+        droot = str(tmp_path / "human")
+        generate_synthetic_dataset(droot, n_frames=2, n_views=2,
+                                   image_size=48, n_verts=200, n_blobs=32)
+        monkeypatch.setattr(jax, "process_index", lambda: rank)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+        cfg = default_config()
+        cfg.train_dataset.update(
+            data_root=droot, human="synthetic",
+            ann_file=os.path.join(droot, "annots.npy"),
+        )
+        cfg.test_dataset.update(
+            data_root=droot, human="synthetic",
+            ann_file=os.path.join(droot, "annots.npy"),
+        )
+        cfg.update(
+            exp_name=f"seam_rank{rank}",
+            network_module="aninerf",
+            training_view=[0], test_view=[1],
+            num_train_frame=2, num_eval_frame=1,
+            N_rand=32, N_samples=4, ep_iter=2, eval_ep=1000000,
+            save_ep=1, save_latest_ep=1, resume=False,
+            trained_model_dir=str(tmp_path / "trained" / f"r{rank}"),
+            record_dir=str(tmp_path / "record" / f"r{rank}"),
+            result_dir=str(tmp_path / "result" / f"r{rank}"),
+        )
+        cfg["train"]["epoch"] = 1
+        cfg["train"]["num_workers"] = 2
+        eng.run_train(cfg)
+        ckpts = (
+            os.listdir(cfg.trained_model_dir)
+            if os.path.isdir(cfg.trained_model_dir) else []
+        )
+        records = (
+            os.listdir(cfg.record_dir)
+            if os.path.isdir(cfg.record_dir) else []
+        )
+        if rank == 0:
+            assert ckpts, "rank 0 must checkpoint"
+            assert records, "rank 0 must record"
+        else:
+            assert not ckpts, f"rank 1 wrote checkpoints: {ckpts}"
+            assert not records, f"rank 1 wrote records: {records}"
+
+    def test_frame_store_covers_every_shards_frames(self, tmp_path):
+        """The device-resident frame store must hold a slot for every
+        frame ANY rank's loader can emit (the store is replicated; the
+        loader shards items)."""
+        from animatable_nerf_tpu.config import default_config
+        from animatable_nerf_tpu.data import (
+            TPoseDataset, generate_synthetic_dataset,
+        )
+        from animatable_nerf_tpu.data.loader import Loader
+        from animatable_nerf_tpu.train.trainer import build_frame_store
+
+        droot = str(tmp_path / "human")
+        generate_synthetic_dataset(droot, n_frames=3, n_views=2,
+                                   image_size=48, n_verts=200, n_blobs=32)
+        cfg = default_config()
+        cfg.train_dataset.update(
+            data_root=droot, human="synthetic",
+            ann_file=os.path.join(droot, "annots.npy"),
+        )
+        cfg.test_dataset.update(
+            data_root=droot, human="synthetic",
+            ann_file=os.path.join(droot, "annots.npy"),
+        )
+        cfg.update(training_view=[0, 1], num_train_frame=3, N_rand=16)
+        ds = TPoseDataset(cfg, "train")
+        store = build_frame_store(ds)
+        assert store is not None
+        for sid in range(2):
+            ld = Loader(ds, shuffle=True, num_shards=2, shard_id=sid,
+                        max_iter=-1)
+            for idx in ld._indices():
+                fid = ds.frame_index_of(ds.ims[idx])[1]
+                assert fid in store["slot_of"], (sid, idx, fid)
