@@ -58,6 +58,9 @@ class NHR(nn.Module):
     splat_radius: int = 2
     pointnet_kwargs: dict = None
     unet_widths: tuple = (64, 128, 256, 512, 512, 256, 128, 64, 32)
+    # torch-BatchNorm semantics by default (baselines/unet.py)
+    norm: str = "batch"
+    frozen_stats: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
@@ -75,7 +78,8 @@ class NHR(nn.Module):
 
         pn_kwargs = dict(self.pointnet_kwargs or {})
         point_feats = PointNet2MSG(
-            out_dim=self.feature_dim, name="pointnet", **pn_kwargs
+            out_dim=self.feature_dim, norm=self.norm,
+            frozen_stats=self.frozen_stats, name="pointnet", **pn_kwargs
         )(pverts[None])[0]  # (V, fdim)
         # learned per-vertex default features (PCPRParameters equivalent),
         # sized from the input cloud
@@ -98,6 +102,7 @@ class NHR(nn.Module):
 
         out = UNet(
             n_classes=3, layer_widths=self.unet_widths, use_mask=True,
+            norm=self.norm, frozen_stats=self.frozen_stats,
             name="unet",
         )(fused[None])[0]
         return {

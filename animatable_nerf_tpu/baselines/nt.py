@@ -47,6 +47,10 @@ class NT(nn.Module):
     size: int = 1024
     feature_dim: int = 16
     unet_widths: tuple = (64, 128, 256, 512, 512, 256, 128, 64, 32)
+    # torch-BatchNorm semantics by default (baselines/unet.py); set
+    # frozen_stats=True when serving torch-trained imports
+    norm: str = "batch"
+    frozen_stats: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
@@ -55,6 +59,7 @@ class NT(nn.Module):
         )(batch["uv"], batch["uv_msk"])
         out = UNet(
             n_classes=3, layer_widths=self.unet_widths, use_mask=True,
+            norm=self.norm, frozen_stats=self.frozen_stats,
             name="unet",
         )(x[None])[0]
         return {"rgb_map": out[..., :3], "mask": out[..., 3]}

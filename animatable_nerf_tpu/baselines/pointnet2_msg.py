@@ -7,8 +7,10 @@ levels + 4 feature-propagation levels, use_xyz=True), which runs on the
 lib/csrc/pointnet2 CUDA kernels. Differences for TPU:
 
   * channels-last (B, N, C) instead of (B, C, N);
-  * GroupNorm instead of BatchNorm (stateless under pjit — no
-    batch-stat collections to sync across devices);
+  * normalization defaults to reference-faithful torch BatchNorm
+    semantics (baselines/unet.py TorchBatchNorm: batch stats when
+    frozen_stats=False, stored running stats when True); GroupNorm
+    stays available via norm="group" (stateless under pjit);
   * grouping/interp are the static-shape XLA ops from ops/pointnet2.
 
 Per-group MLPs are 1x1 convs in the reference = Dense over the channel
@@ -24,26 +26,23 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import pointnet2 as pn2
-
-
-def _num_groups(channels: int) -> int:
-    """Largest divisor of `channels` that is <= 8 (GroupNorm constraint)."""
-    for g in (8, 4, 2):
-        if channels % g == 0:
-            return g
-    return 1
+from .unet import make_norm
 
 
 class _PointMLP(nn.Module):
-    """Dense + GroupNorm + ReLU stack over the trailing channel axis."""
+    """Dense + norm + ReLU stack over the trailing channel axis
+    (pt_utils.SharedMLP: Conv2d k=1 without bias + BatchNorm2d + ReLU)."""
 
     widths: Sequence[int]
+    norm: str = "batch"
+    frozen_stats: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i, w in enumerate(self.widths):
-            x = nn.Dense(w, name=f"lin{i}")(x)
-            x = nn.GroupNorm(num_groups=_num_groups(w), name=f"gn{i}")(x)
+            # bias folds into the norm (reference _ConvBase: bias = not bn)
+            x = nn.Dense(w, use_bias=False, name=f"lin{i}")(x)
+            x = make_norm(self.norm, w, f"bn{i}", self.frozen_stats)(x)
             x = nn.relu(x)
         return x
 
@@ -61,6 +60,8 @@ class SetAbstractionMSG(nn.Module):
     nsamples: Sequence[int]
     mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
+    norm: str = "batch"
+    frozen_stats: bool = False
 
     @nn.compact
     def __call__(self, xyz, features):
@@ -80,7 +81,10 @@ class SetAbstractionMSG(nn.Module):
                     grouped = jnp.concatenate([grouped_xyz, grouped], -1)
             else:
                 grouped = grouped_xyz
-            h = _PointMLP(widths, name=f"scale{s}")(grouped)
+            h = _PointMLP(
+                widths, norm=self.norm, frozen_stats=self.frozen_stats,
+                name=f"scale{s}",
+            )(grouped)
             outs.append(jnp.max(h, axis=2))  # pool over the group
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -89,6 +93,8 @@ class FeaturePropagation(nn.Module):
     """3-NN inverse-distance feature upsampling (PointnetFPModule)."""
 
     widths: Sequence[int]
+    norm: str = "batch"
+    frozen_stats: bool = False
 
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats):
@@ -97,7 +103,10 @@ class FeaturePropagation(nn.Module):
         interp = pn2.three_interpolate(known_feats, idx, w)
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
-        return _PointMLP(self.widths, name="mlp")(interp)
+        return _PointMLP(
+            self.widths, norm=self.norm, frozen_stats=self.frozen_stats,
+            name="mlp",
+        )(interp)
 
 
 class PointNet2MSG(nn.Module):
@@ -127,6 +136,8 @@ class PointNet2MSG(nn.Module):
         (512, 512),
         (512, 512),
     )
+    norm: str = "batch"
+    frozen_stats: bool = False
 
     @nn.compact
     def __call__(self, xyz, features=None):
@@ -139,6 +150,8 @@ class PointNet2MSG(nn.Module):
                 radii=self.radii[k],
                 nsamples=self.nsamples[k],
                 mlps=self.mlps[k],
+                norm=self.norm,
+                frozen_stats=self.frozen_stats,
                 name=f"sa{k}",
             )(l_xyz[-1], l_feat[-1])
             l_xyz.append(nx)
@@ -149,6 +162,7 @@ class PointNet2MSG(nn.Module):
         ]
         for k in range(len(fp_widths) - 1, -1, -1):
             l_feat[k] = FeaturePropagation(
-                widths=fp_widths[k], name=f"fp{k}"
+                widths=fp_widths[k], norm=self.norm,
+                frozen_stats=self.frozen_stats, name=f"fp{k}",
             )(l_xyz[k], l_xyz[k + 1], l_feat[k], l_feat[k + 1])
         return l_feat[0]

@@ -300,3 +300,126 @@ def convert_neus_pdf(state: dict, n_sdf_layers: int = 9) -> dict:
         "color_network": _wn_color(state, th + "color_network."),
     }
     return {"params": params}
+
+
+# ------------------------------------------------------------ baselines
+def conv2d_to_flax(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d weight (out, in, kh, kw) -> flax (kh, kw, in, out)."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _torch_bn(state: dict, prefix: str) -> dict:
+    """nn.BatchNorm2d tensors -> baselines/unet.py TorchBatchNorm params
+    (running stats land in `mean`/`var` — build the model with
+    frozen_stats=True to serve them, torch eval semantics)."""
+    return {
+        "scale": np.asarray(state[prefix + ".weight"]),
+        "bias": np.asarray(state[prefix + ".bias"]),
+        "mean": np.asarray(state[prefix + ".running_mean"]),
+        "var": np.asarray(state[prefix + ".running_var"]),
+    }
+
+
+def _gated_conv(state: dict, prefix: str) -> dict:
+    """unet_parts.gated_conv (conv2 + conv2_gate)."""
+    return {
+        "conv": {
+            "kernel": conv2d_to_flax(state[prefix + ".conv2.weight"]),
+            "bias": np.asarray(state[prefix + ".conv2.bias"]),
+        },
+        "gate": {
+            "kernel": conv2d_to_flax(state[prefix + ".conv2_gate.weight"]),
+            "bias": np.asarray(state[prefix + ".conv2_gate.bias"]),
+        },
+    }
+
+
+def _double_conv(state: dict, prefix: str) -> dict:
+    """unet_parts.double_conv Sequential [gated, bn, relu, gated, bn,
+    relu] -> DoubleConv {gc0, bn0, gc1, bn1}."""
+    return {
+        "gc0": _gated_conv(state, prefix + ".0"),
+        "bn0": _torch_bn(state, prefix + ".1"),
+        "gc1": _gated_conv(state, prefix + ".3"),
+        "bn1": _torch_bn(state, prefix + ".4"),
+    }
+
+
+def convert_nhr_unet(state: dict, prefix: str = "unet.") -> dict:
+    """lib/networks/nhr/unet_model.UNet -> baselines/unet.UNet params.
+
+    Layout: inc -> inconv.conv (double_conv), down{k} -> mpconv.2 (the
+    .1 slot is the parameterless lpf Downsample), up{k} -> conv, plus
+    the summed 1x1 + 3x3 outconv head (unet_parts.py:119-127)."""
+    p = prefix
+    out = {"inc": _double_conv(state, p + "inc.conv.conv")}
+    for k in range(1, 5):
+        out[f"down{k}"] = {
+            "conv": _double_conv(state, p + f"down{k}.mpconv.2.conv")
+        }
+    for k in range(1, 5):
+        out[f"up{k}"] = {
+            "conv": _double_conv(state, p + f"up{k}.conv.conv")
+        }
+    out["outc"] = {
+        "kernel": conv2d_to_flax(state[p + "outc.conv.weight"]),
+        "bias": np.asarray(state[p + "outc.conv.bias"]),
+    }
+    out["outc2"] = {
+        "kernel": conv2d_to_flax(state[p + "outc.conv2.weight"]),
+        "bias": np.asarray(state[p + "outc.conv2.bias"]),
+    }
+    return out
+
+
+def convert_nt(state: dict) -> dict:
+    """lib/networks/nt Network -> baselines/nt.NT params.
+
+    Texture levels are (1, C, A, B) grid_sample volumes whose grid
+    x-coordinate indexes the LAST torch axis; transposed to our
+    (A, B, C) layout the last torch axis becomes our W axis, which is
+    exactly what core/grid.grid_bilerp's uv[..., 0] indexes."""
+    params = {
+        "texture": {
+            f"layer{i}": np.transpose(
+                np.asarray(state[f"texture.layer{i}"])[0], (1, 2, 0)
+            )
+            for i in range(1, 5)
+        },
+        "unet": convert_nhr_unet(state, "unet."),
+    }
+    return {"params": params}
+
+
+def _shared_mlp(state: dict, prefix: str, n_layers: int) -> dict:
+    """pt_utils.SharedMLP (Conv2d k=1 no-bias + BatchNorm2d wrapper) ->
+    _PointMLP {lin{i}, bn{i}}."""
+    out = {}
+    for i in range(n_layers):
+        w = np.asarray(state[f"{prefix}layer{i}.conv.weight"])  # (o,i,1,1)
+        out[f"lin{i}"] = {"kernel": w[:, :, 0, 0].T}
+        out[f"bn{i}"] = _torch_bn(state, f"{prefix}layer{i}.bn.bn")
+    return out
+
+
+def convert_pointnet2(state: dict, prefix: str = "",
+                      n_sa: int = 4, n_scales: int = 2,
+                      mlp_depth: int = 2) -> dict:
+    """lib/networks/pointnet2 Pointnet2MSG -> baselines/pointnet2_msg
+    .PointNet2MSG params (SA_modules.{k}.mlps.{s} -> sa{k}/scale{s};
+    FP_modules.{k}.mlp -> fp{k}/mlp)."""
+    params = {}
+    for k in range(n_sa):
+        sa = {}
+        for s in range(n_scales):
+            sa[f"scale{s}"] = _shared_mlp(
+                state, f"{prefix}SA_modules.{k}.mlps.{s}.", mlp_depth
+            )
+        params[f"sa{k}"] = sa
+    for k in range(n_sa):
+        params[f"fp{k}"] = {
+            "mlp": _shared_mlp(
+                state, f"{prefix}FP_modules.{k}.mlp.", mlp_depth
+            )
+        }
+    return {"params": params}

@@ -249,8 +249,12 @@ class Engine:
         # nearest-vertex distance grid (ops/knn_pallas.py
         # build_pdist_payload) built once per frame and trilerp-gathered
         # by the render programs instead of sweeping all 6890 vertices
-        # per sampled point. knn_grid_res 0 disables.
-        res = int(cfg.get("knn_grid_res", 64))
+        # per sampled point. knn_grid_res 0 disables. Default 96: the
+        # conservative margin is the half cell diagonal (2.47 cm at 64,
+        # 1.63 at 96) and the build cost difference is ~8 ms/frame
+        # amortized across the frame's views (BASELINE.md) — the finer
+        # grid shrinks the pass-1 keep (and every downstream capacity).
+        res = int(cfg.get("knn_grid_res", 96))
         self._pdist_jit = None
         self._knn_blocks_jit = None
         if (res > 1 and getattr(self.model, "knn_pass1", False)

@@ -91,6 +91,13 @@ class _PDFBase(nn.Module):
     # from jax.grad THROUGH the bf16 trunk and are cast back to f32.
     # bench.py quality-guards the variant against the f32 render.
     dtype: Any = jnp.float32
+    # eval stage-2 compaction: after the exact weighted-distance filter
+    # (and the visibility carve) are known, re-compact the stream to
+    # stage2_ratio * pass-1 capacity so the trunks run without the
+    # conservative margin's dead slots. Exact (overflow escalates the
+    # engine ladder); 0 disables. The representative scene's exact keep
+    # is ~0.76x the conservative pass-1 keep; 0.85 leaves ~12% headroom.
+    stage2_ratio: float = 0.85
 
     def _warp(self, pose_pts, pose_dirs, frame, pbw=None):
         """posed SMPL -> canonical big pose (+ residual displacement).
@@ -234,6 +241,78 @@ class _PDFBase(nn.Module):
         )
 
 
+    def _eval_compacted(self, pose_pts, vd, dists, z_vals, frame,
+                        n_rays, n_samples, pts, precomposite, inside_fn):
+        """Survivor-compacted eval shared by the whole family: pass-1
+        conservative compaction, exact weighted-distance filter, an
+        optional SECOND compaction to the exact-survivor capacity, then
+        warp + canonical head + segmented composite."""
+        (sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf,
+         pind, c_keep) = self._compact_inputs(
+            pose_pts, vd, dists, z_vals.reshape(-1), frame,
+            self.eval_keep_frac, conservative=True,
+        )
+        ray_counts = pind.reshape(n_rays, n_samples).sum(-1)
+        # exact weighted-distance filter on the compacted stream
+        # (pass 1 was the conservative min-distance superset)
+        keep_a = sv & c_keep
+        if inside_fn is not None:
+            # visibility carve on the survivors (models/aninerf.py)
+            from .common import take_rows
+
+            keep_a = keep_a & inside_fn(take_rows(pts, sidx))
+        if self.stage2_ratio > 0:
+            # SECOND compaction: the exact filter (and carve) are known
+            # BEFORE the warp/trunks, so the expensive stages (LBS warp,
+            # resd MLP, SDF fwd+grad, color net) run at the
+            # EXACT-survivor capacity instead of the conservative pass-1
+            # one (~16% vs ~21% measured on the representative scene —
+            # the grid margin + the min-vs-weighted distance gap are
+            # dead slots that paid full trunk cost). Stage-2 overflow
+            # joins compact_overflow: the engine ladder escalates the
+            # rung, which scales BOTH capacities.
+            cap_b = max(
+                512, int(sidx.shape[0] * self.stage2_ratio) // 512 * 512
+            )
+            (sidx2, sv2,
+             (c_pose, c_vd, c_dists, c_z, c_pbw), _na, ovf2) = (
+                compact_payload(
+                    keep_a, [c_pose, c_vd, c_dists, c_z, c_pbw], cap_b
+                )
+            )
+            # compose the dense routing: stage-2 dead slots ride the
+            # appended sentinel to the dense sentinel row n
+            sidx = jnp.concatenate(
+                [sidx, jnp.full((1,), n, sidx.dtype)]
+            )[sidx2]
+            sv = sv2
+            ovf = jnp.logical_or(ovf, ovf2)
+            # stage-2 dead slots re-gathered the zero fill: park them on
+            # bone 0 again (all-zero bw = singular LBS)
+            c_pbw = jnp.where(
+                sv[:, None], c_pbw,
+                jax.nn.one_hot(0, c_pbw.shape[-1], dtype=c_pbw.dtype),
+            )
+            keep_a = sv  # exact filter already applied by compaction
+            # ray_counts reflected the conservative pass-1 stream; the
+            # compositor derives exact per-ray counts from the sorted
+            # stream itself
+            ray_counts = None
+        c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
+        tpose, tdirs, _, _ = self._warp(
+            c_pose, c_pose_dirs, frame, pbw=c_pbw
+        )
+        dirs = tdirs if self.tpose_viewdir else c_vd
+        raw_c = self._eval_head(tpose, dirs, c_dists, frame)
+        inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
+        keep = inside & keep_a
+        raw_c = jnp.where(keep[:, None], raw_c, 0.0)
+        return self._compact_finish(
+            raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
+            ovf, ray_counts=ray_counts, pind=pind,
+        )
+
+
 class NeRFPDF(_PDFBase):
     """Displacement field + softplus canonical NeRF.
 
@@ -278,31 +357,9 @@ class NeRFPDF(_PDFBase):
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
 
         if not train and self.eval_keep_frac > 0:
-            (sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf,
-             pind, c_keep) = self._compact_inputs(
-                pose_pts, vd, dists, z_vals.reshape(-1), frame,
-                self.eval_keep_frac, conservative=True,
-            )
-            c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
-            tpose, tdirs, _, _ = self._warp(
-                c_pose, c_pose_dirs, frame, pbw=c_pbw
-            )
-            dirs = tdirs if self.tpose_viewdir else c_vd
-            raw_c = self._eval_head(tpose, dirs, c_dists, frame)
-            inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
-            # exact weighted-distance filter on the compacted stream
-            # (pass 1 was the conservative min-distance superset)
-            keep = inside & c_keep
-            if inside_fn is not None:
-                # visibility carve on the survivors (models/aninerf.py)
-                from .common import take_rows
-
-                keep = keep & inside_fn(take_rows(pts, sidx))
-            raw_c = jnp.where(keep[:, None], raw_c, 0.0)
-            return self._compact_finish(
-                raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
-                ovf, ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
-                pind=pind,
+            return self._eval_compacted(
+                pose_pts, vd, dists, z_vals, frame, n_rays, n_samples,
+                pts, precomposite, inside_fn,
             )
         if train and self.train_keep_frac > 0:
             # grid pass-1 when the frame store carries the packed
@@ -521,33 +578,12 @@ class SDFPDF(_PDFBase):
         pose_pts = world_points_to_pose_points(pts, frame["R"], frame["Th"])
 
         if not train and self.eval_keep_frac > 0:
-            # survivor-compacted eval: the SDF autograd normals and all
-            # MLPs run only on the in-shell points
-            (sidx, sv, c_pose, c_vd, c_dists, c_z, c_pbw, n, ovf,
-             pind, c_keep) = self._compact_inputs(
-                pose_pts, vd, dists, z_vals.reshape(-1), frame,
-                self.eval_keep_frac, conservative=True,
-            )
-            c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
-            tpose, tdirs, _, _ = self._warp(
-                c_pose, c_pose_dirs, frame, pbw=c_pbw
-            )
-            dirs = tdirs if self.tpose_viewdir else c_vd
-            raw_c = self._eval_head(tpose, dirs, c_dists, frame)
-            inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
-            # exact weighted-distance filter on the compacted stream
-            # (pass 1 was the conservative min-distance superset)
-            keep = inside & c_keep
-            if inside_fn is not None:
-                # visibility carve on the survivors (models/aninerf.py)
-                from .common import take_rows
-
-                keep = keep & inside_fn(take_rows(pts, sidx))
-            raw_c = jnp.where(keep[:, None], raw_c, 0.0)
-            return self._compact_finish(
-                raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
-                ovf, ray_counts=pind.reshape(n_rays, n_samples).sum(-1),
-                pind=pind,
+            # survivor-compacted eval (shared _PDFBase._eval_compacted):
+            # the SDF autograd normals and all MLPs run only on the
+            # in-shell points, trunks at the exact-survivor capacity
+            return self._eval_compacted(
+                pose_pts, vd, dists, z_vals, frame, n_rays, n_samples,
+                pts, precomposite, inside_fn,
             )
         if train and self.train_keep_frac > 0:
             return self._train_compacted(
@@ -633,6 +669,43 @@ class NeuSPDF(SDFPDF):
                 self.eval_keep_frac, conservative=True,
             )
         )
+        carve = None
+        if inside_fn is not None:
+            # visibility carve on the survivors (models/aninerf.py);
+            # zeroes rgb AND the alpha gate (dense[..., 4]) like the
+            # dense renderer's raw * vis — but NOT the sdf fill, so it
+            # is carried separately through the stage-2 compaction
+            from .common import take_rows
+
+            carve = inside_fn(take_rows(wpts_flat, sidx))
+        if self.stage2_ratio > 0:
+            # stage-2 compaction (see _PDFBase._eval_compacted): slots
+            # failing the exact weighted filter would write the same
+            # +10 sdf fill the scatter default produces, so dropping
+            # them before the trunks is exact
+            keep_a = sv & c_keep
+            cols = [c_pose, c_vd, c_pbw]
+            if carve is not None:
+                cols.append(carve.astype(jnp.float32))
+            cap_b = max(
+                512, int(sidx.shape[0] * self.stage2_ratio) // 512 * 512
+            )
+            sidx2, sv2, cols_out, _na, ovf2 = compact_payload(
+                keep_a, cols, cap_b
+            )
+            c_pose, c_vd, c_pbw = cols_out[:3]
+            if carve is not None:
+                carve = cols_out[3] > 0.5
+            sidx = jnp.concatenate(
+                [sidx, jnp.full((1,), n, sidx.dtype)]
+            )[sidx2]
+            sv = sv2
+            ovf = jnp.logical_or(ovf, ovf2)
+            c_pbw = jnp.where(
+                sv[:, None], c_pbw,
+                jax.nn.one_hot(0, c_pbw.shape[-1], dtype=c_pbw.dtype),
+            )
+            c_keep = sv  # exact filter applied by the compaction
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
         tpose, tdirs, _, _ = self._warp(c_pose, c_pose_dirs, frame, pbw=c_pbw)
         dirs = tdirs if self.tpose_viewdir else c_vd
@@ -643,13 +716,8 @@ class NeuSPDF(SDFPDF):
         )
         inside = inside_bounds(tpose, frame["tbounds"], pad=0.05)
         keep = c_keep & inside
-        if inside_fn is not None:
-            # visibility carve on the survivors (models/aninerf.py);
-            # zeroes rgb AND the alpha gate (dense[..., 4]) like the
-            # dense renderer's raw * vis
-            from .common import take_rows
-
-            keep = keep & inside_fn(take_rows(wpts_flat, sidx))
+        if carve is not None:
+            keep = keep & carve
 
         # dense sdf grid with the reference's +10 fill: scatter
         # (sdf - 10) with zero fill, then shift back

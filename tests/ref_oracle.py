@@ -190,6 +190,120 @@ def _install_misc_stubs():
             sys.modules[name] = stub
 
 
+def _install_pointnet2_stub():
+    """CPU reimplementation of the lib/csrc/pointnet2 CUDA surface
+    (pointnet2_utils), registered under the csrc module path BEFORE the
+    reference pointnet2 modules import it. Semantics transcribed from
+    the kernels: ball_query fills empty slots with the FIRST in-ball
+    index ascending (ball_query_gpu.cu:28-44, zeros when none), FPS
+    seeds at index 0 (sampling_gpu.cu), three_nn returns ascending
+    3-NN sqrt distances. Forward-only (the golden tests run no_grad);
+    formulations deliberately differ from ops/pointnet2.py's XLA ones
+    (sort-based vs top_k) so a shared bug cannot cancel out."""
+    name = "lib.csrc.pointnet2.pointnet2_utils"
+    if name in sys.modules:
+        return
+    import torch
+
+    mod = types.ModuleType(name)
+
+    def furthest_point_sample(xyz, npoint):
+        B, N, _ = xyz.shape
+        out = torch.zeros(B, npoint, dtype=torch.int64)
+        mind = torch.full((B, N), 1e10)
+        last = torch.zeros(B, dtype=torch.int64)
+        ar = torch.arange(B)
+        for i in range(1, npoint):
+            d = ((xyz - xyz[ar, last][:, None]) ** 2).sum(-1)
+            mind = torch.minimum(mind, d)
+            last = mind.argmax(1)
+            out[:, i] = last
+        return out
+
+    def gather_operation(features, idx):
+        # features (B, C, N), idx (B, S) -> (B, C, S)
+        B, C, N = features.shape
+        return torch.gather(
+            features, 2, idx.long()[:, None, :].expand(B, C, idx.shape[1])
+        )
+
+    def ball_query(radius, nsample, xyz, new_xyz):
+        B, N, _ = xyz.shape
+        S = new_xyz.shape[1]
+        d2 = ((new_xyz[:, :, None] - xyz[:, None, :]) ** 2).sum(-1)
+        inball = d2 < radius * radius
+        col = torch.arange(N)[None, None].expand(B, S, N)
+        # stable in-ball-first ascending-index order via argsort
+        key = torch.where(inball, col, col + 2 * N)
+        order = torch.argsort(key, dim=2)[:, :, :nsample]
+        picked = torch.gather(inball, 2, order)
+        first = order[:, :, :1]
+        fill = torch.where(picked[:, :, :1], first,
+                           torch.zeros_like(first))
+        return torch.where(picked, order, fill)
+
+    def grouping_operation(features, idx):
+        # features (B, C, N), idx (B, S, ns) -> (B, C, S, ns)
+        B, C, N = features.shape
+        S, ns = idx.shape[1], idx.shape[2]
+        flat = idx.long().reshape(B, 1, S * ns).expand(B, C, S * ns)
+        return torch.gather(features, 2, flat).reshape(B, C, S, ns)
+
+    def three_nn(unknown, known):
+        d2 = ((unknown[:, :, None] - known[:, None, :]) ** 2).sum(-1)
+        dist2, idx = torch.topk(d2, 3, dim=2, largest=False)
+        return torch.sqrt(dist2), idx
+
+    def three_interpolate(features, idx, weight):
+        # features (B, C, M), idx/weight (B, n, 3) -> (B, C, n)
+        g = grouping_operation(features, idx)  # (B, C, n, 3)
+        return (g * weight[:, None]).sum(-1)
+
+    class QueryAndGroup(torch.nn.Module):
+        def __init__(self, radius, nsample, use_xyz=True):
+            super().__init__()
+            self.radius, self.nsample, self.use_xyz = radius, nsample, use_xyz
+
+        def forward(self, xyz, new_xyz, features=None):
+            idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+            grouped_xyz = grouping_operation(
+                xyz.transpose(1, 2).contiguous(), idx
+            )
+            grouped_xyz = grouped_xyz - new_xyz.transpose(1, 2).unsqueeze(-1)
+            if features is not None:
+                gf = grouping_operation(features, idx)
+                return (
+                    torch.cat([grouped_xyz, gf], dim=1)
+                    if self.use_xyz else gf
+                )
+            return grouped_xyz
+
+    class GroupAll(torch.nn.Module):
+        def __init__(self, use_xyz=True):
+            super().__init__()
+            self.use_xyz = use_xyz
+
+        def forward(self, xyz, new_xyz, features=None):
+            grouped_xyz = xyz.transpose(1, 2).unsqueeze(2)
+            if features is not None:
+                gf = features.unsqueeze(2)
+                return (
+                    torch.cat([grouped_xyz, gf], dim=1)
+                    if self.use_xyz else gf
+                )
+            return grouped_xyz
+
+    mod.furthest_point_sample = furthest_point_sample
+    mod.gather_operation = gather_operation
+    mod.ball_query = ball_query
+    mod.grouping_operation = grouping_operation
+    mod.three_nn = three_nn
+    mod.three_interpolate = three_interpolate
+    mod.QueryAndGroup = QueryAndGroup
+    mod.GroupAll = GroupAll
+    sys.modules[name] = mod
+
+
 def _install_imp_polyfill():
     if "imp" in sys.modules:
         return
@@ -214,6 +328,7 @@ def install(**overrides) -> RefCfg:
     _install_imp_polyfill()
     _install_pytorch3d_stub()
     _install_misc_stubs()
+    _install_pointnet2_stub()
     if _installed_cfg is None:
         cfg = RefCfg(**_DEFAULTS)
         libcfg = types.ModuleType("lib.config")

@@ -44,7 +44,10 @@ class TestPointNet2MSG:
 class TestUNet:
     def test_max_pool_matches_reduce_window(self, rng):
         """The shifted-slice pool (TPU space-to-batch workaround,
-        unet.py _max_pool) must equal flax's reduce_window pool."""
+        unet.py _max_pool) must equal flax's reduce_window pool with
+        VALID padding — torch nn.MaxPool2d(2, stride=1) semantics
+        (output (H-1, W-1), no implicit padding; pinned end-to-end by
+        the golden UNet test)."""
         from flax import linen as nn
         from animatable_nerf_tpu.baselines.unet import _max_pool
 
@@ -52,7 +55,7 @@ class TestUNet:
             for window in (2, 3, 4, 5):
                 x = jnp.asarray(rng.randn(2, H, W, 5).astype(np.float32))
                 ref = nn.max_pool(
-                    x, (window, window), strides=(1, 1), padding="SAME"
+                    x, (window, window), strides=(1, 1), padding="VALID"
                 )
                 got = _max_pool(x, window, 1)
                 np.testing.assert_array_equal(

@@ -551,3 +551,90 @@ def test_dense_chunked_model_apply_matches_flat(name):
             np.asarray(out_f[k]), np.asarray(out_c[k]), atol=1e-5,
             err_msg=f"{name}:{k}",
         )
+
+
+def test_stage2_compaction_exact_and_overflow():
+    """The eval stage-2 compaction (models/pdf.py _eval_compacted:
+    trunks re-compacted to the exact-survivor capacity after the exact
+    weighted filter) must be bit-identical to the single-compaction
+    path at a scale where the stage-2 capacity REALLY shrinks, and a
+    too-small stage-2 ratio must raise compact_overflow instead of
+    silently dropping survivors."""
+    rng = np.random.RandomState(9)
+    frame = make_frame(rng)
+    verts = np.asarray(frame["pvertices"])
+    n = 2048  # 2048 rays x 8 samples: exact survivors >> the 512-pt cap floor
+    tgt = verts[rng.randint(0, len(verts), n)]
+    o = np.tile([[0, 0, -2.0]], (n, 1)).astype(np.float32)
+    d = tgt - o
+    dist = np.linalg.norm(d, axis=-1, keepdims=True)
+    d = (d / dist).astype(np.float32)
+    rays = {
+        "ray_o": jnp.asarray(o),
+        "ray_d": jnp.asarray(d),
+        "near": jnp.asarray((dist[:, 0] - 0.3).astype(np.float32)),
+        "far": jnp.asarray((dist[:, 0] + 0.3).astype(np.float32)),
+        "mask": jnp.ones((n,), bool),
+        "occupancy": jnp.asarray(rng.randint(0, 2, n)),
+    }
+    s = RenderSettings(n_samples=8, perturb=False)
+    wpts = jnp.zeros((n, 8, 3))
+
+    # true exact-weighted survivor count on the deterministic sample
+    # grid (stratified_z_vals, perturb=False; R=I/Th=0 in make_frame) —
+    # used to pick stage-2 ratios that provably fit / provably overflow
+    from animatable_nerf_tpu.core import sample_blend_closest_points
+    from animatable_nerf_tpu.core.sampling import stratified_z_vals, z_vals_to_pts
+
+    z = stratified_z_vals(rays["near"], rays["far"], 8)
+    pts_flat = np.asarray(
+        z_vals_to_pts(rays["ray_o"], rays["ray_d"], z)
+    ).reshape(-1, 3)
+    _, pn = sample_blend_closest_points(
+        jnp.asarray(pts_flat), frame["pvertices"], frame["weights"]
+    )
+    n_exact = int((np.asarray(pn)[..., 0] < 0.1).sum())
+    n_pts = n * 8
+    assert n_exact > 700, f"test scene too sparse ({n_exact} survivors)"
+    ratio_fit = min((((n_exact * 3) // 2) // 512 + 1) * 512 / n_pts, 1.0)
+    ratio_ovf = max((n_exact // 2) // 512, 1) * 512 / n_pts
+
+    for cls in (models.NeRFPDF, models.SDFPDF, models.NeuSPDF):
+        m0 = cls(num_latents=3, eval_keep_frac=1.0, stage2_ratio=0.0)
+        params = jax.jit(
+            lambda m0=m0: m0.init(
+                jax.random.PRNGKey(0), wpts, rays["ray_d"],
+                jnp.ones((n, 8)), frame, train=False,
+            )
+        )()
+        out0 = jax.jit(
+            lambda p, m0=m0: render_rays(m0, p, rays, frame, s, train=False)
+        )(params)
+        # ratio 0.5 halves the trunk capacity; survivors must still fit
+        m2 = cls(num_latents=3, eval_keep_frac=1.0, stage2_ratio=ratio_fit)
+        out2 = jax.jit(
+            lambda p, m2=m2: render_rays(m2, p, rays, frame, s, train=False)
+        )(params)
+        assert not bool(np.asarray(out2["compact_overflow"]).any()), cls
+        # tolerance: removing a dead slot also removes its
+        # (1 - 0 + 1e-10) transmittance factor from the segmented scan
+        # (core/composite.py composite_compacted docstring) — a ~1e-7
+        # relative epsilon artifact, not a math difference
+        np.testing.assert_allclose(
+            np.asarray(out0["rgb_map"]), np.asarray(out2["rgb_map"]),
+            rtol=1e-6, atol=1e-8, err_msg=f"{cls.__name__} stage-2 rgb",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out0["acc_map"]), np.asarray(out2["acc_map"]),
+            rtol=1e-6, atol=1e-8,
+        )
+        # a ratio far below the real survivor fraction must overflow
+        m_tiny = cls(num_latents=3, eval_keep_frac=1.0, stage2_ratio=ratio_ovf)
+        out_t = jax.jit(
+            lambda p, m_tiny=m_tiny: render_rays(
+                m_tiny, p, rays, frame, s, train=False
+            )
+        )(params)
+        assert bool(np.asarray(out_t["compact_overflow"]).any()), (
+            f"{cls.__name__}: expected stage-2 overflow to surface"
+        )
