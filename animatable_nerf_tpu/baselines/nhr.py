@@ -3,10 +3,11 @@
 Reference: lib/networks/nhr/nhr.py:10-57 + pcprender.py:60-125. Per
 view: warp the canonical SMPL vertices to the posed frame (T-pose ->
 big-pose LBS -> posed -> world, using grid-sampled blend weights), run
-PointNet++ MSG over the posed cloud, concatenate a learned per-vertex
-default feature, splat through the differentiable rasterizer
-(ops/rasterize — the PCPR replacement), append per-pixel world view
-directions, and refine with the gated UNet into rgb + mask.
+PointNet++ MSG over the posed cloud, splat through the differentiable
+rasterizer (ops/rasterize — the PCPR replacement) with the learned
+default feature filling miss pixels (PCPRParameters semantics), append
+per-pixel world view directions, and refine with the gated UNet
+(reference widths) into rgb + mask.
 
 TPU-native: the whole forward is one jittable function of static image
 shape; rasterization is scatter-min based (static shapes); layouts are
@@ -57,7 +58,8 @@ class NHR(nn.Module):
     feature_dim: int = 18
     splat_radius: int = 2
     pointnet_kwargs: dict = None
-    unet_widths: tuple = (64, 128, 256, 512, 512, 256, 128, 64, 32)
+    # the reference NHR refiner's widths (pcprender.py:42-47)
+    unet_widths: tuple = (32, 64, 180, 450, 450, 180, 64, 32, 26)
     # torch-BatchNorm semantics by default (baselines/unet.py)
     norm: str = "batch"
     frozen_stats: bool = False
@@ -81,24 +83,30 @@ class NHR(nn.Module):
             out_dim=self.feature_dim, norm=self.norm,
             frozen_stats=self.frozen_stats, name="pointnet", **pn_kwargs
         )(pverts[None])[0]  # (V, fdim)
-        # learned per-vertex default features (PCPRParameters equivalent),
-        # sized from the input cloud
+        # learned default feature vector filling pixels no point splats
+        # to — exactly PCPR's miss fill (PCPRParameters.default_features,
+        # pcpr_parameters.py:10-11; the splatter writes it where
+        # depth == 0), NOT an extra concatenated channel block
         default_feats = self.param(
             "default_features",
             nn.initializers.normal(0.02),
-            (tverts.shape[0], self.feature_dim),
+            (self.feature_dim,),
         )
-        feats = jnp.concatenate([point_feats, default_feats], axis=-1)
 
         K = batch["K"]
         RT = batch["RT"]
         ras = rasterize_points(
-            wverts, feats, K, RT[:3, :3], RT[:3, 3:],
+            wverts, point_feats, K, RT[:3, :3], RT[:3, 3:],
             self.H, self.W, splat_radius=self.splat_radius,
+        )
+        feat_map = jnp.where(
+            ras["mask"][..., None], ras["feature_map"], default_feats
         )
         dirs = pixel_dirs_world(self.H, self.W, K, RT[:3, :3])
         dirs = jnp.where(ras["mask"][..., None], dirs, 0.0)
-        fused = jnp.concatenate([ras["feature_map"], dirs], axis=-1)
+        # fuse: fdim splat/miss features + 3 world view dirs = the
+        # reference's 21-channel UNet input (pcprender.py:106-119)
+        fused = jnp.concatenate([feat_map, dirs], axis=-1)
 
         out = UNet(
             n_classes=3, layer_widths=self.unet_widths, use_mask=True,

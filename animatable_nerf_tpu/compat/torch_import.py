@@ -423,3 +423,27 @@ def convert_pointnet2(state: dict, prefix: str = "",
             )
         }
     return {"params": params}
+
+
+def convert_nhr(state: dict, feature_dim: int = 18) -> dict:
+    """lib/networks/nhr Network -> baselines/nhr.NHR params (PARTIAL).
+
+    Importable subtrees: the Pointnet2MSG encoder (`pointnet.`), the
+    refiner UNet inside PCPRender (`render.unet.`) and the PCPR default
+    feature vector (`pcpr_parameters.default_features`, (fdim, 1) ->
+    (fdim,) — the miss-pixel fill). The PCPR CUDA splatter itself has
+    no learnable tensors beyond these; our scatter-min rasterizer
+    (ops/rasterize.py) replaces it exactly at the interface, so this
+    import is complete for everything the reference checkpoint learns.
+    """
+    return {
+        "params": {
+            "pointnet": convert_pointnet2(state, prefix="pointnet.")[
+                "params"
+            ],
+            "unet": convert_nhr_unet(state, prefix="render.unet."),
+            "default_features": np.asarray(
+                state["pcpr_parameters.default_features"]
+            ).reshape(feature_dim),
+        }
+    }

@@ -230,6 +230,9 @@ def default_config() -> Config:
             # eval-time survivor compaction capacity as a fraction of the
             # sampled points (models/common.py compact_indices); 0 = off
             "eval_keep_frac": 0.25,
+            # eval stage-2 trunk compaction ratio for the KNN families
+            # (models/pdf.py _eval_compacted); 0 disables
+            "stage2_ratio": 0.85,
             "compute_dtype": "float32",
         }
     )

@@ -113,6 +113,9 @@ def make_model(cfg):
             xyz_res=cfg.xyz_res,
             eval_keep_frac=keep_frac,
             train_keep_frac=float(cfg.get("train_keep_frac", 0.0)),
+            # eval stage-2 trunk compaction ratio (models/pdf.py);
+            # 0 disables
+            stage2_ratio=float(cfg.get("stage2_ratio", 0.85)),
             dtype=compute_dtype(cfg),
         )
     # aligned family

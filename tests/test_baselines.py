@@ -135,7 +135,7 @@ class TestNHR:
         g = jax.grad(loss)(params)
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
-        # the learned per-vertex default features must receive gradient
+        # the learned default (miss-fill) features must receive gradient
         dg = g["params"]["default_features"]
         assert float(jnp.abs(dg).sum()) > 0
 
