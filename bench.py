@@ -94,8 +94,8 @@ def main():
         # 16-byte trilerp gather instead of a 6912-vertex sweep; see
         # Engine._device_frame)
         packed, margin, bnds = jax.jit(
-            lambda v: build_pdist_payload(v, res=64)
-        )(frame["pvertices"])
+            lambda v: build_pdist_payload(v, res=96)
+        )(frame["pvertices"])  # engine default (Engine.__init__ knn_grid_res)
         frame = {**frame, "pdist_packed": packed, "pdist_margin": margin,
                  "pdist_bounds": bnds}
     else:
