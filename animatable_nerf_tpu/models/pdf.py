@@ -241,6 +241,35 @@ class _PDFBase(nn.Module):
         )
 
 
+    def _train_stage2(self, sidx, sv, c_keep, cols, n, n_pts):
+        """Stage-2 re-compaction for the TRAIN compacted paths (grid
+        pass-1 only): the conservative pass-1 superset keeps ~1.3x the
+        exact set (cap_widen), and without this the trunks run their
+        forward AND backward over that widening's dead slots. Capacity
+        is the config's own exact train_keep_frac capacity — the
+        widening exists only for pass 1. Gradients are unchanged:
+        dropped slots contributed exactly zero to every masked mean and
+        scatter. Gated by stage2_ratio > 0 (same kill-switch as eval).
+
+        Returns (sidx, slot_valid, cols_out, overflow2)."""
+        keep_a = sv & c_keep
+        cap_b = eval_capacity(n_pts, min(self.train_keep_frac, 1.0))
+        sidx2, sv2, cols_out, _na, ovf2 = compact_payload(
+            keep_a, cols, cap_b
+        )
+        sidx = jnp.concatenate(
+            [sidx, jnp.full((1,), n, sidx.dtype)]
+        )[sidx2]
+        # re-park zero-filled dead slots on bone 0 (cols_out[-1] is pbw
+        # by convention; all-zero bw = singular LBS)
+        cols_out = list(cols_out)
+        cols_out[-1] = jnp.where(
+            sv2[:, None], cols_out[-1],
+            jax.nn.one_hot(0, cols_out[-1].shape[-1],
+                           dtype=cols_out[-1].dtype),
+        )
+        return sidx, sv2, cols_out, ovf2
+
     def _eval_compacted(self, pose_pts, vd, dists, z_vals, frame,
                         n_rays, n_samples, pts, precomposite, inside_fn):
         """Survivor-compacted eval shared by the whole family: pass-1
@@ -372,6 +401,17 @@ class NeRFPDF(_PDFBase):
                     cap_widen=1.3 if grid else 1.0,
                 )
             )
+            if grid and self.stage2_ratio > 0:
+                # drop the conservative widening before fwd+bwd trunks
+                sidx, sv, (c_pose, c_vd, c_dists, c_pbw), ovf2 = (
+                    self._train_stage2(
+                        sidx, sv, c_keep,
+                        [c_pose, c_vd, c_dists, c_pbw], n,
+                        pose_pts.shape[0],
+                    )
+                )
+                ovf = jnp.logical_or(ovf, ovf2)
+                c_keep = None  # exact filter applied by the compaction
             surv = sv if c_keep is None else (sv & c_keep)
             c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
             tpose, tdirs, _, resd = self._warp(
@@ -522,6 +562,16 @@ class SDFPDF(_PDFBase):
                 cap_widen=1.3 if grid else 1.0,
             )
         )
+        if grid and self.stage2_ratio > 0:
+            # stage-2: drop the widening before the fwd+bwd trunks
+            sidx, sv, (c_pose, c_vd, c_dists, c_pbw), ovf2 = (
+                self._train_stage2(
+                    sidx, sv, c_keep, [c_pose, c_vd, c_dists, c_pbw], n,
+                    pose_pts.shape[0],
+                )
+            )
+            ovf = jnp.logical_or(ovf, ovf2)
+            c_keep = None  # exact filter applied by the compaction
         surv = sv if c_keep is None else (sv & c_keep)
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
         tpose, tdirs, init_bigpose, resd = self._warp(
@@ -758,6 +808,14 @@ class NeuSPDF(SDFPDF):
                 cap_widen=1.3 if grid else 1.0,
             )
         )
+        if grid and self.stage2_ratio > 0:
+            # stage-2: drop the widening before the fwd+bwd trunks
+            sidx, sv, (c_pose, c_vd, c_pbw), ovf2 = self._train_stage2(
+                sidx, sv, c_keep, [c_pose, c_vd, c_pbw], n,
+                pose_pts.shape[0],
+            )
+            ovf = jnp.logical_or(ovf, ovf2)
+            c_keep = None  # exact filter applied by the compaction
         surv = sv if c_keep is None else (sv & c_keep)
         c_pose_dirs = world_dirs_to_pose_dirs(c_vd, frame["R"])
         tpose, tdirs, init_bigpose, resd = self._warp(

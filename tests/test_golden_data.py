@@ -316,3 +316,31 @@ class TestMeshDatasetGolden:
             ref_item, our_item, pbw_keys=("pbw", "tbw"),
             loose_keys=("A", "big_A"),
         )
+
+
+class TestPoseSequenceGolden:
+    def test_item_matches_reference(self, droot):
+        """Pose-sequence dataset (tpose_pose_sequence_dataset.py:119-192):
+        fixed test camera, one item per training frame, rays within the
+        frame's bounds, latent clamped to the training window."""
+        from animatable_nerf_tpu.data import PoseSequenceDataset
+
+        over = dict(render_views=4, eval=True, exp_name="golden_ps")
+        ref = _ref_dataset("tpose_pose_sequence_dataset", droot, "test",
+                           **over)
+        ours = _our_dataset(PoseSequenceDataset, droot, "test", **over)
+        assert len(ref) == len(ours) == N_TRAIN_FRAME
+        for idx in (0, N_TRAIN_FRAME - 1):
+            ref_item = ref[idx]
+            our_item = ours[idx]
+            assert ref_item["mask_at_box"].sum() > 0
+            assert ref_item["latent_index"] == min(idx, N_TRAIN_FRAME - 1)
+            np.testing.assert_allclose(
+                np.asarray(our_item["RT"]),
+                np.asarray(ref_item.pop("RT"))[:, :3, :],
+                rtol=1e-6, atol=1e-7, err_msg="key RT",
+            )
+            _compare_item(
+                ref_item, our_item, pbw_keys=("pbw", "tbw"),
+                loose_keys=("A", "big_A", "ray_o", "ray_d", "Ks"),
+            )
