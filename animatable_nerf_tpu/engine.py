@@ -434,19 +434,35 @@ class Engine:
             self._eval_jits[key] = fn
         return self._eval_jits[key]
 
-    def _pick_level(self, worst_count: int, fallback: int) -> int:
+    def _pick_level(self, worst_count: int, fallback: int,
+                    worst_exact=None) -> int:
         """Smallest ladder rung whose per-tile capacity holds the
         measured worst-tile survivor count with 15% headroom; `fallback`
-        (a rung known to work) when none does."""
-        from .models.common import eval_capacity
+        (a rung known to work) when none does.
+
+        `worst_exact` (when the model reports `compact_count_exact`):
+        the rung must ALSO hold the exact post-filter count in its
+        stage-2 capacity — steering on the conservative count alone
+        makes frames with exact/conservative keep > stage2_ratio pay an
+        extra overflow escalation before settling (ADVICE r3)."""
+        from .models.common import eval_capacity, stage2_capacity
 
         pts_per_tile = self.settings.eval_tile * (
             self.settings.n_samples + self.settings.n_importance
         )
         need = int(worst_count * 1.15) + 1
+        ratio = float(getattr(self.model, "stage2_ratio", 0.0) or 0.0)
+        need2 = (
+            int(worst_exact * 1.15) + 1
+            if (worst_exact is not None and ratio > 0) else None
+        )
         for i, frac in enumerate(self._ladder[:-1]):
-            if eval_capacity(pts_per_tile, frac) >= need:
-                return i
+            cap = eval_capacity(pts_per_tile, frac)
+            if cap < need:
+                continue
+            if need2 is not None and stage2_capacity(cap, ratio) < need2:
+                continue
+            return i
         return fallback
 
     def _sharded_program(self, frac: float):
@@ -476,21 +492,25 @@ class Engine:
         best-fitting rung for the next frame."""
         level = min(self._eval_level, len(self._ladder) - 1)
         last_count = None
+        last_exact = None
         while True:
             out = dict(run_at(self._ladder[level]))
             count = out.pop("compact_count", None)
+            exact = out.pop("compact_count_exact", None)
             if count is not None:
                 last_count = int(np.asarray(count).max())
+            if exact is not None:
+                last_exact = int(np.asarray(exact).max())
             if not bool(np.asarray(out.pop("compact_overflow", False)).any()):
                 break
             dense = len(self._ladder) - 1
             level = max(
                 level + 1,
-                self._pick_level(last_count, dense)
+                self._pick_level(last_count, dense, worst_exact=last_exact)
                 if last_count is not None else dense,
             )
         self._eval_level = (
-            self._pick_level(last_count, level)
+            self._pick_level(last_count, level, worst_exact=last_exact)
             if last_count is not None else level
         )
         return out

@@ -497,3 +497,12 @@ def scatter_compacted_raw(raw_c, slot_valid, sidx, n, n_rays, n_samples):
 
 def eval_capacity(n: int, keep_frac: float) -> int:
     return max(512, int(n * keep_frac) // 512 * 512)
+
+
+def stage2_capacity(cap: int, ratio: float) -> int:
+    """Capacity of the eval stage-2 re-compaction given the pass-1
+    capacity `cap` (models/pdf.py _eval_compacted). Shared with the
+    engine's rung steering: a rung fits a frame only if BOTH the pass-1
+    capacity holds the conservative survivor count AND this stage-2
+    capacity holds the exact (post-filter) count."""
+    return max(512, int(cap * ratio) // 512 * 512)

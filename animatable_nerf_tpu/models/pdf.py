@@ -55,6 +55,7 @@ from .common import (
     compact_payload,
     scatter_compacted_raw,
     eval_capacity,
+    stage2_capacity,
     survivor_count,
     substitute_masked,
 )
@@ -210,13 +211,21 @@ class _PDFBase(nn.Module):
 
     def _compact_finish(self, rgb_alpha, sidx, slot_valid, c_z, n,
                         n_rays, n_samples, precomposite, overflow,
-                        ray_counts=None, pind=None):
+                        ray_counts=None, pind=None, count_exact=None):
         """Either segment-composite the maps on the compacted stream or
         scatter raw back densely."""
         rgb, alpha = rgb_alpha[:, :3], rgb_alpha[:, 3]
         extras = {"compact_overflow": overflow}
         if pind is not None:
             extras["compact_count"] = survivor_count(pind)
+        if count_exact is not None:
+            # exact (post-weighted-filter) survivor count: the engine
+            # ladder steers with BOTH counts — a rung must hold the
+            # conservative count in pass-1 capacity AND this count in
+            # stage2_capacity(cap) (otherwise frames whose
+            # exact/conservative ratio exceeds stage2_ratio pay an extra
+            # overflow escalation before settling)
+            extras["compact_count_exact"] = count_exact
         if precomposite:
             from ..core.composite import composite_compacted
 
@@ -290,6 +299,7 @@ class _PDFBase(nn.Module):
             from .common import take_rows
 
             keep_a = keep_a & inside_fn(take_rows(pts, sidx))
+        count_exact = jnp.sum(keep_a.astype(jnp.int32))
         if self.stage2_ratio > 0:
             # SECOND compaction: the exact filter (and carve) are known
             # BEFORE the warp/trunks, so the expensive stages (LBS warp,
@@ -300,9 +310,7 @@ class _PDFBase(nn.Module):
             # dead slots that paid full trunk cost). Stage-2 overflow
             # joins compact_overflow: the engine ladder escalates the
             # rung, which scales BOTH capacities.
-            cap_b = max(
-                512, int(sidx.shape[0] * self.stage2_ratio) // 512 * 512
-            )
+            cap_b = stage2_capacity(sidx.shape[0], self.stage2_ratio)
             (sidx2, sv2,
              (c_pose, c_vd, c_dists, c_z, c_pbw), _na, ovf2) = (
                 compact_payload(
@@ -338,7 +346,7 @@ class _PDFBase(nn.Module):
         raw_c = jnp.where(keep[:, None], raw_c, 0.0)
         return self._compact_finish(
             raw_c, sidx, sv, c_z, n, n_rays, n_samples, precomposite,
-            ovf, ray_counts=ray_counts, pind=pind,
+            ovf, ray_counts=ray_counts, pind=pind, count_exact=count_exact,
         )
 
 
@@ -401,6 +409,7 @@ class NeRFPDF(_PDFBase):
                     cap_widen=1.3 if grid else 1.0,
                 )
             )
+            ovf2 = jnp.asarray(False)
             if grid and self.stage2_ratio > 0:
                 # drop the conservative widening before fwd+bwd trunks
                 sidx, sv, (c_pose, c_vd, c_dists, c_pbw), ovf2 = (
@@ -429,6 +438,10 @@ class NeRFPDF(_PDFBase):
                 "resd": resd,
                 "resd_mask": surv,
                 "compact_overflow": ovf,
+                # stage-2-only overflow: exact survivors fit the widened
+                # pass-1 capacity but not the exact train_keep_frac one —
+                # the trainer auto-falls-back to the widened stream
+                "compact_overflow_stage2": ovf2,
             }
 
         pose_dirs = world_dirs_to_pose_dirs(vd, frame["R"])
@@ -562,6 +575,7 @@ class SDFPDF(_PDFBase):
                 cap_widen=1.3 if grid else 1.0,
             )
         )
+        ovf2 = jnp.asarray(False)
         if grid and self.stage2_ratio > 0:
             # stage-2: drop the widening before the fwd+bwd trunks
             sidx, sv, (c_pose, c_vd, c_dists, c_pbw), ovf2 = (
@@ -615,6 +629,7 @@ class SDFPDF(_PDFBase):
             ),
             "observed_grad_mask": og_mask,
             "compact_overflow": ovf,
+            "compact_overflow_stage2": ovf2,
         }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,
@@ -728,6 +743,9 @@ class NeuSPDF(SDFPDF):
             from .common import take_rows
 
             carve = inside_fn(take_rows(wpts_flat, sidx))
+        # exact survivors the stage-2 capacity must hold (carved slots
+        # stay in the stream — neighbors still read their sdf)
+        count_exact = jnp.sum((sv & c_keep).astype(jnp.int32))
         if self.stage2_ratio > 0:
             # stage-2 compaction (see _PDFBase._eval_compacted): slots
             # failing the exact weighted filter would write the same
@@ -737,9 +755,7 @@ class NeuSPDF(SDFPDF):
             cols = [c_pose, c_vd, c_pbw]
             if carve is not None:
                 cols.append(carve.astype(jnp.float32))
-            cap_b = max(
-                512, int(sidx.shape[0] * self.stage2_ratio) // 512 * 512
-            )
+            cap_b = stage2_capacity(sidx.shape[0], self.stage2_ratio)
             sidx2, sv2, cols_out, _na, ovf2 = compact_payload(
                 keep_a, cols, cap_b
             )
@@ -789,6 +805,7 @@ class NeuSPDF(SDFPDF):
             "sdf": sdf_full,
             "compact_overflow": ovf,
             "compact_count": survivor_count(pind),
+            "compact_count_exact": count_exact,
         }
 
     def _train_compacted_neus(self, pose_pts, vd, z_flat, frame, n_rays,
@@ -808,6 +825,7 @@ class NeuSPDF(SDFPDF):
                 cap_widen=1.3 if grid else 1.0,
             )
         )
+        ovf2 = jnp.asarray(False)
         if grid and self.stage2_ratio > 0:
             # stage-2: drop the widening before the fwd+bwd trunks
             sidx, sv, (c_pose, c_vd, c_pbw), ovf2 = self._train_stage2(
@@ -855,6 +873,7 @@ class NeuSPDF(SDFPDF):
             ),
             "observed_grad_mask": og_mask,
             "compact_overflow": ovf,
+            "compact_overflow_stage2": ovf2,
         }
 
     def __call__(self, wpts, viewdir, z_vals, frame, train: bool = True,

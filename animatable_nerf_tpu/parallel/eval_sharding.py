@@ -49,7 +49,8 @@ def make_sharded_render(
             novel_pose=novel_pose,
         )
         # scalar flags cannot shard over dp; lift to (1,)
-        for k in ("compact_overflow", "compact_count"):
+        for k in ("compact_overflow", "compact_count",
+                  "compact_count_exact"):
             if k in out:
                 out[k] = jnp.reshape(out[k], (1,))
         return out
@@ -82,9 +83,10 @@ def make_sharded_render(
         )(params, frame, padded)
         if "compact_overflow" in out:
             out["compact_overflow"] = out["compact_overflow"].any()
-        if "compact_count" in out:
-            # per-device worst-tile counts -> global worst tile
-            out["compact_count"] = out["compact_count"].max()
+        for k in ("compact_count", "compact_count_exact"):
+            if k in out:
+                # per-device worst-tile counts -> global worst tile
+                out[k] = out[k].max()
         return out
 
     return fn

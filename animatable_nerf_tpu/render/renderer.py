@@ -183,6 +183,7 @@ def render_rays(
 
     coarse_ovf = None
     coarse_count = None
+    coarse_count_exact = None
     if settings.n_importance > 0:
         # hierarchical sampling: coarse raw pass -> inverse-CDF fine
         # z values concentrated where the coarse weights are
@@ -196,6 +197,7 @@ def render_rays(
         # (silent coarse truncation corrupts the fine sample placement)
         coarse_ovf = coarse.get("compact_overflow")
         coarse_count = coarse.get("compact_count")
+        coarse_count_exact = coarse.get("compact_count_exact")
         _, _, _, weights, _ = raw2outputs(
             coarse["raw"], z_vals, settings.white_bkgd
         )
@@ -250,6 +252,11 @@ def render_rays(
         ret["compact_count"] = (
             jnp.maximum(ret["compact_count"], coarse_count)
             if "compact_count" in ret else coarse_count
+        )
+    if coarse_count_exact is not None:
+        ret["compact_count_exact"] = (
+            jnp.maximum(ret["compact_count_exact"], coarse_count_exact)
+            if "compact_count_exact" in ret else coarse_count_exact
         )
 
     if "raw" not in ret:
@@ -356,10 +363,10 @@ def render_image(
             inside_fn=inside_fn,
         )
         keep = {k: out[k] for k in _IMAGE_OUTPUTS}
-        if "compact_overflow" in out:
-            keep["compact_overflow"] = out["compact_overflow"]
-        if "compact_count" in out:
-            keep["compact_count"] = out["compact_count"]
+        for k in ("compact_overflow", "compact_count",
+                  "compact_count_exact"):
+            if k in out:
+                keep[k] = out[k]
         return keep
 
     out = jax.lax.map(body, tiled)
@@ -369,8 +376,9 @@ def render_image(
     if "compact_overflow" in out:
         # (n_tiles, 1) -> any tile overflowed its survivor capacity
         result["compact_overflow"] = jnp.any(out["compact_overflow"])
-    if "compact_count" in out:
-        # worst tile's survivor count: capacity is per tile, so this is
-        # what the engine's adaptive ladder must fit
-        result["compact_count"] = jnp.max(out["compact_count"])
+    for k in ("compact_count", "compact_count_exact"):
+        if k in out:
+            # worst tile's survivor count: capacity is per tile, so this
+            # is what the engine's adaptive ladder must fit
+            result[k] = jnp.max(out[k])
     return result

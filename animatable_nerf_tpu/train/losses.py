@@ -117,6 +117,13 @@ def compute_losses(ret: dict, batch: dict, iter_step):
         stats["compact_overflow"] = jnp.sum(
             ret["compact_overflow"].astype(jnp.float32)
         )
+    if "compact_overflow_stage2" in ret:
+        # stage-2-only overflow (exact survivors exceed the exact
+        # train_keep_frac capacity but fit the widened pass-1 one): the
+        # trainer auto-disables train stage-2 when this fires
+        stats["compact_overflow_stage2"] = jnp.sum(
+            ret["compact_overflow_stage2"].astype(jnp.float32)
+        )
 
     stats["loss"] = loss
     return loss, stats

@@ -291,6 +291,21 @@ class Trainer:
             self._sharded_step_fn = jax.jit(self._train_step_sharded)
             self._sharded_multi_fn = jax.jit(self._train_steps_sharded)
 
+    def disable_train_stage2(self):
+        """Rebuild the jitted steps with stage-2 train compaction off
+        (stage2_ratio=0): the next dispatch runs the widened pass-1
+        stream, which is exact at ~1.3x the exact capacity. Idempotent;
+        one recompile. Called by train_epoch when the stage-2 overflow
+        stat fires (models/pdf.py _train_stage2)."""
+        if getattr(self.model, "stage2_ratio", 0) <= 0:
+            return
+        self.model = self.model.clone(stage2_ratio=0.0)
+        self._step_fn = jax.jit(self._train_step)
+        self._multi_step_fn = jax.jit(self._train_steps)
+        if self._sharded_step_fn is not None:
+            self._sharded_step_fn = jax.jit(self._train_step_sharded)
+            self._sharded_multi_fn = jax.jit(self._train_steps_sharded)
+
     # ------------------------------------------------------------- init
     def init_state(self, key, sample_batch) -> TrainState:
         """Initialize params from one collated batch (leading frame axis)."""
@@ -507,7 +522,23 @@ class Trainer:
             # overflowing run plateaus at 270x the converged loss,
             # BASELINE.md) — make it loud, once per epoch
             ovf = stats_host.get("compact_overflow")
-            if (ovf is not None and not warned_overflow[0]
+            ovf2 = stats_host.get("compact_overflow_stage2")
+            if (ovf2 is not None and float(np.max(ovf2)) > 0
+                    and getattr(self.model, "stage2_ratio", 0) > 0):
+                # stage-2-only overflow: the exact survivors exceed the
+                # exact train_keep_frac capacity but (absent a pass-1
+                # flag) fit the 1.3x-widened pass-1 stream the pre-
+                # stage-2 path trained exactly on. Fall back to that
+                # path for the rest of the run instead of training on
+                # biased gradients (ADVICE r3) — one recompile.
+                print(
+                    "[train] stage-2 train compaction overflowed "
+                    "(exact survivors > train_keep_frac capacity); "
+                    "disabling train stage-2 and falling back to the "
+                    "widened pass-1 stream (exact, ~1.3x capacity)."
+                )
+                self.disable_train_stage2()
+            elif (ovf is not None and not warned_overflow[0]
                     and float(np.max(ovf)) > 0):
                 warned_overflow[0] = True
                 print(

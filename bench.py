@@ -124,13 +124,21 @@ def main():
     # slots pay full MLP/compaction cost.
     from animatable_nerf_tpu.models.common import eval_capacity
 
-    probe = jax.jit(
-        lambda p, r: render_image(
-            model, p, r, frame, settings
-        )["compact_count"]
-    )
-    count = int(np.asarray(probe(params, rays)))
+    def _probe_counts(p, r):
+        out = render_image(model, p, r, frame, settings)
+        return (
+            out["compact_count"],
+            out.get("compact_count_exact", out["compact_count"]),
+        )
+
+    probe = jax.jit(_probe_counts)
+    count, count_exact = (int(np.asarray(c)) for c in probe(params, rays))
     need = int(count * 1.15) + 1
+    # the stage-2 re-compaction (models/pdf.py) must hold the exact
+    # post-filter count in stage2_ratio * capacity (engine _pick_level)
+    ratio = float(getattr(model, "stage2_ratio", 0.0) or 0.0)
+    if ratio > 0:
+        need = max(need, int((int(count_exact * 1.15) + 1) / ratio) + 1)
     # quantized-capacity rung (engine ladder semantics): the measured
     # worst-tile need rounded up to a 4096-point quantum
     pts_per_tile = EVAL_TILE * N_SAMPLES

@@ -320,11 +320,69 @@ def _install_imp_polyfill():
     sys.modules["imp"] = imp_mod
 
 
+_PINS_PATH = __file__.rsplit("/", 1)[0] + "/ref_pins.json"
+_pins_checked = False
+
+
+def verify_reference_pins():
+    """Pin the untrusted /root/reference tree to the reviewed snapshot
+    (ADVICE r3): the oracle imports and EXECUTES reference Python
+    in-process, so refuse to run if any reference source drifted from
+    the hashes recorded at review time. Regenerate (after re-review)
+    with: python tests/ref_oracle.py --update-pins."""
+    global _pins_checked
+    if _pins_checked:
+        return
+    import hashlib
+    import json
+    import os
+
+    with open(_PINS_PATH) as f:
+        pins = json.load(f)
+    drifted = []
+    for rel, want in pins["sha256"].items():
+        path = os.path.join(REF_ROOT, rel)
+        try:
+            with open(path, "rb") as f:
+                got = hashlib.sha256(f.read()).hexdigest()
+        except OSError:
+            got = "<missing>"
+        if got != want:
+            drifted.append(rel)
+    if drifted:
+        raise RuntimeError(
+            "reference tree drifted from the reviewed snapshot "
+            f"(tests/ref_pins.json): {drifted[:5]}"
+            f"{' ...' if len(drifted) > 5 else ''} — re-review "
+            "/root/reference and regenerate pins with "
+            "`python tests/ref_oracle.py --update-pins` before running "
+            "the golden oracle."
+        )
+    _pins_checked = True
+
+
+def _collect_pins():
+    import hashlib
+    import os
+
+    sha = {}
+    for root, _dirs, files in os.walk(REF_ROOT):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, REF_ROOT)
+            with open(path, "rb") as f:
+                sha[rel] = hashlib.sha256(f.read()).hexdigest()
+    return {"sha256": sha}
+
+
 def install(**overrides) -> RefCfg:
     """Install all shims and return the mutable oracle cfg. Idempotent;
     later calls update the existing cfg in place (module-level state is
     shared by design — the reference reads the global at call time)."""
     global _installed_cfg
+    verify_reference_pins()
     _install_imp_polyfill()
     _install_pytorch3d_stub()
     _install_misc_stubs()
@@ -352,3 +410,16 @@ def load(name: str):
     'lib.networks.bw_deform.tpose_nerf_network') after install()."""
     assert _installed_cfg is not None, "call install() first"
     return importlib.import_module(name)
+
+
+if __name__ == "__main__":
+    import json
+    import sys as _sys
+
+    if "--update-pins" in _sys.argv:
+        with open(_PINS_PATH, "w") as f:
+            json.dump(_collect_pins(), f, indent=1, sort_keys=True)
+        print(f"wrote {_PINS_PATH}")
+    else:
+        verify_reference_pins()
+        print("reference pins OK")

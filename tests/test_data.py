@@ -433,3 +433,45 @@ def test_mesh_evaluator_end_to_end_gt(droot, tmp_path):
     out = ev.evaluate(v, f, 1, rng=np.random.RandomState(0))
     res = ev.summarize()
     assert res["chamfer"] < 1e-3 and res["p2s"] < 1e-3
+
+
+def test_pick_level_respects_stage2_capacity(droot):
+    """Rung steering with the exact survivor count (ADVICE r3): when the
+    model runs a stage-2 re-compaction, a rung must hold the exact count
+    in stage2_capacity(cap) too — frames with exact/conservative keep >
+    stage2_ratio otherwise escalate on overflow before settling."""
+    import types
+
+    from animatable_nerf_tpu.engine import Engine
+    from animatable_nerf_tpu.models.common import (
+        eval_capacity, stage2_capacity,
+    )
+
+    cfg = make_cfg(droot, N_samples=8, training_view=[0])
+    eng = Engine(cfg)
+    pts_per_tile = eng.settings.eval_tile * eng.settings.n_samples
+    fracs = eng._ladder[:-1]
+    assert len(fracs) >= 2
+
+    # a conservative count that fits rung 0 exactly
+    cap0 = eval_capacity(pts_per_tile, fracs[0])
+    cons = int(cap0 / 1.15) - 2
+    base = eng._pick_level(cons, len(eng._ladder) - 1)
+    assert base == 0
+
+    # no stage-2 on this model: the exact count is ignored
+    assert eng._pick_level(cons, 0, worst_exact=cons) == 0
+
+    # stage-2 model: an exact count above stage2_capacity(cap0) but
+    # inside rung 1's stage-2 capacity forces rung 1
+    eng.model = types.SimpleNamespace(stage2_ratio=0.85)
+    s2cap0 = stage2_capacity(cap0, 0.85)
+    exact = int(s2cap0 / 1.15) + 8
+    assert int(exact * 1.15) + 1 > s2cap0  # really exceeds rung 0
+    lvl = eng._pick_level(cons, len(eng._ladder) - 1, worst_exact=exact)
+    assert lvl >= 1
+    cap_l = eval_capacity(pts_per_tile, fracs[lvl])
+    assert stage2_capacity(cap_l, 0.85) >= int(exact * 1.15) + 1
+
+    # small exact count: rung 0 still wins
+    assert eng._pick_level(cons, 0, worst_exact=cons // 2) == 0

@@ -344,3 +344,89 @@ class TestPoseSequenceGolden:
                 ref_item, our_item, pbw_keys=("pbw", "tbw"),
                 loose_keys=("A", "big_A", "ray_o", "ray_d", "Ks"),
             )
+
+
+@pytest.fixture(scope="module")
+def droot_distorted(tmp_path_factory):
+    """Synthetic subject with NONZERO lens distortion written into
+    annots.npy (the generator emits D=0; real ZJU/H36M data does not) —
+    exercises the cv2.undistort path (data/dataset.py:142-144 vs
+    tpose_dataset.py:176-180) on plausible k1/k2/p1/p2/k3."""
+    root = str(tmp_path_factory.mktemp("golden_dist") / "human")
+    generate_synthetic_dataset(
+        root, n_frames=2, n_views=2, image_size=96,
+        n_verts=300, n_blobs=48, seed=11,
+    )
+    ann_path = os.path.join(root, "annots.npy")
+    ann = np.load(ann_path, allow_pickle=True).item()
+    n_cams = len(ann["cams"]["K"])
+    ann["cams"]["D"] = [
+        np.array(
+            [[-0.22 + 0.02 * c], [0.05], [1.2e-3], [-8e-4], [-0.01]],
+            dtype=np.float64,
+        )
+        for c in range(n_cams)
+    ]
+    np.save(ann_path, ann)
+    return root
+
+
+class TestUndistortGolden:
+    """D != 0: both stacks undistort images AND masks with the same
+    K/D before ray sampling, so items must stay bit-equal — and the
+    undistorted mask must genuinely differ from the raw one (the test
+    would pass vacuously if undistort were skipped on both sides)."""
+
+    def test_distortion_actually_changes_the_mask(self, droot_distorted):
+        import cv2
+
+        ann = np.load(
+            os.path.join(droot_distorted, "annots.npy"), allow_pickle=True
+        ).item()
+        im = ann["ims"][0]["ims"][0]
+        msk_path = os.path.join(droot_distorted, "mask_cihp", im)[:-4] + ".png"
+        msk = cv2.imread(msk_path, cv2.IMREAD_UNCHANGED)
+        if msk.ndim == 3:
+            msk = msk[..., 0]
+        K = np.array(ann["cams"]["K"][0])
+        D = np.array(ann["cams"]["D"][0])
+        und = cv2.undistort((msk != 0).astype(np.uint8), K, D)
+        assert (und != (msk != 0).astype(np.uint8)).sum() > 0
+
+    def test_train_item_bit_equal(self, droot_distorted):
+        ref = _ref_dataset(
+            "tpose_dataset", droot_distorted, "train",
+            training_view=[0], test_view=[1], num_train_frame=2,
+            num_eval_frame=1,
+        )
+        ours = _our_dataset(
+            TPoseDataset, droot_distorted, "train",
+            training_view=[0], test_view=[1], num_train_frame=2,
+            num_eval_frame=1,
+        )
+        assert len(ref) == len(ours) == 2
+        for idx in range(len(ref)):
+            np.random.seed(900 + idx)
+            ref_item = ref[idx]
+            np.random.seed(900 + idx)
+            our_item = ours[idx]
+            _compare_item(ref_item, our_item, pbw_keys=("pbw", "tbw"))
+
+    def test_test_item_bit_equal_with_resize(self, droot_distorted):
+        """D != 0 plus ratio 0.5 (undistort happens BEFORE the resize +
+        intrinsic scaling in both stacks)."""
+        ref = _ref_dataset(
+            "tpose_pdf_dataset", droot_distorted, "test",
+            training_view=[0], test_view=[1], num_train_frame=2,
+            num_eval_frame=1, ratio=0.5, eval=True,
+        )
+        ours = _our_dataset(
+            TPosePDFDataset, droot_distorted, "test",
+            training_view=[0], test_view=[1], num_train_frame=2,
+            num_eval_frame=1, ratio=0.5, eval=True,
+        )
+        assert len(ref) == len(ours)
+        ref_item = ref[0]
+        our_item = ours[0]
+        assert ref_item["mask_at_box"].sum() > 0
+        _compare_item(ref_item, our_item)

@@ -128,3 +128,75 @@ class TestEvaluateExternal:
             cfg, pred_dir=str(pred_dir), max_items=1
         )
         assert out["psnr"] > 35  # self-comparison, only 8-bit quantization
+
+
+class TestValidateDataset:
+    """tools/validate_dataset.py — the real-data dress rehearsal
+    (VERDICT-r3 item 7): clean synthetic layout passes, broken layouts
+    produce targeted errors."""
+
+    @pytest.fixture(scope="class")
+    def vroot(self, tmp_path_factory):
+        from animatable_nerf_tpu.data import generate_synthetic_dataset
+
+        root = str(tmp_path_factory.mktemp("validate") / "human")
+        generate_synthetic_dataset(
+            root, n_frames=2, n_views=2, image_size=48,
+            n_verts=120, n_blobs=16, seed=2,
+        )
+        return root
+
+    def test_clean_dataset_passes(self, vroot):
+        import validate_dataset as vd
+
+        report = vd.validate(vroot, n_check_frames=2)
+        assert report.errors == []
+        assert any("frames x" in m for m in report.infos)
+
+    def test_cli_exit_codes(self, vroot, tmp_path):
+        import validate_dataset as vd
+
+        assert vd.main([vroot]) == 0
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        assert vd.main([str(empty)]) == 1
+
+    def test_broken_shapes_reported(self, vroot, tmp_path):
+        import shutil
+
+        import validate_dataset as vd
+
+        broken = str(tmp_path / "broken")
+        shutil.copytree(vroot, broken)
+        # wrong weights shape + params missing a key + truncated verts
+        np.save(os.path.join(broken, "lbs", "weights.npy"),
+                np.zeros((7, 3), np.float32))
+        p = np.load(os.path.join(broken, "params", "0.npy"),
+                    allow_pickle=True).item()
+        del p["poses"]
+        np.save(os.path.join(broken, "params", "0.npy"), p)
+        v = np.load(os.path.join(broken, "vertices", "1.npy"))
+        np.save(os.path.join(broken, "vertices", "1.npy"), v[:10])
+        report = vd.validate(broken, n_check_frames=2)
+        msgs = "\n".join(report.errors)
+        assert "weights.npy shape" in msgs
+        assert "missing 'poses'" in msgs
+        assert "vertices" in msgs and "10 vertices" in msgs
+
+    def test_nonzero_distortion_reported_as_info(self, vroot, tmp_path):
+        import shutil
+
+        import validate_dataset as vd
+
+        dist = str(tmp_path / "dist")
+        shutil.copytree(vroot, dist)
+        ann_path = os.path.join(dist, "annots.npy")
+        ann = np.load(ann_path, allow_pickle=True).item()
+        ann["cams"]["D"] = [
+            np.array([[-0.2], [0.05], [0.001], [0.0], [0.0]])
+            for _ in ann["cams"]["D"]
+        ]
+        np.save(ann_path, ann)
+        report = vd.validate(dist, n_check_frames=1)
+        assert report.errors == []
+        assert any("nonzero distortion" in m for m in report.infos)

@@ -792,3 +792,37 @@ def test_train_stage2_shrinks_and_matches_dense(cls_name):
     if eval_capacity(n_pts, tiny) < n_exact:
         _s, st_t = run(tiny, gitem, 0.85)
         assert float(np.asarray(st_t["compact_overflow"]).max()) > 0.0
+
+    # stage-2-ONLY overflow (ADVICE r3): exact capacity just below the
+    # exact survivor count while the widened pass-1 capacity still holds
+    # the conservative set — compact_overflow_stage2 fires, and the
+    # trainer's disable_train_stage2 fallback recovers the exact widened
+    # path (same loss as dense)
+    from animatable_nerf_tpu.models.common import grid_pdist_keep
+
+    n_cons = int(np.asarray(jnp.sum(grid_pdist_keep(
+        jnp.asarray(pts),
+        {k: jnp.asarray(gitem[k]) for k in
+         ("pdist_packed", "pdist_margin", "pdist_bounds")},
+        0.1,
+    ))))
+    frac2 = max((n_exact - 1) // 512 * 512, 512) / n_pts
+    if (eval_capacity(n_pts, frac2) < n_exact
+            and eval_capacity(n_pts, min(frac2 * 1.3, 1.0)) >= n_cons):
+        model2 = cls(
+            num_latents=cfg.num_train_frame, train_keep_frac=frac2,
+            stage2_ratio=0.85,
+        )
+        tr2 = Trainer(cfg, model2)
+        batch2 = stack_batch([gitem])
+        state2 = tr2.init_state(jax.random.PRNGKey(0), batch2)
+        _s2, st_s2 = tr2.train_step(state2, batch2, key)
+        assert float(np.asarray(st_s2["compact_overflow_stage2"]).max()) > 0
+        tr2.disable_train_stage2()
+        assert float(tr2.model.stage2_ratio) == 0.0
+        _s3, st_s3 = tr2.train_step(state2, batch2, key)
+        assert float(np.asarray(st_s3["compact_overflow"]).max()) == 0.0
+        np.testing.assert_allclose(
+            float(st_s3["loss"]), float(st_d["loss"]), rtol=1e-5, atol=1e-6
+        )
+        tr2.disable_train_stage2()  # idempotent
