@@ -44,6 +44,20 @@ class Config(dict):
     def from_dict(cls, d):
         return cls({k: cls._wrap(v) for k, v in d.items()})
 
+    @staticmethod
+    def _decode(v):
+        """yacs `_decode_cfg_value` semantics (lib/config/yacs.py:423-453):
+        every string value is offered to literal_eval and passes through
+        unchanged when it represents a plain string. This is what makes
+        the reference accept `lr: 5e-4` in yaml — YAML 1.1 parses it as
+        a STRING (no dot), and yacs decodes it to a float."""
+        if isinstance(v, str):
+            try:
+                return ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                return v
+        return v
+
     def merge(self, other: dict):
         """Recursive merge (yacs merge_from_other_cfg semantics)."""
         for k, v in other.items():
@@ -56,7 +70,7 @@ class Config(dict):
                     self[k], Config
                 ) else self[k].merge(v)
             else:
-                self[k] = Config._wrap(v)
+                self[k] = Config._wrap(Config._decode(v))
         return self
 
     def merge_from_list(self, opts):

@@ -99,13 +99,28 @@ def _exact_knn_points(src, ref, K=1, **_kw):
     """pytorch3d.ops.knn_points replacement: exact squared distances
     (no matmul cancellation) + topk-smallest. Matches the CUDA kernel's
     contract used by sample_utils.guard_knn_points (:310-312): returns
-    SQUARED dists and vertex indices."""
+    SQUARED dists and vertex indices.
+
+    Chunked over the query axis: the reference's training forward sends
+    ~64k queries against 6890 verts, and the unchunked (B, N, M, 3)
+    broadcast would materialize ~21 GB (the parity-protocol CPU training
+    runs through this stub, tools/ref_cli.py). Same arithmetic per
+    query; autograd flows through the cat."""
     import torch
 
-    d2 = ((src[:, :, None, :] - ref[:, None, :, :]) ** 2).sum(-1)
-    dists, idx = torch.topk(d2, K, dim=-1, largest=False)
     KNN = namedtuple("KNN", ["dists", "idx"])
-    return KNN(dists=dists, idx=idx)
+    chunk = 8192
+    dists_parts, idx_parts = [], []
+    for s in range(0, src.shape[1], chunk):
+        part = src[:, s:s + chunk]
+        d2 = ((part[:, :, None, :] - ref[:, None, :, :]) ** 2).sum(-1)
+        d, i = torch.topk(d2, K, dim=-1, largest=False)
+        dists_parts.append(d)
+        idx_parts.append(i)
+    return KNN(
+        dists=torch.cat(dists_parts, dim=1),
+        idx=torch.cat(idx_parts, dim=1),
+    )
 
 
 def _install_pytorch3d_stub():
@@ -173,6 +188,13 @@ def _install_misc_stubs():
             stub = types.ModuleType(name)
 
             def _poison(attr, _n=name):
+                # dunder probes must fail like a normal module attribute
+                # miss: inspect.getmodule scans EVERY sys.modules entry
+                # for `__file__`, and handing it a poison class crashes
+                # torch's own import (inspect filename.endswith)
+                if attr.startswith("__"):
+                    raise AttributeError(attr)
+
                 # `from plyfile import PlyData` resolves the attribute at
                 # import time — hand back an object that only fails on USE
                 class _Unused:
