@@ -1130,7 +1130,13 @@ def run_train(cfg: Config, epochs: int | None = None, mesh=None,
                         latest=True,
                     )
             if (epoch + 1) % cfg.eval_ep == 0 and not cfg.skip_eval and is_main:
-                _periodic_eval(cfg, state.params, _eval_ctx)
+                m = _periodic_eval(cfg, state.params, _eval_ctx)
+                # PSNR-vs-step curve in scalars.jsonl ("val" lines):
+                # the instrument for schedule-regression diagnosis
+                # (VERDICT-r3 item 6)
+                recorder.record(
+                    "val", extra={f"val_{k}": v for k, v in m.items()}
+                )
     finally:
         guard.restore()
     return state

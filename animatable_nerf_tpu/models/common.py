@@ -430,21 +430,99 @@ def compact_indices(keep, capacity: int):
     When more than `capacity` points are kept, the later ones are
     dropped.
 
-    Stable argsort of the negated mask: kept positions sort first, in
-    order. This replaced a cumsum+scatter formulation — XLA TPU scatter
-    serializes per source row, so at eval point counts (16.8M) the
-    scatter cost 163 ms where the one-bit-key sort costs 57 ms
-    (measured, v5e). This is the TPU answer to the reference's dynamic
-    boolean compaction (`pose_pts[pind]`, tpose_nerf_network.py:158-161):
-    a static-shape survivor list that downstream stages (MLPs, warps)
-    run on instead of the full point set.
+    This is the TPU answer to the reference's dynamic boolean
+    compaction (`pose_pts[pind]`, tpose_nerf_network.py:158-161): a
+    static-shape survivor list that downstream stages (MLPs, warps)
+    run on instead of the full point set. Three formulations measured
+    on v5e at eval point counts: cumsum+scatter 163 ms/16.8M (XLA TPU
+    scatter serializes per source row), one-bit-key stable argsort
+    57 ms, and the round-4 hierarchical rank search (used at tile
+    sizes, _compact_indices_hier) which replaces the sort with cumsums
+    + vectorized rank compares + 3 capacity-row gathers.
     """
     keep = keep.astype(jnp.bool_)
+    return _compact_indices_sort(keep, capacity)
+
+
+def _compact_indices_sort(keep, capacity: int):
+    """argsort formulation — the production path."""
     order = jnp.argsort(~keep, stable=True).astype(jnp.int32)
     if capacity <= keep.shape[0]:
         idx = order[:capacity]
     else:  # capacity exceeds the point count (tiny inputs): zero-pad
         idx = jnp.pad(order, (0, capacity - keep.shape[0]))
+    n_kept = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
+    return idx, n_kept
+
+
+# hierarchical rank-search geometry: 32-point sub-blocks, 16 sub-blocks
+# per block (512-point blocks)
+_HIER_B2 = 32
+_HIER_G = 16
+_HIER_B1 = _HIER_B2 * _HIER_G
+
+
+def _compact_indices_hier(keep, capacity: int):
+    """Sort-free stable compaction: hierarchical cumsum + per-slot rank
+    search (round 4; same contract as _compact_indices_sort, bit-equal
+    on every valid slot).
+
+    The one-bit-key argsort costs ~34 ms of the 156 ms whole-frame
+    AniNeRF render (32 tiles x 524k keys, tools/bench_tiled_stages.py)
+    — pure overhead for what is just 'index of the j-th set bit'. Here
+    survivor counts are cumsum'd at 32-point sub-block and 512-point
+    block granularity, and each output SLOT j finds its source point
+    with vectorized rank comparisons instead of a sort or a binary
+    search (TPU gathers cost per row, so a log-N searchsorted would pay
+    ~20 gather rows per slot; this pays 3):
+
+      block   b: #(block bases <= j) - 1   — (capacity, N/512)
+               comparison matrix, pure VPU, no gather
+      sub-blk s: same over the 16 in-block exclusive bases (one
+               64-byte gathered row per slot)
+      point  p: first position whose inclusive 32-cumsum equals the
+               residual rank (one 128-byte gathered row per slot)
+
+    Everything is a cumsum, a broadcast compare, or a capacity-row
+    gather; no scatter (serializes per row on TPU) and no sort. Dead
+    slots (j >= n_kept) resolve to clamped in-range positions and must
+    be masked by the caller exactly as with the sort formulation.
+    """
+    n = keep.shape[0]
+    n_pad = -(-n // _HIER_B1) * _HIER_B1
+    k = jnp.pad(keep.astype(jnp.int32), (0, n_pad - n))
+    s2 = n_pad // _HIER_B2
+    s1 = n_pad // _HIER_B1
+    incl2 = jnp.cumsum(k.reshape(s2, _HIER_B2), axis=1)
+    cnt2 = incl2[:, -1]
+    incl1 = jnp.cumsum(cnt2.reshape(s1, _HIER_G), axis=1)
+    cnt1 = incl1[:, -1]
+    base1 = jnp.concatenate(
+        [jnp.zeros((1,), cnt1.dtype), jnp.cumsum(cnt1)[:-1]]
+    )
+    j = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    b = jnp.sum((base1[None, :] <= j[:, None]).astype(jnp.int32), axis=1) - 1
+    # j ascending -> b/sb nondecreasing: sorted gathers
+    jb = j - base1.at[b].get(indices_are_sorted=True)
+    row1 = incl1.at[b].get(indices_are_sorted=True)  # (C, G) inclusive
+    excl1 = jnp.concatenate(
+        [jnp.zeros((capacity, 1), row1.dtype), row1[:, :-1]], axis=1
+    )
+    s = jnp.sum((excl1 <= jb[:, None]).astype(jnp.int32), axis=1) - 1
+    r2 = jb - jnp.take_along_axis(excl1, s[:, None], axis=1)[:, 0]
+    sb = b * _HIER_G + s
+    row2 = incl2.at[sb].get(indices_are_sorted=True)  # (C, B2)
+    match = row2 == (r2[:, None] + 1)
+    pos = jnp.min(
+        jnp.where(
+            match,
+            jax.lax.broadcasted_iota(jnp.int32, (1, _HIER_B2), 1),
+            _HIER_B2,
+        ),
+        axis=1,
+    )
+    idx = sb * _HIER_B2 + jnp.minimum(pos, _HIER_B2 - 1)
+    idx = jnp.minimum(idx, n - 1).astype(jnp.int32)
     n_kept = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
     return idx, n_kept
 
