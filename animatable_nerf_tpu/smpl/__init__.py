@@ -13,5 +13,7 @@ from .body_model import (
     SMPLModel,
     big_pose_vector,
     barycentric_interpolation,
+    smplx_full_pose,
+    smplx_lbs,
 )
 from .point_mesh import closest_point_on_mesh

@@ -179,3 +179,156 @@ class SMPLModel:
         can = pverts - blended[:, :3, 3]
         R_inv = np.linalg.inv(blended[:, :3, :3])
         return np.einsum("vij,vj->vi", R_inv, can).astype(np.float32)
+
+
+# --------------------------------------------------------------- SMPL-X
+# Full SMPL-X parameter surface (VERDICT-r3 item 9): hand-PCA pose
+# assembly + expression blend shapes + the 55-joint LBS, mirroring the
+# reference's vendored smplx package (offline-only there — never
+# imported by runtime code, SURVEY 2.7):
+#   pose assembly   lib/utils/smplx/body_models.py:1295-1312 (SMPLX.forward)
+#   lbs             lib/utils/smplx/lbs.py:152-248
+#   rigid chain     lib/utils/smplx/lbs.py:345-401 (batch_rigid_transform)
+# All numpy, f64 accumulation like the rest of this module; golden
+# parity vs the reference's own lbs() is pinned by
+# tests/test_smpl_tools.py.
+
+SMPLX_NUM_BODY_JOINTS = 21
+SMPLX_NUM_HAND_JOINTS = 15
+SMPLX_SHAPE_SPACE_DIM = 300  # body_models.py:126 (expr dirs start here)
+
+
+def smplx_full_pose(
+    global_orient,
+    body_pose,
+    jaw_pose=None,
+    leye_pose=None,
+    reye_pose=None,
+    left_hand_pose=None,
+    right_hand_pose=None,
+    hands_componentsl=None,
+    hands_componentsr=None,
+    hands_meanl=None,
+    hands_meanr=None,
+    use_pca: bool = True,
+    num_pca_comps: int = 6,
+    flat_hand_mean: bool = False,
+):
+    """Assemble the (165,) SMPL-X axis-angle pose vector.
+
+    Reproduces SMPLX.forward (body_models.py:1295-1312): hand PCA
+    coefficients project through the first `num_pca_comps` rows of
+    hands_components* (:695-696), the segments concatenate in SMPL-X
+    joint order (global, 21 body, jaw, leye, reye, 15+15 hand joints),
+    and the model's pose mean is added — which is zero everywhere
+    except the hands when flat_hand_mean is False (:707-716)."""
+    z3 = np.zeros(3, np.float64)
+
+    def seg(x, n):
+        return (np.zeros(n, np.float64) if x is None
+                else np.asarray(x, np.float64).reshape(-1)[:n])
+
+    if use_pca:
+        lh = seg(left_hand_pose, num_pca_comps) @ np.asarray(
+            hands_componentsl, np.float64)[:num_pca_comps]
+        rh = seg(right_hand_pose, num_pca_comps) @ np.asarray(
+            hands_componentsr, np.float64)[:num_pca_comps]
+    else:
+        lh = seg(left_hand_pose, 3 * SMPLX_NUM_HAND_JOINTS)
+        rh = seg(right_hand_pose, 3 * SMPLX_NUM_HAND_JOINTS)
+
+    full = np.concatenate([
+        seg(global_orient, 3),
+        seg(body_pose, 3 * SMPLX_NUM_BODY_JOINTS),
+        seg(jaw_pose, 3), seg(leye_pose, 3), seg(reye_pose, 3),
+        lh, rh,
+    ])
+    if not flat_hand_mean:
+        mean = np.zeros_like(full)
+        if hands_meanl is not None:
+            mean[75:120] = np.asarray(hands_meanl, np.float64).reshape(-1)
+        if hands_meanr is not None:
+            mean[120:165] = np.asarray(hands_meanr, np.float64).reshape(-1)
+        full = full + mean
+    return full
+
+
+def smplx_lbs(model: dict, betas, expression, full_pose,
+              num_betas: int = 10, num_expression: int = 10):
+    """SMPL-X LBS: (verts (V, 3), posed joints (55, 3)).
+
+    Mirrors lbs(shape_components, full_pose, ...) as SMPLX.forward
+    calls it (body_models.py:1317-1328): shapedirs columns [:num_betas]
+    are the shape space and [300:300+num_expression] the expression
+    space (:1143-1154); posedirs may be the raw (V, 3, P) pickle layout
+    or the reshaped (P, V*3) (:  the class transposes at load).
+
+    `model`: dict with v_template, shapedirs, posedirs, J_regressor,
+    kintree_table (or parents), weights — load_smpl output of an SMPL-X
+    pickle/npz."""
+    v_template = np.asarray(model["v_template"], np.float64)
+    V = v_template.shape[0]
+    shapedirs = np.asarray(model["shapedirs"], np.float64)
+    sd = shapedirs[..., :num_betas]
+    comps = [np.asarray(betas, np.float64).reshape(-1)[:num_betas]]
+    dirs = [sd]
+    if shapedirs.shape[-1] > SMPLX_SHAPE_SPACE_DIM:
+        expr_dirs = shapedirs[
+            ..., SMPLX_SHAPE_SPACE_DIM:SMPLX_SHAPE_SPACE_DIM + num_expression
+        ]
+        dirs.append(expr_dirs)
+        comps.append(
+            np.asarray(expression, np.float64).reshape(-1)[:num_expression]
+        )
+    shape_components = np.concatenate(comps)
+    blend_dirs = np.concatenate(dirs, axis=-1)
+    v_shaped = v_template + np.einsum(
+        "vcs,s->vc", blend_dirs, shape_components
+    )
+
+    J_regressor = np.asarray(model["J_regressor"], np.float64)
+    joints = J_regressor @ v_shaped  # (J, 3)
+    n_joints = joints.shape[0]
+
+    rot = np.asarray(batch_rodrigues(
+        np.asarray(full_pose, np.float32).reshape(-1, 3)
+    ), np.float64)[:n_joints]
+    # pose blend shapes from the non-root rotations (lbs.py:216-222)
+    feat = (rot[1:] - np.eye(3)).reshape(-1)
+    posedirs = np.asarray(model["posedirs"], np.float64)
+    if posedirs.ndim == 3:  # raw (V, 3, P) pickle layout
+        pose_offsets = np.einsum(
+            "vcp,p->vc", posedirs[..., :feat.shape[0]], feat
+        )
+    else:  # (P, V*3) smplx-class layout
+        pose_offsets = (feat[:posedirs.shape[0]] @ posedirs).reshape(V, 3)
+    v_posed = v_shaped + pose_offsets
+
+    parents = (
+        np.asarray(model["parents"]) if "parents" in model
+        else np.asarray(model["kintree_table"])[0][:n_joints].copy()
+    )
+    parents = parents.copy()
+    parents[0] = 0
+
+    # batch_rigid_transform (lbs.py:345-401)
+    rel = joints.copy()
+    rel[1:] -= joints[parents[1:]]
+    local = np.tile(np.eye(4), (n_joints, 1, 1))
+    local[:, :3, :3] = rot
+    local[:, :3, 3] = rel
+    chain = [local[0]]
+    for i in range(1, n_joints):
+        chain.append(chain[parents[i]] @ local[i])
+    transforms = np.stack(chain)  # (J, 4, 4)
+    posed_joints = transforms[:, :3, 3].copy()
+    # subtract the rest-pose joint transform
+    A = transforms.copy()
+    A[:, :3, 3] -= np.einsum("jab,jb->ja", transforms[:, :3, :3], joints)
+
+    weights = np.asarray(model["weights"], np.float64)[:, :n_joints]
+    T = np.einsum("vj,jab->vab", weights, A)
+    verts = (
+        np.einsum("vab,vb->va", T[:, :3, :3], v_posed) + T[:, :3, 3]
+    )
+    return verts.astype(np.float32), posed_joints.astype(np.float32)

@@ -45,7 +45,10 @@ import numpy as np
 
 REFERENCE_A100_RAYS_PER_SEC = 20_000.0
 TARGET_FACTOR = 3.0
-N_RAYS = 262144  # one full 512x512 eval frame (aninerf_313: 1024^2 at ratio 0.5)
+# one full 512x512 eval frame (aninerf_313: 1024^2 at ratio 0.5).
+# BENCH_RAYS=1048576 measures a TRUE 1024^2 frame (the driver's
+# north-star sec/frame metric) instead of extrapolating 4x.
+N_RAYS = int(os.environ.get("BENCH_RAYS", 262144))
 N_SAMPLES = 64
 EVAL_TILE = 8192  # measured optimum (164.9 ms vs 262.7 flat, 200.6 @32k)
 WARMUP = 5
@@ -59,7 +62,7 @@ REPS = 10
 # per-dispatch overhead exactly — the steady-state pipelined-rendering
 # rate of the chip itself. Both numbers are reported; the single-
 # dispatch median stays in `median_ms` for continuity with r1-r3.
-FRAMES_PER_DISPATCH = 5
+FRAMES_PER_DISPATCH = int(os.environ.get("BENCH_FRAMES_PER_DISPATCH", 5))
 
 
 def main():

@@ -19,6 +19,8 @@ from animatable_nerf_tpu.smpl import (
     big_pose_vector,
     barycentric_interpolation,
     closest_point_on_mesh,
+    smplx_full_pose,
+    smplx_lbs,
 )
 
 
@@ -295,3 +297,136 @@ class TestRenderTools:
         np.testing.assert_allclose(uv[0], [0.1, 0.2])
         np.testing.assert_allclose(uv[2], [0.1, 0.8])
         assert faces.tolist() == [[0, 1, 2]]
+
+
+class TestSMPLXGolden:
+    """Golden parity of the SMPL-X surface (smplx_full_pose + smplx_lbs)
+    against the reference's OWN vendored smplx code run in place
+    (lib/utils/smplx/lbs.py:152-248 lbs, body_models.py:1295-1312 pose
+    assembly) on an SMPL-X-shaped random model (55 joints, expression
+    dirs at column 300, raw-pickle posedirs layout, hand PCA)."""
+
+    SMPLX_PARENTS = np.array(
+        [0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17,
+         18, 19, 15, 15, 15,
+         20, 25, 26, 20, 28, 29, 20, 31, 32, 20, 34, 35, 20, 37, 38,
+         21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50, 21, 52, 53]
+    )
+
+    def _fake_smplx(self, rng, V=60):
+        J = 55
+        reg = np.zeros((J, V))
+        for j in range(J):
+            reg[j, rng.randint(0, V, 3)] = 1.0 / 3.0
+        w = rng.rand(V, J) ** 4
+        w /= w.sum(-1, keepdims=True)
+        kt = np.zeros((2, J), np.int64)
+        kt[0] = self.SMPLX_PARENTS
+        return {
+            "v_template": rng.randn(V, 3) * 0.3,
+            # shape space [0:300), expression space [300:310)
+            "shapedirs": rng.randn(V, 3, 310) * 0.01,
+            # raw pickle layout (V, 3, 54*9)
+            "posedirs": rng.randn(V, 3, (J - 1) * 9) * 0.001,
+            "J_regressor": reg,
+            "weights": w,
+            "kintree_table": kt,
+            "hands_componentsl": rng.randn(6, 45) * 0.5,
+            "hands_componentsr": rng.randn(6, 45) * 0.5,
+            "hands_meanl": rng.randn(45) * 0.1,
+            "hands_meanr": rng.randn(45) * 0.1,
+        }
+
+    def test_lbs_golden_vs_reference(self):
+        torch = pytest.importorskip("torch")
+        import ref_oracle
+
+        ref_oracle.install()
+        lbs_mod = ref_oracle.load("lib.utils.smplx.lbs")
+
+        rng = np.random.RandomState(3)
+        m = self._fake_smplx(rng)
+        betas = rng.randn(10) * 0.5
+        expression = rng.randn(10) * 0.5
+        pose_parts = dict(
+            global_orient=rng.randn(3) * 0.3,
+            body_pose=rng.randn(63) * 0.3,
+            jaw_pose=rng.randn(3) * 0.1,
+            leye_pose=rng.randn(3) * 0.1,
+            reye_pose=rng.randn(3) * 0.1,
+            left_hand_pose=rng.randn(6),
+            right_hand_pose=rng.randn(6),
+        )
+
+        # ours
+        full = smplx_full_pose(
+            **pose_parts,
+            hands_componentsl=m["hands_componentsl"],
+            hands_componentsr=m["hands_componentsr"],
+            hands_meanl=m["hands_meanl"],
+            hands_meanr=m["hands_meanr"],
+            use_pca=True, num_pca_comps=6,
+        )
+        verts, joints = smplx_lbs(m, betas, expression, full)
+
+        # reference: assemble the pose exactly like SMPLX.forward
+        # (body_models.py:1295-1312) and call its lbs directly
+        t = lambda x: torch.as_tensor(np.asarray(x), dtype=torch.float64)
+        lh = t(pose_parts["left_hand_pose"])[None] @ t(
+            m["hands_componentsl"])
+        rh = t(pose_parts["right_hand_pose"])[None] @ t(
+            m["hands_componentsr"])
+        full_ref = torch.cat([
+            t(pose_parts["global_orient"])[None],
+            t(pose_parts["body_pose"])[None],
+            t(pose_parts["jaw_pose"])[None],
+            t(pose_parts["leye_pose"])[None],
+            t(pose_parts["reye_pose"])[None],
+            lh, rh,
+        ], dim=1).reshape(1, 165)
+        pose_mean = torch.cat([
+            torch.zeros(75, dtype=torch.float64),
+            t(m["hands_meanl"]), t(m["hands_meanr"]),
+        ])
+        full_ref = full_ref + pose_mean
+        np.testing.assert_allclose(
+            full, full_ref[0].numpy(), rtol=1e-12, atol=1e-12,
+        )
+
+        shape_components = torch.cat(
+            [t(betas)[None], t(expression)[None]], dim=-1)
+        shapedirs = torch.cat([
+            t(m["shapedirs"][..., :10]),
+            t(m["shapedirs"][..., 300:310]),
+        ], dim=-1)
+        # the smplx class reshapes raw (V, 3, P) posedirs to (P, V*3)
+        V = m["v_template"].shape[0]
+        posedirs_ref = t(
+            np.reshape(m["posedirs"], (V * 3, -1)).T
+        )
+        verts_ref, joints_ref = lbs_mod.lbs(
+            shape_components, full_ref, t(m["v_template"])[None],
+            shapedirs, posedirs_ref, t(m["J_regressor"]),
+            torch.as_tensor(self.SMPLX_PARENTS).long(),
+            t(m["weights"]), pose2rot=True,
+        )
+        np.testing.assert_allclose(
+            verts, verts_ref[0].numpy(), rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            joints, joints_ref[0].numpy(), rtol=1e-5, atol=1e-6,
+        )
+
+    def test_no_pca_flat_hands(self):
+        """use_pca=False + flat_hand_mean=True: raw 45-dof hands, no
+        mean shift (body_models.py:700-716)."""
+        rng = np.random.RandomState(5)
+        m = self._fake_smplx(rng)
+        lh = rng.randn(45)
+        full = smplx_full_pose(
+            global_orient=np.zeros(3), body_pose=np.zeros(63),
+            left_hand_pose=lh, right_hand_pose=np.zeros(45),
+            use_pca=False, flat_hand_mean=True,
+        )
+        np.testing.assert_allclose(full[75:120], lh)
+        assert np.all(full[120:] == 0) and np.all(full[:75] == 0)
