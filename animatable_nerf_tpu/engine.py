@@ -849,25 +849,34 @@ def run_visualize(cfg: Config, params=None, max_items: int = -1):
     else:
         vis = PoseSequenceVisualizer(cfg.exp_name)
     dump_depth = bool(cfg.get("vis_depth", False))
-    for i, item in enumerate(loader):
-        if max_items >= 0 and i >= max_items:
-            break
-        out, n_valid = eng.render_item(params, item, visibility=True)
-        kwargs = {}
-        if cfg.vis_novel_view and dump_depth:
-            kwargs = {
-                "depth": out.get("depth_map"),
-                "acc": out.get("acc_map"),
-            }
-        vis.visualize(
-            out["rgb_map"],
-            np.asarray(item["mask_at_box"]),
-            int(item["H"]),
-            int(item["W"]),
-            int(item["frame_index"]),
-            int(item.get("view_index", 0)),
-            **kwargs,
-        )
+    # image assembly + PNG writes overlap the next frame's render, same
+    # pipeline as run_evaluate (ordered single worker)
+    from concurrent.futures import ThreadPoolExecutor
+
+    futures = []
+    with ThreadPoolExecutor(max_workers=1) as writer_pool:
+        for i, item in enumerate(loader):
+            if max_items >= 0 and i >= max_items:
+                break
+            out, n_valid = eng.render_item(params, item, visibility=True)
+            kwargs = {}
+            if cfg.vis_novel_view and dump_depth:
+                kwargs = {
+                    "depth": out.get("depth_map"),
+                    "acc": out.get("acc_map"),
+                }
+            futures.append(writer_pool.submit(
+                vis.visualize,
+                out["rgb_map"],
+                np.asarray(item["mask_at_box"]),
+                int(item["H"]),
+                int(item["W"]),
+                int(item["frame_index"]),
+                int(item.get("view_index", 0)),
+                **kwargs,
+            ))
+        for f in futures:
+            f.result()
     return True
 
 

@@ -826,3 +826,41 @@ def test_train_stage2_shrinks_and_matches_dense(cls_name):
             float(st_s3["loss"]), float(st_d["loss"]), rtol=1e-5, atol=1e-6
         )
         tr2.disable_train_stage2()  # idempotent
+
+
+def test_bf16_train_trajectory_tracks_f32():
+    """Train-side bf16 trunks (compute_dtype bfloat16 reaching the
+    model through make_model, VERDICT-r3 item 8): the loss TRAJECTORY
+    must track the f32 one — bf16 rounds inside the trunks only (params,
+    optimizer, geometry, compositing stay f32), so per-step losses drift
+    by rounding, not by dynamics. The guard bounds the relative drift
+    over 8 optimizer steps on the same batch stream; a wiring mistake
+    (e.g. a head silently upcasting gradients into garbage) blows it up
+    immediately."""
+    import jax.numpy as jnp
+
+    cfg = _tiny_cfg()
+    rng = np.random.RandomState(0)
+    items = [collate_rays(_item(rng, cfg), cfg.N_rand) for _ in range(4)]
+    traj = {}
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = AniNeRF(num_train_frames=cfg.num_train_frame, dtype=dtype)
+        trainer = Trainer(cfg, model)
+        state = trainer.init_state(
+            jax.random.PRNGKey(0), stack_batch(items[:1])
+        )
+        losses = []
+        for i in range(8):
+            state, stats = trainer.train_step(
+                state, stack_batch([items[i % len(items)]]),
+                jax.random.PRNGKey(i),
+            )
+            losses.append(float(stats["loss"]))
+        traj[name] = np.asarray(losses)
+    rel = np.abs(traj["bf16"] - traj["f32"]) / np.maximum(
+        np.abs(traj["f32"]), 1e-6
+    )
+    assert rel.max() < 0.05, (traj["f32"], traj["bf16"])
+    # and the drift must be a real bf16 signal, not a dead code path
+    # producing identical numbers through an f32-only route
+    assert np.any(traj["bf16"] != traj["f32"])
