@@ -746,6 +746,11 @@ def run_evaluate(cfg: Config, params=None, max_items: int = -1,
                 view_index=int(item.get("cam_ind", 0)),
                 save_images=save_images,
             ))
+            # bound in-flight render outputs (each holds H*W*3 floats):
+            # a lagging metrics worker must stall the loop, not buffer
+            # the whole split
+            while len(futures) > 4:
+                futures.pop(0).result()
             n_items += 1
             now = time.time()
             item_walls.append(now - t_prev)
@@ -875,6 +880,8 @@ def run_visualize(cfg: Config, params=None, max_items: int = -1):
                 int(item.get("view_index", 0)),
                 **kwargs,
             ))
+            while len(futures) > 4:  # bound in-flight frame buffers
+                futures.pop(0).result()
         for f in futures:
             f.result()
     return True
