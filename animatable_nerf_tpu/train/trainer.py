@@ -335,7 +335,10 @@ class Trainer:
             train=True,
             novel_pose=self.novel_pose,
         )
-        return compute_losses(ret, rays, step)
+        return compute_losses(
+            ret, rays, step,
+            mask_alpha_max=float(self.cfg.get("sdf_mask_alpha_max", 0.0)),
+        )
 
     def _train_step(self, state: TrainState, batch, key, store=None):
         full = assemble_from_store(batch, store)

@@ -349,3 +349,18 @@ def test_convert_vgg16_gray_roundtrip(tmp_path):
         out["conv0_w"],
         np.transpose(sd["vgg_layers.conv1_1.weight"].numpy(), (2, 3, 1, 0)),
     )
+
+
+def test_sdf_mask_alpha_cap():
+    """sdf_mask_alpha_max caps the doubling ramp (round-4 schedule-
+    regression mitigation); 0 keeps the exact reference schedule
+    (crit.py:5-16)."""
+    import jax.numpy as jnp
+
+    from animatable_nerf_tpu.train.losses import sdf_mask_alpha
+
+    steps = jnp.asarray([0, 10001, 20001, 30001, 50001])
+    ref = [50.0, 100.0, 200.0, 400.0, 1600.0]
+    for s, want in zip(steps, ref):
+        assert float(sdf_mask_alpha(s)) == want
+        assert float(sdf_mask_alpha(s, alpha_max=100.0)) == min(want, 100.0)
