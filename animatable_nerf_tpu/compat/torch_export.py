@@ -226,6 +226,28 @@ def export_state_dict(family: str, params: dict, template: dict = None):
         for k, v in tdict.items():
             if k not in out:
                 out[k] = v  # forward-dead parameter (see module docstring)
+    else:
+        # no template (e.g. exporting a TPU-trained checkpoint for the
+        # reference CLI to strict-load, tools/parity_protocol.py):
+        # synthesize the reference's FORWARD-DEAD `resd_latent`
+        # embedding — declared by the pdf/lbw_pdf/smpl/sdf/neus modules
+        # (e.g. anisdf_pdf_network.py:19, (num_latent_code, 128)) but
+        # never read in any forward path, so zeros are exact. Row count
+        # mirrors the live color latent (both are cfg.num_latent_code).
+        if family in ("nerf_pdf", "aligned_lbw_pdf", "aligned_smpl",
+                      "sdf_pdf", "neus_pdf"):
+            rows = out["tpose_human.color_network.color_latent.weight"].shape[0]
+            out.setdefault(
+                "resd_latent.weight", np.zeros((rows, 128), np.float32)
+            )
+        if family == "aligned_pbw":
+            # the pbw ablation's bw field is pose-conditioned; its
+            # declared frame-latent table (aligned_aninerf_pbw_network.py
+            # :17, (num_train_frame + 1, 128)) is forward-dead
+            rows = out["tpose_human.color_network.color_latent.weight"].shape[0]
+            out.setdefault(
+                "bw_latent.weight", np.zeros((rows + 1, 128), np.float32)
+            )
     return out
 
 

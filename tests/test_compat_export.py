@@ -95,3 +95,26 @@ def test_save_reference_checkpoint_loads_via_reference(tmp_path):
     assert epoch == 8  # reference returns saved epoch + 1
     for k, v in fresh.state_dict().items():
         np.testing.assert_array_equal(v.numpy(), state[k])
+
+
+@pytest.mark.parametrize(
+    "family,module,importer,over", FAMILIES, ids=[f[0] for f in FAMILIES]
+)
+def test_templateless_export_strict_loads(family, module, importer, over):
+    """Template-LESS export (the TPU-trained-checkpoint path,
+    tools/parity_protocol.py cmd_export) must still produce every key
+    the reference module strict-loads — forward-dead params
+    (resd_latent, anisdf_pdf_network.py:19) are synthesized as zeros.
+    Caught live: the first sdf_pdf direction-B parity run failed the
+    reference's load_state_dict on the missing resd_latent."""
+    net, state = _ref_net(module, seed=61, **over)
+    params = importer(state)
+    exported = torch_export.export_state_dict(family, params)
+    missing = set(state) - set(exported)
+    assert not missing, f"{family}: missing {sorted(missing)}"
+    net.load_state_dict(
+        {k: torch.as_tensor(
+            np.ascontiguousarray(v).reshape(tuple(state[k].shape)))
+         for k, v in exported.items()},
+        strict=True,
+    )
