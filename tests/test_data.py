@@ -475,3 +475,26 @@ def test_pick_level_respects_stage2_capacity(droot):
 
     # small exact count: rung 0 still wins
     assert eng._pick_level(cons, 0, worst_exact=cons // 2) == 0
+
+
+def test_transforms_port_matches_reference_semantics():
+    """data/transforms.py vs lib/datasets/transforms.py run in place:
+    same composition (uint8/255 then ImageNet normalize), kpts ride
+    along unchanged."""
+    import ref_oracle
+
+    ref_oracle.install()
+    ref_mod = ref_oracle.load("lib.datasets.transforms")
+    from animatable_nerf_tpu.data.transforms import make_transforms
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (8, 6, 3)).astype(np.float64)
+    kpts = rng.rand(5, 2)
+    ref_t = ref_mod.make_transforms(None, is_train=True)
+    ours_t = make_transforms(None, is_train=True)
+    ref_img, ref_kpts = ref_t(img.copy(), kpts)
+    our_img, our_kpts = ours_t(img.copy(), kpts)
+    np.testing.assert_allclose(our_img, ref_img, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(our_kpts, ref_kpts)
+    # no-kpts call returns the bare image like the reference's
+    assert isinstance(ours_t(img.copy()), np.ndarray)
