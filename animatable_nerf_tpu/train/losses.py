@@ -52,15 +52,13 @@ def sdf_mask_alpha(iter_step, alpha_max: float = 0.0):
     passed at 10k/20k/30k/40k/50k).
 
     `alpha_max` > 0 caps the ramp (config `sdf_mask_alpha_max`,
-    DEFAULT OFF = exact reference schedule). Why the knob exists: the
-    round-4 PSNR-vs-step curve on the watertight capsule subject
-    (BASELINE.md round-4, VERDICT-r3 item 6) shows quality peaking at
-    ~16-18k steps and then sliding in crash-and-partial-recovery
-    oscillations whose onsets track the milestone crossings — each
-    alpha doubling re-kicks a converged silhouette (the training
-    img_loss spikes ~8x right after 20k). The reference tuned this
-    ramp for 200k-step schedules; at shorter budgets capping it at the
-    value where the model first converged holds the peak."""
+    DEFAULT OFF = exact reference schedule). The knob exists as a
+    schedule-shaping tool for short budgets; note the round-4 capped
+    control run (BASELINE.md round-4, item 6) measured that capping
+    does NOT stabilize the late-schedule PSNR oscillation — that
+    instability is intrinsic to the hard-silhouette + eikonal regime
+    at the 1024-ray B=1 budget, and the working mitigation is
+    best-checkpoint selection via the recorded val PSNR curve."""
     milestones = jnp.asarray([10000, 20000, 30000, 40000, 50000])
     n = jnp.sum(iter_step > milestones)
     alpha = 50.0 * (2.0**n)
