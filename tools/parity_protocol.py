@@ -235,10 +235,8 @@ def cmd_export(args):
     ours_dir = os.path.join(work, "ours", "data", "trained_model", "deform",
                             f"parity_{args.family}")
     eng = Engine(cfg)
-    ds_item_dir = os.path.join(work, "human")
     template = eng.init_params(
-        jax.random.PRNGKey(0),
-        dataset=_template_dataset(cfg, ds_item_dir),
+        jax.random.PRNGKey(0), dataset=_template_dataset(cfg),
     )
     loaded = load_checkpoint(ours_dir, template)
     assert loaded is not None, f"no checkpoint in {ours_dir}"
@@ -255,7 +253,7 @@ def _export_family(family):
     return {"aninerf": "aninerf", "sdf_pdf": "sdf_pdf"}[family]
 
 
-def _template_dataset(cfg, root):
+def _template_dataset(cfg):
     from animatable_nerf_tpu.engine import make_dataset
 
     return make_dataset(cfg, "test")
