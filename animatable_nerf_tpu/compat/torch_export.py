@@ -200,14 +200,21 @@ EXPORTERS = {
 }
 
 
-def export_state_dict(family: str, params: dict, template: dict = None):
+def export_state_dict(family: str, params: dict, template: dict = None,
+                      num_train_frame: int = None):
     """flax params -> reference state dict (numpy values).
 
     `template`: the target reference module's own state_dict() — keys the
     exporter does not produce (dead params torch_import skips) are passed
     through from it, and every exported tensor is reshaped to the
     template's shape (asserting equal element counts) so
-    `load_state_dict(strict=True)` succeeds."""
+    `load_state_dict(strict=True)` succeeds.
+
+    `num_train_frame`: sizes the synthesized forward-dead `bw_latent`
+    for the template-less aligned_pbw export (the reference declares it
+    (num_train_frame + 1, 128)); when omitted, falls back to the
+    color-latent row count, which is only correct when the config has
+    num_latent_code == num_train_frame (true for every shipped yaml)."""
     out = EXPORTERS[family](params)
     if template is not None:
         tdict = {k: _np(v) for k, v in template.items()}
@@ -244,15 +251,22 @@ def export_state_dict(family: str, params: dict, template: dict = None):
             # the pbw ablation's bw field is pose-conditioned; its
             # declared frame-latent table (aligned_aninerf_pbw_network.py
             # :17, (num_train_frame + 1, 128)) is forward-dead
-            rows = out["tpose_human.color_network.color_latent.weight"].shape[0]
+            if num_train_frame is None:
+                # assumes num_latent_code == num_train_frame (see
+                # docstring); pass num_train_frame to lift the assumption
+                num_train_frame = out[
+                    "tpose_human.color_network.color_latent.weight"
+                ].shape[0]
             out.setdefault(
-                "bw_latent.weight", np.zeros((rows + 1, 128), np.float32)
+                "bw_latent.weight",
+                np.zeros((num_train_frame + 1, 128), np.float32),
             )
     return out
 
 
 def save_reference_checkpoint(path: str, family: str, params: dict,
-                              epoch: int = 0, template: dict = None):
+                              epoch: int = 0, template: dict = None,
+                              num_train_frame: int = None):
     """Write a reference-format `.pth` ({'net': state_dict, 'epoch': N})
     that net_utils.load_network (:357-396) loads directly. `optim`/
     `scheduler`/`recorder` states are NOT written — load_network never
@@ -263,7 +277,9 @@ def save_reference_checkpoint(path: str, family: str, params: dict,
         # copy=True: jax array buffers are non-writable and torch warns
         # on zero-copy views of them
         k: torch.as_tensor(np.array(v, copy=True))
-        for k, v in export_state_dict(family, params, template).items()
+        for k, v in export_state_dict(
+            family, params, template, num_train_frame=num_train_frame
+        ).items()
     }
     torch.save({"net": state, "epoch": int(epoch)}, path)
     return path

@@ -58,19 +58,60 @@ class Config(dict):
                 return v
         return v
 
-    def merge(self, other: dict):
-        """Recursive merge (yacs merge_from_other_cfg semantics)."""
+    @staticmethod
+    def _type_ok(dec, cur):
+        """Whether a literal_eval-decoded replacement value is
+        type-compatible with the existing entry (yacs
+        _check_and_coerce_cfg_value_type semantics: exact type match,
+        with int<->float numeric casts and list<->tuple allowed)."""
+        if cur is None or isinstance(cur, dict):
+            return True
+        if isinstance(cur, str):
+            return isinstance(dec, str)
+        if isinstance(cur, bool):
+            return isinstance(dec, bool)
+        if isinstance(cur, (int, float)):
+            return isinstance(dec, (int, float)) and not isinstance(dec, bool)
+        if isinstance(cur, (list, tuple)):
+            return isinstance(dec, (list, tuple))
+        return isinstance(dec, type(cur))
+
+    def merge(self, other: dict, decode: bool = True):
+        """Recursive merge (yacs merge_from_other_cfg semantics).
+
+        `decode=False` defers the literal_eval decoding: used when
+        assembling the parent_cfg chain into an empty tree, where no
+        defaults exist yet to type-check against (strings stay raw so
+        the final merge into the defaulted config can apply the yacs
+        type guard)."""
         for k, v in other.items():
             if (
                 k in self
                 and isinstance(self[k], dict)
                 and isinstance(v, dict)
             ):
-                Config._wrap(self[k]).merge(v) if not isinstance(
-                    self[k], Config
-                ) else self[k].merge(v)
+                node = (
+                    self[k] if isinstance(self[k], Config)
+                    else Config._wrap(self[k])
+                )
+                node.merge(v, decode=decode)
+            elif not decode:
+                self[k] = Config._wrap(v)
             else:
-                self[k] = Config._wrap(Config._decode(v))
+                dec = Config._decode(v)
+                # yacs _check_and_coerce_cfg_value_type: a decoded value
+                # whose type no longer matches the existing entry's type
+                # is rejected (yacs raises; we keep the raw string so
+                # `exp_name: '313'` stays the string "313" instead of
+                # silently becoming int 313 and breaking path joins).
+                if (
+                    k in self
+                    and isinstance(v, str)
+                    and dec is not v
+                    and not Config._type_ok(dec, self[k])
+                ):
+                    dec = v
+                self[k] = Config._wrap(dec)
         return self
 
     def merge_from_list(self, opts):
@@ -88,7 +129,14 @@ class Config(dict):
                 if p not in node:
                     node[p] = Config()
                 node = node[p]
-            node[parts[-1]] = Config._wrap(val)
+            leaf = parts[-1]
+            if (
+                leaf in node
+                and val is not v
+                and not Config._type_ok(val, node[leaf])
+            ):
+                val = v
+            node[leaf] = Config._wrap(val)
         return self
 
     def clone(self):
@@ -272,8 +320,8 @@ def _load_yaml_with_parents(path: str, seen=None) -> Config:
             # resolve relative to the child config's directory
             cand = os.path.join(os.path.dirname(path), p)
             p = cand if os.path.exists(cand) else p
-        base.merge(_load_yaml_with_parents(p, seen))
-    base.merge(current)
+        base.merge(_load_yaml_with_parents(p, seen), decode=False)
+    base.merge(current, decode=False)
     return base
 
 

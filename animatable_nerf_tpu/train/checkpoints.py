@@ -8,10 +8,18 @@ scheduler step + recorder); :357-396 partial loads (`strict=False`,
 Format: flax msgpack of {params, opt_state, epoch, step, recorder} in
 `<epoch>.flax` / `latest.flax`; torch `.pth` files are importable through
 animatable_nerf_tpu.compat.
+
+Beyond the reference (VERDICT-r4 item 2): mechanized best-checkpoint
+retention — `best.flax` + a `best.json` sidecar {metric, epoch, step}
+written whenever the recorded val PSNR improves (the reference's only
+mitigation for non-monotone training curves is a human reading the
+scalars and picking a snapshot by hand). Eval prefers `best.flax` when
+present (Engine.load_params; opt out with `test.use_best False`).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -49,6 +57,51 @@ def save_checkpoint(
         _prune(model_dir, keep)
 
 
+def best_metric(model_dir: str):
+    """The retained best-checkpoint record ({metric, epoch, step}) or
+    None. The sidecar (not the msgpack) carries the comparison value so
+    resume keeps improving on the previous run's best."""
+    path = os.path.join(model_dir, "best.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_best_checkpoint(
+    model_dir: str,
+    params,
+    opt_state,
+    epoch: int,
+    step: int,
+    metric: float,
+    recorder_state: dict | None = None,
+) -> bool:
+    """Write `best.flax` iff `metric` (higher is better, e.g. val PSNR)
+    improves on the retained best. Returns True when written."""
+    prev = best_metric(model_dir)
+    if prev is not None and float(prev["metric"]) >= float(metric):
+        return False
+    os.makedirs(model_dir, exist_ok=True)
+    blob = serialization.msgpack_serialize(
+        {
+            "params": _to_state_dict(params),
+            "opt_state": _to_state_dict(opt_state),
+            "epoch": np.asarray(epoch),
+            "step": np.asarray(step),
+            "recorder": recorder_state or {},
+        }
+    )
+    with open(os.path.join(model_dir, "best.flax"), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(model_dir, "best.json"), "w") as f:
+        json.dump(
+            {"metric": float(metric), "epoch": int(epoch),
+             "step": int(step)}, f,
+        )
+    return True
+
+
 def _prune(model_dir, keep):
     snaps = sorted(
         int(p[:-5])
@@ -73,15 +126,20 @@ def latest_epoch(model_dir: str) -> int:
 
 
 def load_checkpoint(model_dir: str, params_template, opt_state_template=None,
-                    epoch: int = -1, use_latest: bool = True):
+                    epoch: int = -1, use_latest: bool = True,
+                    use_best: bool = False):
     """Restore full training state. Returns (params, opt_state, epoch,
     step, recorder_state) or None if nothing to resume.
 
-    An explicitly requested `epoch` always wins over latest.flax."""
+    An explicitly requested `epoch` always wins over latest.flax;
+    `use_best` prefers `best.flax` (val-PSNR retained snapshot) when it
+    exists, falling back to the latest/snapshot chain."""
     if epoch >= 0:
         path = os.path.join(model_dir, f"{epoch}.flax")
         if not os.path.exists(path):
             return None
+    elif use_best and os.path.exists(os.path.join(model_dir, "best.flax")):
+        path = os.path.join(model_dir, "best.flax")
     elif use_latest and os.path.exists(os.path.join(model_dir, "latest.flax")):
         path = os.path.join(model_dir, "latest.flax")
     else:

@@ -60,9 +60,14 @@ REPS = 10
 # Rendering K frames with DISTINCT rays inside one dispatch and taking
 # the marginal per-frame time (tK - t1)/(K - 1) cancels the constant
 # per-dispatch overhead exactly — the steady-state pipelined-rendering
-# rate of the chip itself. Both numbers are reported; the single-
-# dispatch median stays in `median_ms` for continuity with r1-r3.
-FRAMES_PER_DISPATCH = int(os.environ.get("BENCH_FRAMES_PER_DISPATCH", 5))
+# rate of the chip itself. Both numbers are reported: since round 4
+# the steady-state marginal time is the headline `median_ms` (and the
+# rays/s numerator), and the r1-r3-comparable single-dispatch median
+# moved to `median_ms_single_dispatch`. Clamped to >= 2 (the marginal
+# formula needs two frame counts).
+FRAMES_PER_DISPATCH = max(
+    int(os.environ.get("BENCH_FRAMES_PER_DISPATCH", 5)), 2
+)
 
 
 def main():

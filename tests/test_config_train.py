@@ -21,6 +21,8 @@ from animatable_nerf_tpu.train.checkpoints import (
     load_checkpoint,
     load_params_partial,
     latest_epoch,
+    save_best_checkpoint,
+    best_metric,
 )
 from animatable_nerf_tpu.evaluators import psnr_metric, ssim_metric
 from animatable_nerf_tpu.evaluators.mesh import (
@@ -44,6 +46,27 @@ def test_config_inheritance(tmp_path):
     assert cfg.train.lr == 0.001     # nested inherited
     assert cfg.train.epoch == 7      # nested override
     assert cfg.train.batch_size == 1  # default preserved
+
+
+def test_config_literal_eval_respects_existing_type(tmp_path):
+    """yacs _check_and_coerce_cfg_value_type semantics: literal_eval of
+    a merged string is kept only when its type matches the existing
+    entry's (ADVICE r4). `exp_name: '313'` must stay the STRING "313"
+    (a realistic ZJU subject-style name), while the `lr: 5e-4`
+    yaml-string quirk still decodes to float (matching the float
+    default)."""
+    c = tmp_path / "c.yaml"
+    c.write_text("exp_name: '313'\ntrain:\n  lr: 5e-4\n")
+    cfg = load_config(str(c))
+    assert cfg.exp_name == "313" and isinstance(cfg.exp_name, str)
+    assert cfg.train.lr == 5e-4 and isinstance(cfg.train.lr, float)
+    assert os.path.basename(cfg.result_dir) == "313"
+    # CLI opts get the same guard
+    cfg2 = load_config(str(c), opts=["exp_name", "42"])
+    assert cfg2.exp_name == "42" and isinstance(cfg2.exp_name, str)
+    # fresh keys (no existing entry) still decode freely
+    cfg3 = load_config(str(c), opts=["my_new_flag", "7"])
+    assert cfg3.my_new_flag == 7
 
 
 def test_config_opts_override_overlays(tmp_path):
@@ -183,6 +206,39 @@ def test_checkpoint_pinned_epoch_wins_over_latest(tmp_path):
     # default path still prefers latest.flax
     p, _, epoch, _, _ = load_checkpoint(d, tmpl)
     assert epoch == 4
+
+
+def test_best_checkpoint_retention(tmp_path):
+    """Mechanized best-val-PSNR snapshot (VERDICT-r4 item 2): best.flax
+    is written only on improvement, survives a worse later epoch, and
+    eval (use_best=True) prefers it over latest.flax."""
+    d = str(tmp_path / "model")
+    tmpl = {"w": jnp.zeros(2)}
+    assert best_metric(d) is None
+    assert save_best_checkpoint(d, {"w": jnp.full((2,), 1.0)}, {}, 1, 10,
+                                metric=20.0)
+    # worse metric: not written
+    assert not save_best_checkpoint(d, {"w": jnp.full((2,), 2.0)}, {}, 2, 20,
+                                    metric=18.5)
+    # better metric: replaces
+    assert save_best_checkpoint(d, {"w": jnp.full((2,), 3.0)}, {}, 3, 30,
+                                metric=25.0)
+    rec = best_metric(d)
+    assert rec["metric"] == 25.0 and rec["epoch"] == 3 and rec["step"] == 30
+    # latest.flax from a LATER (worse) epoch exists
+    save_checkpoint(d, {"w": jnp.full((2,), 9.0)}, {}, epoch=5, step=50,
+                    latest=True)
+    p, _, epoch, step, _ = load_checkpoint(d, tmpl, use_best=True)
+    assert epoch == 3 and step == 30
+    np.testing.assert_array_equal(np.asarray(p["w"]), [3.0, 3.0])
+    # default (use_best=False) keeps the reference's latest semantics
+    p, _, epoch, _, _ = load_checkpoint(d, tmpl)
+    assert epoch == 5
+    # a pinned epoch still wins over best
+    save_checkpoint(d, {"w": jnp.full((2,), 1.0)}, {}, epoch=1, step=10)
+    p, _, epoch, _, _ = load_checkpoint(d, tmpl, epoch=1, use_latest=False,
+                                        use_best=True)
+    assert epoch == 1
 
 
 def test_partial_load_only_subtree(tmp_path):

@@ -242,6 +242,36 @@ def test_compact_indices():
     assert np.asarray(idx2).tolist() == [1, 2]
 
 
+def test_compact_indices_hier_bit_equal():
+    """The sort-free hierarchical rank search must match the production
+    argsort formulation on every VALID slot (j < n_kept) across sizes
+    (incl. non-multiple-of-512 n), keep fractions, and overflow
+    (CLAUDE.md round-4 note; measured slower at whole-frame scale, kept
+    as the documented negative + tile-scale alternative)."""
+    from animatable_nerf_tpu.models.common import (
+        _compact_indices_hier,
+        _compact_indices_sort,
+    )
+
+    rng = np.random.RandomState(3)
+    for n in (31, 512, 700, 4096, 5000):
+        for frac in (0.0, 0.03, 0.3, 1.0):
+            keep = jnp.asarray(rng.rand(n) < frac)
+            for capacity in (16, 256, n):
+                ih, nh = jax.jit(
+                    _compact_indices_hier, static_argnums=1
+                )(keep, capacity)
+                is_, ns = jax.jit(
+                    _compact_indices_sort, static_argnums=1
+                )(keep, capacity)
+                assert int(nh) == int(ns), (n, frac, capacity)
+                v = int(nh)
+                np.testing.assert_array_equal(
+                    np.asarray(ih[:v]), np.asarray(is_[:v]),
+                    err_msg=f"n={n} frac={frac} cap={capacity}",
+                )
+
+
 def test_aligned_stage2_animation(data):
     """Sample-based stage-2 consistency pair for the KNN family
     (aninerf_sample_animation_trainer.py semantics)."""
