@@ -246,6 +246,7 @@ class Engine:
         # frame, and the frame payload (bw volumes, vis masks) is tens
         # of MB per upload through the remote tunnel
         self._frame_dev_cache: dict = {}
+        self.timing = None  # see enable_timing()
         # KNN-family eval pass-1 acceleration: a per-frame packed
         # nearest-vertex distance grid (ops/knn_pallas.py
         # build_pdist_payload) built once per frame and trilerp-gathered
@@ -285,6 +286,17 @@ class Engine:
                     )
                 )
 
+    def enable_timing(self):
+        """Per-stage wall-time accumulators for the CLI eval wall-time
+        decomposition (VERDICT-r4 item 4); read by run_evaluate's
+        eval_timing report."""
+        self.timing = {}
+        return self.timing
+
+    def _tadd(self, key, dt):
+        if self.timing is not None:
+            self.timing[key] = self.timing.get(key, 0.0) + dt
+
     def _device_frame(self, item, with_vis: bool = False):
         """frame_arrays(item) with a 1-frame device cache keyed by
         (frame_index, latent_index); optionally caches the visibility
@@ -295,7 +307,10 @@ class Engine:
             if fid is not None else None
         )
         c = self._frame_dev_cache
+        if cache_key is not None and c.get("key") == cache_key:
+            self._tadd("frame_cache_hits", 1)
         if cache_key is None or c.get("key") != cache_key:
+            t0 = time.time()
             frame = frame_arrays(item)
             if self._pdist_jit is not None and "pvertices" in frame:
                 packed, margin, bnds = self._pdist_jit(frame["pvertices"])
@@ -309,6 +324,14 @@ class Engine:
                         d5_packed=d5p, knn_verts=kv, knn_values=kw,
                         knn_bboxes=kb,
                     )
+            if self.timing is not None:
+                jax.block_until_ready(frame)
+                self._tadd("frame_h2d_s", time.time() - t0)
+                self._tadd("frame_uploads", 1)
+                self._tadd("frame_h2d_bytes", sum(
+                    np.asarray(item[k]).nbytes
+                    for k in frame if k in item
+                ))
             c = {"key": cache_key, "frame": frame}
             self._frame_dev_cache = c if cache_key is not None else {}
         if with_vis and "vis" not in c:
@@ -499,6 +522,7 @@ class Engine:
         last_count = None
         last_exact = None
         while True:
+            self._tadd("render_dispatches", 1)
             out = dict(run_at(self._ladder[level]))
             count = out.pop("compact_count", None)
             exact = out.pop("compact_count_exact", None)
@@ -526,6 +550,7 @@ class Engine:
             frame, vis = self._device_frame(item, with_vis=True)
         else:
             frame = self._device_frame(item)
+        t_pad0 = time.time()
 
         tile = self.settings.eval_tile
         n_item = len(item["ray_o"])
@@ -545,12 +570,16 @@ class Engine:
             n_dev = self._mesh.shape["dp"]
             rays, n_valid = eval_rays(item, tile * n_dev)
             rays, inv = interleave_rays(rays, tile)
+            self._tadd("pad_s", time.time() - t_pad0)
+            t_r0 = time.time()
             out = self._run_ladder(
                 lambda frac: self._sharded_program(frac)(params, frame, rays)
             )
         else:
             rays, n_valid = eval_rays(item, tile)
             rays, inv = interleave_rays(rays, tile)
+            self._tadd("pad_s", time.time() - t_pad0)
+            t_r0 = time.time()
             out = self._run_ladder(
                 lambda frac: (
                     self._eval_program(frac, True)(params, rays, frame, *vis)
@@ -558,7 +587,11 @@ class Engine:
                     else self._eval_program(frac, False)(params, rays, frame)
                 )
             )
+        self._tadd("render_s", time.time() - t_r0)
+        t_f0 = time.time()
         out = {k: np.asarray(v) for k, v in out.items()}
+        self._tadd("fetch_s", time.time() - t_f0)
+        self._tadd("fetch_bytes", sum(v.nbytes for v in out.values()))
         if inv is not None:
             out = {k: v[inv] for k, v in out.items()}
         return {k: v[:n_valid] for k, v in out.items()}, n_valid
@@ -727,15 +760,25 @@ def run_evaluate(cfg: Config, params=None, max_items: int = -1,
     # stages)
     from concurrent.futures import ThreadPoolExecutor
 
+    # opt-in per-stage wall-time decomposition (VERDICT-r4 item 4):
+    # `eval_timing True` accumulates data-wait / frame-H2D / pad /
+    # render-dispatch / fetch / SSIM / PNG seconds and prints one JSON
+    # line with a chip-local projection next to the measured s/frame
+    timing = eng.enable_timing() if cfg.get("eval_timing", False) else None
     t_start = time.time()
     t_render = 0.0
+    t_data_wait = 0.0
     item_walls = []
     futures = []
     n_items = 0
     with ThreadPoolExecutor(max_workers=1) as metrics_pool:
         t_prev = time.time()
-        for i, item in enumerate(loader):
-            if max_items >= 0 and i >= max_items:
+        it = iter(loader)
+        while True:
+            t_w0 = time.time()
+            item = next(it, None)
+            t_data_wait += time.time() - t_w0
+            if item is None or (max_items >= 0 and n_items >= max_items):
                 break
             t0 = time.time()
             out, n_valid = eng.render_item(params, item)
@@ -750,6 +793,7 @@ def run_evaluate(cfg: Config, params=None, max_items: int = -1,
                 frame_index=int(item["frame_index"]),
                 view_index=int(item.get("cam_ind", 0)),
                 save_images=save_images,
+                timing=timing,
             ))
             # bound in-flight render outputs (each holds H*W*3 floats):
             # a lagging metrics worker must stall the loop, not buffer
@@ -774,7 +818,77 @@ def run_evaluate(cfg: Config, params=None, max_items: int = -1,
             f"steady {steady:.3f} s/frame (render {t_render / n_items:.3f}"
             f" s/frame avg incl. compile)"
         )
+        if timing is not None:
+            _print_eval_timing(timing, n_items, steady, wall, t_render,
+                               t_data_wait)
     return evaluator.summarize()
+
+
+# the measured per-dispatch host/tunnel overhead of this sandbox's
+# remote-execution relay (CLAUDE.md calibration; re-confirmed by the
+# bench.py steady-state protocol's floor self-check). A chip-local
+# deployment pays ~0.
+RELAY_FLOOR_S = 0.026
+# conservative chip-local host<->device copy bandwidth for the H2D/D2H
+# projection (PCIe gen3-class; TPU hosts do better)
+CHIP_LOCAL_COPY_GBPS = 8.0
+
+
+def _print_eval_timing(timing, n_items, steady, wall, t_render,
+                       t_data_wait):
+    """One-JSON-line stage decomposition + chip-local projection
+    (VERDICT-r4 item 4). All figures are per-frame averages."""
+    import json
+
+    per = {k: v / n_items for k, v in timing.items()}
+    dispatches = per.get("render_dispatches", 0.0)
+    render_s = per.get("render_s", 0.0)
+    fetch_s = per.get("fetch_s", 0.0)
+    h2d_s = per.get("frame_h2d_s", 0.0)
+    h2d_bytes = per.get("frame_h2d_bytes", 0.0)
+    fetch_bytes = per.get("fetch_bytes", 0.0)
+    # chip-local projection: the render keeps only its device time
+    # (relay floor removed per dispatch), copies run at local bus
+    # bandwidth, and the pipelined host stages (data prep, metrics)
+    # overlap the render — steady s/frame is the max of the pipeline
+    # stages, not their sum
+    render_chip = max(render_s - dispatches * RELAY_FLOOR_S, 0.0)
+    copies_chip = (h2d_bytes + fetch_bytes) / (CHIP_LOCAL_COPY_GBPS * 1e9)
+    device_stage = render_chip + copies_chip + per.get("pad_s", 0.0)
+    metrics_stage = per.get("ssim_s", 0.0) + per.get("png_s", 0.0)
+    data_stage = t_data_wait / n_items
+    projected = max(device_stage, metrics_stage, data_stage)
+    print(json.dumps({
+        "eval_timing_per_frame": {
+            "n_items": n_items,
+            "steady_s_per_frame": round(steady, 4),
+            "wall_s_total": round(wall, 2),
+            "data_wait_s": round(data_stage, 4),
+            "frame_h2d_s": round(h2d_s, 4),
+            "frame_h2d_mb": round(h2d_bytes / 1e6, 2),
+            "frame_uploads_per_frame": round(
+                per.get("frame_uploads", 0.0), 3
+            ),
+            "frame_cache_hits_per_frame": round(
+                per.get("frame_cache_hits", 0.0), 3
+            ),
+            "pad_s": round(per.get("pad_s", 0.0), 4),
+            "render_s": round(render_s, 4),
+            "render_dispatches": round(dispatches, 2),
+            "relay_floor_s": round(dispatches * RELAY_FLOOR_S, 4),
+            "fetch_s": round(fetch_s, 4),
+            "fetch_mb": round(fetch_bytes / 1e6, 2),
+            "ssim_s": round(per.get("ssim_s", 0.0), 4),
+            "png_s": round(per.get("png_s", 0.0), 4),
+            "projected_chip_local_s_per_frame": round(projected, 4),
+            "projection": (
+                "max(render-floor+local copies+pad, ssim+png, data "
+                "wait) — pipelined stages overlap; relay floor "
+                f"{RELAY_FLOOR_S * 1e3:.0f} ms/dispatch, local copy "
+                f"{CHIP_LOCAL_COPY_GBPS:.0f} GB/s"
+            ),
+        }
+    }))
 
 
 def run_evaluate_external(cfg: Config, pred_dir: str | None = None,

@@ -89,9 +89,14 @@ class ImageEvaluator:
         self.ssim = []
 
     def evaluate(self, rgb_pred, rgb_gt, mask_at_box, H, W,
-                 frame_index=0, view_index=0, save_images=True):
+                 frame_index=0, view_index=0, save_images=True,
+                 timing=None):
         """rgb_pred/rgb_gt: (n_rays, 3) for the True entries of
-        mask_at_box (flattened H*W bools)."""
+        mask_at_box (flattened H*W bools). `timing`: optional dict
+        accumulating per-stage seconds (png_s / ssim_s) for the CLI
+        wall-time decomposition (engine.run_evaluate eval_timing)."""
+        import time as _time
+
         if rgb_gt.sum() == 0:
             return None
         mse = float(np.mean((rgb_pred - rgb_gt) ** 2))
@@ -104,6 +109,7 @@ class ImageEvaluator:
         img_gt[mab] = rgb_gt
 
         if save_images and cv2 is not None:
+            t0 = _time.time()
             comp = os.path.join(self.result_dir, "comparison")
             os.makedirs(comp, exist_ok=True)
             cv2.imwrite(
@@ -114,12 +120,19 @@ class ImageEvaluator:
                 f"{comp}/frame{frame_index:04d}_view{view_index:04d}_gt.png",
                 np.clip(img_gt[..., ::-1] * 255, 0, 255).astype(np.uint8),
             )
+            if timing is not None:
+                timing["png_s"] = timing.get("png_s", 0.0) + (
+                    _time.time() - t0
+                )
 
         # bbox crop before SSIM (if_nerf.py:51-56)
+        t0 = _time.time()
         ys, xs = np.where(mab)
         y0, y1 = ys.min(), ys.max() + 1
         x0, x1 = xs.min(), xs.max() + 1
         ssim = float(ssim_metric(img_pred[y0:y1, x0:x1], img_gt[y0:y1, x0:x1]))
+        if timing is not None:
+            timing["ssim_s"] = timing.get("ssim_s", 0.0) + (_time.time() - t0)
 
         self.mse.append(mse)
         self.psnr.append(psnr)

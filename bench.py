@@ -70,6 +70,166 @@ FRAMES_PER_DISPATCH = max(
 )
 
 
+def _time_fn(fn, args_list, warmup=2, reps=3):
+    """Median seconds over reps with distinct args per call (relay
+    caches bit-identical calls); scalar host fetch forces execution."""
+    import time as _t
+
+    import numpy as _np
+
+    for i in range(warmup):
+        float(fn(*args_list[i]))
+    ts = []
+    for i in range(reps):
+        t0 = _t.perf_counter()
+        float(fn(*args_list[warmup + i]))
+        ts.append(_t.perf_counter() - t0)
+    return float(_np.median(ts))
+
+
+def _measure_roofline(jax, jnp, np):
+    """Micro-programs at the production render's stage shapes; each
+    reports achieved rate vs the relevant ceiling. K variants per
+    dispatch cancel the relay floor exactly like the main protocol."""
+    K = 4
+    pts = N_RAYS * N_SAMPLES          # 16.8M sampled points at 512^2
+    n_tiles = N_RAYS // EVAL_TILE
+    tile_pts = EVAL_TILE * N_SAMPLES
+    key = jax.random.PRNGKey(0)
+
+    def marginal(jit_k, jit_1, mk_args):
+        """(tK - t1) / (K - 1) with distinct inputs per rep."""
+        a_k = [mk_args(i, K) for i in range(5)]
+        a_1 = [mk_args(100 + i, 1) for i in range(5)]
+        tk = _time_fn(jit_k, a_k)
+        t1 = _time_fn(jit_1, a_1)
+        return max((tk - t1) / (K - 1), 1e-9)
+
+    # --- stage 1: pass-1 style gather — one 16-byte bf16 row (8 lanes)
+    # per point from a packed corner table (core/grid.py layout)
+    table = jax.device_put(
+        jnp.asarray(
+            np.random.RandomState(0).rand(1 << 20, 8), jnp.bfloat16
+        )
+    )
+
+    def gather_prog(tbl, idx):
+        # idx: (k, pts) int32; one serialized row per point
+        rows = tbl[idx.reshape(-1)]
+        return jnp.sum(rows.astype(jnp.float32))
+
+    g_jit = jax.jit(gather_prog)
+
+    def mk_gather(seed, k):
+        r = np.random.RandomState(seed)
+        return (table, jnp.asarray(
+            r.randint(0, 1 << 20, size=(k, pts), dtype=np.int32)
+        ))
+
+    t_gather = marginal(g_jit, g_jit, mk_gather)
+    gather_rows_per_s = pts / t_gather
+
+    # --- stage 2: per-tile one-bit-key stable argsort (compaction key)
+    def sort_prog(bits):
+        def tile(b):
+            order = jnp.argsort(~b, stable=True)
+            return order[:4096].astype(jnp.int32).sum()
+
+        return jnp.sum(jax.lax.map(tile, bits))
+
+    s_jit = jax.jit(sort_prog)
+
+    def mk_sort(seed, k):
+        r = np.random.RandomState(seed)
+        return (jnp.asarray(
+            r.rand(k * n_tiles, tile_pts) < 0.1
+        ),)
+
+    t_sort = marginal(s_jit, s_jit, mk_sort)
+    sort_keys_per_s = pts / t_sort
+
+    # --- stage 3: the 256-wide MLP trunk chain at a representative
+    # survivor capacity (8 layers, f32 params through the default
+    # bf16-pass MXU path — the production trunks' regime)
+    cap = 57344 * n_tiles  # the r4 rung the stage table measured
+    Ws = [jax.device_put(jnp.asarray(
+        np.random.RandomState(i).randn(256, 256), jnp.float32) * 0.06)
+        for i in range(8)]
+
+    def mlp_prog(ws, x):
+        h = x.reshape(-1, 256)
+        for w in ws:
+            h = jnp.maximum(h @ w, 0.0)
+        return jnp.sum(h)
+
+    m_jit = jax.jit(mlp_prog)
+
+    def mk_mlp(seed, k):
+        r = np.random.RandomState(seed)
+        return (Ws, jnp.asarray(r.rand(k * cap, 256), jnp.float32))
+
+    t_mlp = marginal(m_jit, m_jit, mk_mlp)
+    mlp_flops = cap * 8 * 2 * 256 * 256
+    mlp_tflops = mlp_flops / t_mlp / 1e12
+
+    return {
+        "protocol": (
+            f"live micro-programs at production stage shapes; marginal "
+            f"time of {K}-variant dispatches (relay floor cancelled)"
+        ),
+        "pass1_gather": {
+            "rows": pts,
+            "row_bytes": 16,
+            "ms": round(t_gather * 1e3, 2),
+            "achieved_rows_per_s": round(gather_rows_per_s / 1e6, 1),
+            "unit": "Mrows/s",
+            "ceiling": (
+                "XLA TPU gather serializes per row (~4.4 ns/row "
+                "measured r4); HBM-BW ceiling (819 GB/s / 16 B = "
+                "51,000 Mrows/s) is NOT reachable for gathers"
+            ),
+        },
+        "compaction_sort": {
+            "keys": pts,
+            "ms": round(t_sort * 1e3, 2),
+            "achieved_keys_per_s": round(sort_keys_per_s / 1e6, 1),
+            "unit": "Mkeys/s",
+            "ceiling": (
+                "one-bit-key stable argsort, O(n log^2 tile) bitonic "
+                "on TPU; hier rank-search alternative measured SLOWER "
+                "(69.6 vs 41.4 ms, BASELINE.md r4)"
+            ),
+        },
+        "mlp_trunk": {
+            "points": cap,
+            "layers": 8,
+            "width": 256,
+            "ms": round(t_mlp * 1e3, 2),
+            "achieved_tflops": round(mlp_tflops, 1),
+            "peak_tflops_bf16_pass": 197,
+            "frac_of_peak": round(mlp_tflops / 197, 3),
+            "note": (
+                "f32 operands via the default bf16-pass MXU path; "
+                "256-wide trunks underfill the 128x128 MXU pipeline "
+                "relative to large-matmul peak"
+            ),
+        },
+    }
+
+
+def _families_sidecar():
+    """Per-family whole-frame numbers measured via BENCH_MODEL runs
+    (tools/quality_runs; committed as BENCH_FAMILIES.json at the repo
+    root) — attached so the driver artifact carries every family, not
+    just the default AniNeRF (VERDICT-r4 item 5b)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_FAMILIES.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def main():
     from animatable_nerf_tpu import jaxenv
 
@@ -270,6 +430,18 @@ def main():
     sec_per_frame = 1024 * 1024 / rays_per_sec
     baseline = TARGET_FACTOR * REFERENCE_A100_RAYS_PER_SEC
 
+    # ---- roofline block (VERDICT-r4 item 5b): live micro-programs at
+    # the production shapes, so "the render sits at the hardware floor"
+    # is a checkable number, not prose. Three dominant stages
+    # (BASELINE.md round-4 stage table: pass-1 gather 41.5 ms, sort
+    # 34.2 ms, MLP trunks 38.8 ms of the 129 ms frame):
+    #   gather: 16-byte bf16 corner rows, one per sampled point — the
+    #     per-row serialization floor (~4.4 ns/row), NOT HBM bandwidth,
+    #     is the binding ceiling (819 GB/s would be ~51e9 rows/s).
+    #   sort: per-tile one-bit-key stable argsort (compaction).
+    #   mlp: the 256-wide trunk matmul chain at survivor capacity.
+    roofline = _measure_roofline(jax, jnp, np)
+
     print(
         json.dumps(
             {
@@ -302,6 +474,8 @@ def main():
                     "device": str(jax.devices()[0]),
                     "baseline_rays_per_sec": baseline,
                     "baseline_basis": "3x estimated A100 reference throughput",
+                    "roofline": roofline,
+                    "families_measured": _families_sidecar(),
                 },
             }
         )

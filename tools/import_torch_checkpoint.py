@@ -72,8 +72,15 @@ def _verify(cfg, converted):
     rays = {k: jnp.asarray(v) for k, v in ge._rays(rng, 4).items()}
     wpts = jnp.zeros((4, 4, 3))
     z = jnp.ones((4, 4))
+    # stage-2 checkpoints carry the novel-pose bw subtree; the template
+    # must declare it (Engine.init_params passes the same kwarg)
+    kwargs = (
+        {"novel_pose": True}
+        if cfg.test_novel_pose or cfg.aninerf_animation else {}
+    )
     template = model.init(
-        jax.random.PRNGKey(0), wpts, rays["ray_d"], z, frame, train=False
+        jax.random.PRNGKey(0), wpts, rays["ray_d"], z, frame, train=False,
+        **kwargs,
     )
     shapes = lambda t: jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), t)
     want, got = shapes(template), shapes(converted)

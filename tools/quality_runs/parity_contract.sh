@@ -1,7 +1,11 @@
 #!/bin/bash
-# Trained-checkpoint cross-framework parity (VERDICT-r3 item 1): the
-# <=0.1 dB PSNR contract with TRAINED weights, both directions, for
-# aninerf and sdf_pdf. See tools/parity_protocol.py for the design.
+# Trained-checkpoint cross-framework parity (VERDICT-r3 item 1, widened
+# in round 5 per VERDICT-r4 items 1+6): the <=0.1 dB PSNR contract with
+# TRAINED weights, both directions, for aninerf, sdf_pdf, neus_pdf,
+# aligned_lbw — plus the STAGE-2 NOVEL-POSE ANIMATION flow (the paper's
+# headline capability): reference aninerf_animation_trainer training on
+# top of the stage-1 checkpoint, evaluated with test_novel_pose True,
+# cross-evaluated in both directions. See tools/parity_protocol.py.
 #
 #   A) the reference's own train_net.py trains (CPU, tools/ref_cli.py
 #      shims) -> its own run.py evaluates -> we import the .pth and
@@ -9,13 +13,20 @@
 #   B) our train_net.py trains (TPU) -> our run.py evaluates -> we
 #      export to .pth -> the reference's own run.py evaluates it.
 #
-# Wall budget: the reference CPU trainings dominate (~1-2 h total on
-# this 1-core box); everything else is minutes.
+# Eval split: 4 frames x 1 held-out view per direction (and 4 novel-
+# pose frames for the stage-2 case). Wall budget: the reference CPU
+# trainings dominate (~2-4 h total on this box); everything else is
+# minutes. PARITY_LONG=aninerf (comma list) stretches that family's
+# reference training to ~5k steps.
 set -e
 cd "$(dirname "$0")/../.."
 export PYTHONPATH=/root/.axon_site:$PWD${PYTHONPATH:+:$PYTHONPATH}
 W=${PARITY_WORK:-/tmp/parity}
-FAMILIES=${FAMILIES:-"aninerf sdf_pdf"}
+FAMILIES=${FAMILIES:-"aninerf sdf_pdf neus_pdf aligned_lbw"}
+RUN_ANIM=${RUN_ANIM:-1}
+# EXTRA_OPTS: appended to every train/eval command — e.g. a smoke run:
+#   EXTRA_OPTS="ep_iter 3 train.epoch 1 save_ep 1 test.frame_sampler_interval 4"
+EXTRA_OPTS=${EXTRA_OPTS:-}
 
 python tools/parity_protocol.py gen --work $W
 mkdir -p $W/ref $W/ours
@@ -23,26 +34,61 @@ mkdir -p $W/ref $W/ours
 for F in $FAMILIES; do
   CFG=$W/${F}_ref.yaml
   echo "=== [$F] A1: reference train_net.py (CPU) ==="
-  python tools/ref_cli.py --work $W/ref train_net --cfg_file $CFG resume False
+  python tools/ref_cli.py --work $W/ref train_net --cfg_file $CFG resume False $EXTRA_OPTS
   echo "=== [$F] A2: reference run.py evaluate (its own checkpoint) ==="
-  python tools/ref_cli.py --work $W/ref run --type evaluate --cfg_file $CFG
+  python tools/ref_cli.py --work $W/ref run --type evaluate --cfg_file $CFG $EXTRA_OPTS
   echo "=== [$F] A3: import .pth -> our checkpoint dir ==="
   python tools/parity_protocol.py import-eval --work $W --family $F
   echo "=== [$F] A4: our run.py evaluate (imported weights) ==="
   (cd $W/ours && python /root/repo/run.py --type evaluate --cfg_file $CFG \
-      exp_name parity_${F}_imported)
+      exp_name parity_${F}_imported $EXTRA_OPTS)
 
   echo "=== [$F] B1: our train_net.py (TPU) ==="
   (cd $W/ours && python /root/repo/train_net.py --cfg_file $CFG resume False \
-      train.steps_per_dispatch 16)
+      train.steps_per_dispatch 16 $EXTRA_OPTS)
   echo "=== [$F] B2: our run.py evaluate (our checkpoint) ==="
-  (cd $W/ours && python /root/repo/run.py --type evaluate --cfg_file $CFG)
+  (cd $W/ours && python /root/repo/run.py --type evaluate --cfg_file $CFG $EXTRA_OPTS)
   echo "=== [$F] B3: export .flax -> reference .pth ==="
   python tools/parity_protocol.py export --work $W --family $F
   echo "=== [$F] B4: reference run.py evaluate (exported weights) ==="
   python tools/ref_cli.py --work $W/ref run --type evaluate --cfg_file $CFG \
-      exp_name parity_${F}_tpu
+      exp_name parity_${F}_tpu $EXTRA_OPTS
 done
 
+REPORT_FAMILIES=${FAMILIES// /,}
+
+if [ "$RUN_ANIM" = "1" ]; then
+  # stage-2 novel-pose animation on top of the aninerf stage-1
+  # checkpoints both sides trained above
+  CFG=$W/aninerf_ref.yaml
+  ANIM="aninerf_animation True init_aninerf parity_aninerf"
+  echo "=== [anim] A1: reference stage-2 train (CPU) ==="
+  python tools/ref_cli.py --work $W/ref train_net --cfg_file $CFG \
+      $ANIM exp_name parity_aninerf_anim resume False $EXTRA_OPTS
+  echo "=== [anim] A2: reference novel-pose evaluate ==="
+  python tools/ref_cli.py --work $W/ref run --type evaluate --cfg_file $CFG \
+      $ANIM test_novel_pose True exp_name parity_aninerf_anim $EXTRA_OPTS
+  echo "=== [anim] A3: import stage-2 .pth ==="
+  python tools/parity_protocol.py import-eval --work $W --family aninerf_anim
+  echo "=== [anim] A4: our novel-pose evaluate (imported) ==="
+  (cd $W/ours && python /root/repo/run.py --type evaluate --cfg_file $CFG \
+      aninerf_animation True test_novel_pose True \
+      exp_name parity_aninerf_anim_imported $EXTRA_OPTS)
+
+  echo "=== [anim] B1: our stage-2 train (TPU) ==="
+  (cd $W/ours && python /root/repo/train_net.py --cfg_file $CFG \
+      $ANIM exp_name parity_aninerf_anim resume False $EXTRA_OPTS)
+  echo "=== [anim] B2: our novel-pose evaluate ==="
+  (cd $W/ours && python /root/repo/run.py --type evaluate --cfg_file $CFG \
+      aninerf_animation True test_novel_pose True \
+      exp_name parity_aninerf_anim $EXTRA_OPTS)
+  echo "=== [anim] B3: export stage-2 .flax -> reference .pth ==="
+  python tools/parity_protocol.py export --work $W --family aninerf_anim
+  echo "=== [anim] B4: reference novel-pose evaluate (exported) ==="
+  python tools/ref_cli.py --work $W/ref run --type evaluate --cfg_file $CFG \
+      $ANIM test_novel_pose True exp_name parity_aninerf_anim_tpu $EXTRA_OPTS
+  REPORT_FAMILIES=$REPORT_FAMILIES,aninerf_anim
+fi
+
 echo "=== report ==="
-python tools/parity_protocol.py report --work $W --families ${FAMILIES// /,}
+python tools/parity_protocol.py report --work $W --families $REPORT_FAMILIES
