@@ -15,5 +15,9 @@ from .body_model import (
     barycentric_interpolation,
     smplx_full_pose,
     smplx_lbs,
+    smplx_forward,
+    vertices2landmarks,
+    extra_joint_ids,
+    SMPLX_VERTEX_IDS,
 )
 from .point_mesh import closest_point_on_mesh

@@ -196,6 +196,7 @@ class SMPLModel:
 SMPLX_NUM_BODY_JOINTS = 21
 SMPLX_NUM_HAND_JOINTS = 15
 SMPLX_SHAPE_SPACE_DIM = 300  # body_models.py:126 (expr dirs start here)
+SMPLX_EXPRESSION_SPACE_DIM = 100  # body_models.py:990
 
 
 def smplx_full_pose(
@@ -253,6 +254,188 @@ def smplx_full_pose(
     return full
 
 
+# SMPL-X vertex indices of the OpenPose/MSCOCO extra keypoints (the
+# standard public mapping shipped with every SMPL-X distribution;
+# reference lib/utils/smplx/vertex_ids.py 'smplx' entry). Order below
+# follows VertexJointSelector (vertex_joint_selector.py:38-68): 5 face
+# keypoints, 6 feet keypoints, 10 finger tips (l then r hand).
+SMPLX_VERTEX_IDS = {
+    "nose": 9120, "reye": 9929, "leye": 9448, "rear": 616, "lear": 6,
+    "LBigToe": 5770, "LSmallToe": 5780, "LHeel": 8846,
+    "RBigToe": 8463, "RSmallToe": 8474, "RHeel": 8635,
+    "lthumb": 5361, "lindex": 4933, "lmiddle": 5058, "lring": 5169,
+    "lpinky": 5286,
+    "rthumb": 8079, "rindex": 7669, "rmiddle": 7794, "rring": 7905,
+    "rpinky": 8022,
+}
+
+
+def extra_joint_ids(vertex_ids: dict, use_hands: bool = True,
+                    use_feet_keypoints: bool = True) -> np.ndarray:
+    """VertexJointSelector's extra-joint vertex index list
+    (vertex_joint_selector.py:29-68): face keypoints, optional feet
+    keypoints, optional finger tips (l-hand then r-hand)."""
+    idxs = [vertex_ids[k] for k in ("nose", "reye", "leye", "rear", "lear")]
+    if use_feet_keypoints:
+        idxs += [vertex_ids[k] for k in (
+            "LBigToe", "LSmallToe", "LHeel", "RBigToe", "RSmallToe", "RHeel",
+        )]
+    if use_hands:
+        for hand in ("l", "r"):
+            idxs += [
+                vertex_ids[hand + tip]
+                for tip in ("thumb", "index", "middle", "ring", "pinky")
+            ]
+    return np.asarray(idxs, np.int64)
+
+
+def vertices2landmarks(vertices, faces, lmk_faces_idx, lmk_bary_coords):
+    """Barycentric face landmarks (lbs.py:108-160): landmark l =
+    sum_k bary[l,k] * vertices[faces[lmk_faces_idx[l], k]]."""
+    faces = np.asarray(faces, np.int64)
+    tri = np.asarray(vertices, np.float64)[
+        faces[np.asarray(lmk_faces_idx, np.int64)]
+    ]  # (L, 3, 3)
+    return np.einsum(
+        "lkc,lk->lc", tri, np.asarray(lmk_bary_coords, np.float64)
+    )
+
+
+def find_joint_kin_chain(joint_id: int, parents) -> list:
+    """Root-ward kinematic chain from a joint (utils.py:90-96; the
+    reference walks until parent == -1, so parents[0] must be -1
+    here)."""
+    chain = []
+    cur = int(joint_id)
+    while cur != -1:
+        chain.append(cur)
+        cur = int(parents[cur])
+    return chain
+
+
+def dynamic_lmk_idx_and_bcoords(full_pose, dynamic_lmk_faces_idx,
+                                dynamic_lmk_bary_coords, neck_kin_chain):
+    """Contour-landmark LUT row from the neck's accumulated y-rotation
+    (lbs.py:30-105): compose the chain's rotations, take
+    atan2(-R[2,0], hypot(R[0,0], R[1,0])) in degrees, round, clamp to
+    the 79-row table ([0..39] right, [40..78] left)."""
+    aa = np.asarray(full_pose, np.float64).reshape(-1, 3)[
+        np.asarray(neck_kin_chain, np.int64)
+    ]
+    rel = np.eye(3)
+    for i in range(len(neck_kin_chain)):
+        rot = np.asarray(batch_rodrigues(
+            np.asarray(aa[i: i + 1], np.float32)
+        ), np.float64)[0]
+        rel = rot @ rel
+    sy = np.sqrt(rel[0, 0] ** 2 + rel[1, 0] ** 2)
+    euler = np.arctan2(-rel[2, 0], sy)
+    y_rot_angle = int(np.round(np.clip(-euler * 180.0 / np.pi, None, 39)))
+    if y_rot_angle < 0:
+        y_rot_angle = 78 if y_rot_angle < -39 else 39 - y_rot_angle
+    return (
+        np.asarray(dynamic_lmk_faces_idx, np.int64)[y_rot_angle],
+        np.asarray(dynamic_lmk_bary_coords, np.float64)[y_rot_angle],
+    )
+
+
+def smplx_forward(
+    model: dict,
+    betas=None,
+    expression=None,
+    global_orient=None,
+    body_pose=None,
+    jaw_pose=None,
+    leye_pose=None,
+    reye_pose=None,
+    left_hand_pose=None,
+    right_hand_pose=None,
+    transl=None,
+    use_pca: bool = True,
+    num_pca_comps: int = 6,
+    flat_hand_mean: bool = False,
+    use_face_contour: bool = False,
+    vertex_ids: dict | None = None,
+    num_betas: int = 10,
+    num_expression: int = 10,
+) -> dict:
+    """SMPLX.forward equivalent (body_models.py:1295-1382) over the
+    golden-pinned math surface: returns the reference's output struct
+    as a dict {vertices (V,3), joints (55+21[+51/68] ,3), full_pose
+    (165,), v_shaped (V,3), betas, expression} — pose assembly
+    (smplx_full_pose), LBS (smplx_lbs), extra vertex joints
+    (vertex_joint_selector), static face landmarks, optional dynamic
+    contour landmarks, and the translation applied to vertices AND
+    joints (:1363-1365).
+
+    `model`: load_smpl output of an SMPL-X pickle — needs v_template /
+    shapedirs / posedirs / J_regressor / weights / kintree_table plus
+    f (faces), lmk_faces_idx, lmk_bary_coords (and the dynamic_* LUTs
+    with use_face_contour). Unbatched by design (the runtime never
+    batches body models; batch by vmapping callers)."""
+    full_pose = smplx_full_pose(
+        global_orient, body_pose, jaw_pose, leye_pose, reye_pose,
+        left_hand_pose, right_hand_pose,
+        hands_componentsl=model.get("hands_componentsl"),
+        hands_componentsr=model.get("hands_componentsr"),
+        hands_meanl=model.get("hands_meanl"),
+        hands_meanr=model.get("hands_meanr"),
+        use_pca=use_pca, num_pca_comps=num_pca_comps,
+        flat_hand_mean=flat_hand_mean,
+    )
+    betas = (np.zeros(num_betas, np.float64) if betas is None
+             else np.asarray(betas, np.float64).reshape(-1))
+    expression = (np.zeros(num_expression, np.float64) if expression is None
+                  else np.asarray(expression, np.float64).reshape(-1))
+    verts, joints = smplx_lbs(
+        model, betas, expression, full_pose,
+        num_betas=num_betas, num_expression=num_expression,
+    )
+    verts = np.asarray(verts, np.float64)
+    joints = np.asarray(joints, np.float64)
+
+    # extra vertex joints (vertex_joint_selector forward, :73-77)
+    vids = SMPLX_VERTEX_IDS if vertex_ids is None else vertex_ids
+    joints = np.concatenate([joints, verts[extra_joint_ids(vids)]])
+
+    # face landmarks (static 51, + 2x17 contour with use_face_contour)
+    if "lmk_faces_idx" in model:
+        lmk_faces = np.asarray(model["lmk_faces_idx"], np.int64)
+        lmk_bary = np.asarray(model["lmk_bary_coords"], np.float64)
+        if use_face_contour:
+            parents = np.asarray(model["kintree_table"])[0].astype(np.int64)
+            parents = parents.copy()
+            parents[0] = -1
+            chain = find_joint_kin_chain(12, parents)  # NECK_IDX = 12
+            dyn_faces, dyn_bary = dynamic_lmk_idx_and_bcoords(
+                full_pose, model["dynamic_lmk_faces_idx"],
+                model["dynamic_lmk_bary_coords"], chain,
+            )
+            lmk_faces = np.concatenate([lmk_faces, dyn_faces])
+            lmk_bary = np.concatenate([lmk_bary, dyn_bary])
+        landmarks = vertices2landmarks(verts, model["f"], lmk_faces,
+                                       lmk_bary)
+        joints = np.concatenate([joints, landmarks])
+
+    if transl is not None:
+        t = np.asarray(transl, np.float64).reshape(3)
+        verts = verts + t
+        joints = joints + t
+
+    v_shaped = np.asarray(model["v_template"], np.float64) + np.einsum(
+        "vcs,s->vc",
+        np.asarray(model["shapedirs"], np.float64)[..., :num_betas], betas,
+    )
+    return {
+        "vertices": verts.astype(np.float32),
+        "joints": joints.astype(np.float32),
+        "full_pose": full_pose.astype(np.float32),
+        "v_shaped": v_shaped.astype(np.float32),
+        "betas": betas.astype(np.float32),
+        "expression": expression.astype(np.float32),
+    }
+
+
 def smplx_lbs(model: dict, betas, expression, full_pose,
               num_betas: int = 10, num_expression: int = 10):
     """SMPL-X LBS: (verts (V, 3), posed joints (55, 3)).
@@ -272,10 +455,19 @@ def smplx_lbs(model: dict, betas, expression, full_pose,
     sd = shapedirs[..., :num_betas]
     comps = [np.asarray(betas, np.float64).reshape(-1)[:num_betas]]
     dirs = [sd]
-    if shapedirs.shape[-1] > SMPLX_SHAPE_SPACE_DIM:
-        expr_dirs = shapedirs[
-            ..., SMPLX_SHAPE_SPACE_DIM:SMPLX_SHAPE_SPACE_DIM + num_expression
-        ]
+    if shapedirs.shape[-1] > num_betas:
+        # expression-dirs column range, exactly as SMPLX.__init__ picks
+        # it (body_models.py:1143-1158): full 300+100 layout -> columns
+        # [300:300+n]; anything smaller is treated as the reduced
+        # 10-shape+10-expression layout -> columns [10:10+n]
+        if shapedirs.shape[-1] >= (
+            SMPLX_SHAPE_SPACE_DIM + SMPLX_EXPRESSION_SPACE_DIM
+        ):
+            e0 = SMPLX_SHAPE_SPACE_DIM
+        else:
+            e0 = 10
+            num_expression = min(num_expression, 10)
+        expr_dirs = shapedirs[..., e0:e0 + num_expression]
         dirs.append(expr_dirs)
         comps.append(
             np.asarray(expression, np.float64).reshape(-1)[:num_expression]

@@ -324,8 +324,10 @@ class TestSMPLXGolden:
         kt[0] = self.SMPLX_PARENTS
         return {
             "v_template": rng.randn(V, 3) * 0.3,
-            # shape space [0:300), expression space [300:310)
-            "shapedirs": rng.randn(V, 3, 310) * 0.01,
+            # real SMPL-X layout: 400 columns (300 shape + 100 expr;
+            # the class treats anything narrower as the reduced
+            # 10-shape+10-expr layout, body_models.py:1143-1152)
+            "shapedirs": rng.randn(V, 3, 400) * 0.01,
             # raw pickle layout (V, 3, 54*9)
             "posedirs": rng.randn(V, 3, (J - 1) * 9) * 0.001,
             "J_regressor": reg,
@@ -415,6 +417,101 @@ class TestSMPLXGolden:
         )
         np.testing.assert_allclose(
             joints, joints_ref[0].numpy(), rtol=1e-5, atol=1e-6,
+        )
+
+    def test_forward_golden_vs_reference_class(self, tmp_path):
+        """smplx_forward vs the reference's OWN vendored SMPLX class
+        (body_models.py:1295-1382) run in place on a random
+        SMPL-X-shaped pickle: vertices, the full joint set (55 LBS +
+        21 vertex joints + 51 static + 17 contour landmarks),
+        full_pose, and the transl shift must all match.
+
+        V = 10475 (the class hard-codes VERTEX_IDS['smplx'] vertex
+        joints, whose largest index is 9929)."""
+        torch = pytest.importorskip("torch")
+        import pickle as pkl
+
+        import ref_oracle
+
+        ref_oracle.install()
+        bm = ref_oracle.load("lib.utils.smplx.body_models")
+
+        from animatable_nerf_tpu.smpl.body_model import smplx_forward
+
+        rng = np.random.RandomState(11)
+        V, J, F = 10475, 55, 200
+        reg = np.zeros((J, V), np.float32)
+        for j in range(J):
+            reg[j, rng.randint(0, V, 3)] = 1.0 / 3.0
+        w = (rng.rand(V, J) ** 4).astype(np.float32)
+        w /= w.sum(-1, keepdims=True)
+        kt = np.zeros((2, J), np.int64)
+        kt[0] = self.SMPLX_PARENTS
+        model = {
+            "v_template": (rng.randn(V, 3) * 0.3).astype(np.float32),
+            "shapedirs": (rng.randn(V, 3, 400) * 0.01).astype(np.float32),
+            "posedirs": (
+                rng.randn(V, 3, (J - 1) * 9) * 0.001
+            ).astype(np.float32),
+            "J_regressor": reg,
+            "weights": w,
+            "kintree_table": kt,
+            "f": rng.randint(0, V, (F, 3)).astype(np.int64),
+            "hands_componentsl": (rng.randn(6, 45) * 0.5).astype(np.float32),
+            "hands_componentsr": (rng.randn(6, 45) * 0.5).astype(np.float32),
+            "hands_meanl": (rng.randn(45) * 0.1).astype(np.float32),
+            "hands_meanr": (rng.randn(45) * 0.1).astype(np.float32),
+            "lmk_faces_idx": rng.randint(0, F, 51).astype(np.int64),
+            "lmk_bary_coords": rng.dirichlet(
+                np.ones(3), 51
+            ).astype(np.float32),
+            "dynamic_lmk_faces_idx": rng.randint(
+                0, F, (79, 17)
+            ).astype(np.int64),
+            "dynamic_lmk_bary_coords": rng.dirichlet(
+                np.ones(3), (79, 17)
+            ).astype(np.float32),
+        }
+        path = str(tmp_path / "SMPLX_NEUTRAL.pkl")
+        with open(path, "wb") as fh:
+            pkl.dump(model, fh)
+
+        args = dict(
+            betas=rng.randn(10) * 0.5,
+            expression=rng.randn(10) * 0.5,
+            global_orient=rng.randn(3) * 0.3,
+            body_pose=rng.randn(63) * 0.2,
+            jaw_pose=rng.randn(3) * 0.1,
+            leye_pose=rng.randn(3) * 0.1,
+            reye_pose=rng.randn(3) * 0.1,
+            left_hand_pose=rng.randn(6) * 0.5,
+            right_hand_pose=rng.randn(6) * 0.5,
+            transl=rng.randn(3) * 0.2,
+        )
+        ref = bm.SMPLX(
+            path, ext="pkl", use_pca=True, num_pca_comps=6,
+            flat_hand_mean=False, use_face_contour=True, batch_size=1,
+        )
+        t = {k: torch.as_tensor(
+            np.asarray(v, np.float32)
+        ).reshape(1, -1) for k, v in args.items()}
+        out_ref = ref.forward(return_verts=True, return_full_pose=True, **t)
+
+        ours = smplx_forward(
+            model, use_pca=True, num_pca_comps=6, flat_hand_mean=False,
+            use_face_contour=True, **args,
+        )
+        np.testing.assert_allclose(
+            ours["vertices"], out_ref.vertices.detach().numpy()[0],
+            atol=2e-5,
+        )
+        assert ours["joints"].shape == (J + 21 + 51 + 17, 3)
+        np.testing.assert_allclose(
+            ours["joints"], out_ref.joints.detach().numpy()[0], atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            ours["full_pose"], out_ref.full_pose.detach().numpy()[0],
+            atol=1e-5,
         )
 
     def test_no_pca_flat_hands(self):
