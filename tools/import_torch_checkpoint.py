@@ -84,7 +84,26 @@ def _verify(cfg, converted):
     )
     shapes = lambda t: jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), t)
     want, got = shapes(template), shapes(converted)
-    if want != got:
+    # the converted tree may be a SUPERSET of the eval template: a
+    # stage-2 checkpoint carries bw_field AND novel_pose_bw, while the
+    # novel-pose eval template only traces novel_pose_bw (flax init
+    # creates params for called modules only); eval's from_state_dict
+    # restores the template subset. Verify every template path exists
+    # in the conversion with the right shape.
+    def subset_ok(w, g, path=""):
+        if isinstance(w, dict):
+            return isinstance(g, dict) and all(
+                k in g and subset_ok(v, g[k], f"{path}/{k}")
+                for k, v in w.items()
+            )
+        return w == g
+
+    if want != got and subset_ok(want, got):
+        extra = sorted(set(got.get("params", {})) - set(want.get("params", {})))
+        print(f"note: checkpoint carries extra subtrees {extra} beyond "
+              "the eval template (stage-2 superset) — verified on the "
+              "template subset")
+    elif want != got:
         import difflib
 
         w = repr(want).replace("), ", "),\n")

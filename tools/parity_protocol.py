@@ -310,9 +310,31 @@ def cmd_export(args):
     ours_dir = os.path.join(work, "ours", "data", "trained_model", "deform",
                             f"parity_{args.family}")
     eng = Engine(cfg)
-    template = eng.init_params(
-        jax.random.PRNGKey(0), dataset=_template_dataset(cfg),
-    )
+    if args.family in CASES:
+        # stage-2 checkpoints carry the FULL tree (bw_field AND
+        # novel_pose_bw AND the color head) — the reference's strict
+        # load needs every subtree, but the novel-pose EVAL template
+        # only traces novel_pose_bw. Init in the animation trainer's
+        # regime (train=True, novel_pose=True traces both fields plus
+        # the full canonical human; train/animation.py init_state).
+        import jax.numpy as jnp
+
+        from animatable_nerf_tpu.engine import frame_arrays
+
+        ds = _template_dataset(cfg)
+        frame = frame_arrays(ds[0])  # host-side: keep out of the trace
+        z = jnp.ones((8, cfg.N_samples))
+        template = jax.jit(
+            lambda: eng.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((*z.shape, 3)),
+                jnp.ones((8, 3)), z, frame,
+                train=True, novel_pose=True,
+            )
+        )()
+    else:
+        template = eng.init_params(
+            jax.random.PRNGKey(0), dataset=_template_dataset(cfg),
+        )
     loaded = load_checkpoint(ours_dir, template)
     assert loaded is not None, f"no checkpoint in {ours_dir}"
     params, _opt, epoch, _step, _rec = loaded

@@ -33,10 +33,14 @@ mkdir -p $W/ref $W/ours
 
 for F in $FAMILIES; do
   CFG=$W/${F}_ref.yaml
+  # the reference's NeuS family crashes its own no_grad eval (genuine
+  # upstream bug; see tools/ref_cli.py _install_neus_gradient_fix) —
+  # shim its REFERENCE EVAL steps only, never its training
+  if [ "$F" = "neus_pdf" ]; then EVAL_ENV="ANV_REF_NEUS_GRAD_FIX=1"; else EVAL_ENV="ANV_REF_NEUS_GRAD_FIX=0"; fi
   echo "=== [$F] A1: reference train_net.py (CPU) ==="
   python tools/ref_cli.py --work $W/ref train_net --cfg_file $CFG resume False $EXTRA_OPTS
   echo "=== [$F] A2: reference run.py evaluate (its own checkpoint) ==="
-  python tools/ref_cli.py --work $W/ref run --type evaluate --cfg_file $CFG $EXTRA_OPTS
+  env $EVAL_ENV python tools/ref_cli.py --work $W/ref run --type evaluate --cfg_file $CFG $EXTRA_OPTS
   echo "=== [$F] A3: import .pth -> our checkpoint dir ==="
   python tools/parity_protocol.py import-eval --work $W --family $F
   echo "=== [$F] A4: our run.py evaluate (imported weights) ==="
@@ -51,7 +55,7 @@ for F in $FAMILIES; do
   echo "=== [$F] B3: export .flax -> reference .pth ==="
   python tools/parity_protocol.py export --work $W --family $F
   echo "=== [$F] B4: reference run.py evaluate (exported weights) ==="
-  python tools/ref_cli.py --work $W/ref run --type evaluate --cfg_file $CFG \
+  env $EVAL_ENV python tools/ref_cli.py --work $W/ref run --type evaluate --cfg_file $CFG \
       exp_name parity_${F}_tpu $EXTRA_OPTS
 done
 

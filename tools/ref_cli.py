@@ -115,6 +115,44 @@ def _install_cuda_cpu_shim():
     torch.cuda.is_available = lambda: False
 
 
+def _install_neus_gradient_fix():
+    """Patch the NeuS SDFNetwork.gradient for no_grad eval
+    (env ANV_REF_NEUS_GRAD_FIX=1).
+
+    Workaround for a genuine reference bug: anisdf_neus_pdf_network.py
+    :360-370 `SDFNetwork.gradient` calls torch.autograd.grad WITHOUT
+    the `with torch.enable_grad():` guard its anisdf_pdf twin has
+    (anisdf_pdf_network.py:306-308), so the reference's own
+    `run.py --type evaluate` (which wraps rendering in torch.no_grad,
+    run.py:44) crashes on the NeuS family — and the repo ships no NeuS
+    eval command in test.sh/extension.sh, so the path was never
+    exercised upstream. The patch hooks the dynamic module loader and
+    wraps ONLY that method in enable_grad (+ a detached input clone so
+    requires_grad_ works on the no_grad-born tensor) — exactly the pdf
+    twin's semantics; forward values are unchanged."""
+    import functools
+
+    import imp  # the ref_oracle polyfill
+    import torch
+
+    orig = imp.load_source
+
+    @functools.wraps(orig)
+    def load_source(name, path):
+        mod = orig(name, path)
+        if path.endswith("anisdf_neus_pdf_network.py"):
+            raw = mod.SDFNetwork.gradient
+
+            def gradient(self, x, batch):
+                with torch.enable_grad():
+                    return raw(self, x.detach().clone(), batch)
+
+            mod.SDFNetwork.gradient = gradient
+        return mod
+
+    imp.load_source = load_source
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     assert argv and argv[0] == "--work", (
@@ -137,6 +175,8 @@ def main(argv=None):
     _install_tensorboardx_stub()
     _install_skimage_stub()
     _install_cuda_cpu_shim()
+    if os.environ.get("ANV_REF_NEUS_GRAD_FIX") == "1":
+        _install_neus_gradient_fix()
 
     os.makedirs(work, exist_ok=True)
     os.chdir(work)
