@@ -26,6 +26,10 @@ EPOCHS=${EPOCHS:-400}          # 400 x 500 = the reference's 200k steps
 S2_EPOCHS=${S2_EPOCHS:-$EPOCHS}
 EVAL_EP=${EVAL_EP:-10}         # val PSNR every 5k steps
 EXP=${EXP:-cap_full}
+# extra train-side opts (throughput knobs that do not change the
+# training semantics when they apply cleanly — e.g. train_keep_frac
+# with headroom, compute_dtype bfloat16). Recorded in the artifact.
+EXTRA_TRAIN=${EXTRA_TRAIN:-}
 COMMON="train_dataset.data_root $ROOT train_dataset.ann_file $ROOT/annots.npy \
 test_dataset.data_root $ROOT test_dataset.ann_file $ROOT/annots.npy \
 H 256 W 256 training_view [0,1,2,3,4,5,6,7,8,9,10,11] \
@@ -41,7 +45,7 @@ python train_net.py --cfg_file configs/synthetic.yaml exp_name ${EXP}_aninerf \
   resume ${RESUME:-False} $COMMON norm_th 0.1 \
   N_rand 1024 ep_iter 500 train.epoch $EPOCHS train.steps_per_dispatch 16 \
   save_ep 50 save_latest_ep 10 eval_ep $EVAL_EP test_view "12," \
-  test.frame_sampler_interval 4
+  test.frame_sampler_interval 4 $EXTRA_TRAIN
 echo "=== AniNeRF evals (best.flax preferred) ==="
 for V in 0 12; do
   echo "--- view $V, training poses ---"
@@ -54,7 +58,7 @@ echo "=== AniNeRF stage-2: $((S2_EPOCHS * 500)) steps (reference runs stage-2 on
 python train_net.py --cfg_file configs/synthetic.yaml exp_name ${EXP}_aninerf_anim \
   resume ${RESUME:-False} aninerf_animation True init_aninerf ${EXP}_aninerf \
   $COMMON norm_th 0.1 ep_iter 500 train.epoch $S2_EPOCHS \
-  save_ep 50 save_latest_ep 10 eval_ep 1000000
+  save_ep 50 save_latest_ep 10 eval_ep 1000000 $EXTRA_TRAIN
 echo "=== novel-pose evals (UNSEEN poses 16-19) ==="
 for V in 0 12; do
   echo "--- view $V, novel poses ---"
@@ -70,7 +74,7 @@ python train_net.py --cfg_file configs/synthetic.yaml exp_name ${EXP}_sdf \
   resume ${RESUME:-False} $COMMON $PDF network_module sdf_pdf \
   N_rand 1024 ep_iter 500 train.epoch $EPOCHS train.steps_per_dispatch 16 \
   save_ep 50 save_latest_ep 10 eval_ep $EVAL_EP test_view "12," \
-  test.frame_sampler_interval 4
+  test.frame_sampler_interval 4 $EXTRA_TRAIN
 echo "=== SDF-PDF eval: BEST checkpoint (mechanized retention) ==="
 for V in 0 12; do
   echo "--- view $V best ---"
