@@ -277,6 +277,17 @@ class Trainer:
             cfg.train.get("steps_per_dispatch", 1) or 1
         )
         self._multi_step_fn = jax.jit(self._train_steps)
+        # stats come back as ONE packed (n_stats, K) array fetched in a
+        # single host transfer: the remote relay charges ~25 ms PER
+        # LEAF on device->host reads (measured: 8-leaf stats dict
+        # 201 ms vs packed 25.6 ms per dispatch), so the per-dispatch
+        # logging fetch was costing ~12 ms/step at K=16. The key order
+        # is recorded at trace time (_stats_keys); chip-local hosts
+        # simply see one copy instead of eight.
+        self._stats_keys = None
+        self._multi_step_fn_packed = jax.jit(self._pack_stats_out(
+            self._train_steps
+        ))
         # explicit-SPMD DP step (shard_map): each device runs the CLEAN
         # single-frame graph on its own frame and the gradient pmean
         # rides ICI — replacing the reference's NCCL DDP all-reduce
@@ -287,9 +298,31 @@ class Trainer:
         self.mesh = mesh
         self._sharded_step_fn = None
         self._sharded_multi_fn = None
+        self._sharded_multi_fn_packed = None
         if mesh is not None and mesh.shape.get("dp", 1) > 1:
             self._sharded_step_fn = jax.jit(self._train_step_sharded)
             self._sharded_multi_fn = jax.jit(self._train_steps_sharded)
+            self._sharded_multi_fn_packed = jax.jit(self._pack_stats_out(
+                self._train_steps_sharded
+            ))
+
+    def _pack_stats_out(self, fn):
+        """Wrap a (…) -> (state, stats_dict) step fn so the jitted
+        program returns (state, jnp.stack(sorted stats)) — one D2H leaf
+        instead of one per stat. Sorted key order is captured at trace
+        time into self._stats_keys (tracing completes before the first
+        result is consumed)."""
+
+        def wrapped(*args, **kwargs):
+            state, stats = fn(*args, **kwargs)
+            keys = tuple(sorted(stats))
+            self._stats_keys = keys
+            packed = jnp.stack(
+                [jnp.asarray(stats[k], jnp.float32) for k in keys]
+            )
+            return state, packed
+
+        return wrapped
 
     def disable_train_stage2(self):
         """Rebuild the jitted steps with stage-2 train compaction off
@@ -302,9 +335,15 @@ class Trainer:
         self.model = self.model.clone(stage2_ratio=0.0)
         self._step_fn = jax.jit(self._train_step)
         self._multi_step_fn = jax.jit(self._train_steps)
+        self._multi_step_fn_packed = jax.jit(self._pack_stats_out(
+            self._train_steps
+        ))
         if self._sharded_step_fn is not None:
             self._sharded_step_fn = jax.jit(self._train_step_sharded)
             self._sharded_multi_fn = jax.jit(self._train_steps_sharded)
+            self._sharded_multi_fn_packed = jax.jit(self._pack_stats_out(
+                self._train_steps_sharded
+            ))
 
     # ------------------------------------------------------------- init
     def init_state(self, key, sample_batch) -> TrainState:
@@ -494,6 +533,25 @@ class Trainer:
             )
         return self._multi_step_fn(state, batches, key, _store_args(store))
 
+    def train_steps_packed(self, state, batches, key, store=None):
+        """train_steps with the stats packed into one (n_stats, K) f32
+        array (single D2H transfer; see _pack_stats_out). Returns
+        (state, stats_dict_of_host_numpy) — the fetch happens here."""
+        K, B = batches["ray_o"].shape[:2]
+        if self._use_sharded(B):
+            keys = jax.vmap(
+                lambda k: jax.random.split(k, B)
+            )(jax.random.split(key, K))
+            state, packed = self._sharded_multi_fn_packed(
+                state, batches, keys, _store_args(store)
+            )
+        else:
+            state, packed = self._multi_step_fn_packed(
+                state, batches, key, _store_args(store)
+            )
+        arr = np.asarray(packed)
+        return state, {k: arr[i] for i, k in enumerate(self._stats_keys)}
+
     # ------------------------------------------------------------- loop
     def train_epoch(self, state, loader, recorder, key, epoch: int,
                     max_iter: int, mesh=None, log_interval: int = 20,
@@ -595,11 +653,16 @@ class Trainer:
                 batches = shard_batch(batches, mesh, leading_steps=True)
             data_time = time.time() - end
             key, sub = jax.random.split(key)
-            state, stats = self.train_steps(state, batches, sub, store=store)
-            jax.block_until_ready(stats["loss"])
+            # packed-stats path: the single np.asarray inside forces
+            # full completion (block_until_ready can return early for
+            # programs containing Pallas calls — CLAUDE.md), so
+            # batch_time here is the honest wall cost of the dispatch
+            state, stats_host = self.train_steps_packed(
+                state, batches, sub, store=store
+            )
             batch_time = time.time() - end
-            log_stats(state, {k: np.asarray(v) for k, v in stats.items()},
-                      len(step_batches), batch_time, data_time)
+            log_stats(state, stats_host, len(step_batches), batch_time,
+                      data_time)
             return state, key
 
         def collate(item):

@@ -22,6 +22,10 @@ ROOT=${SYNTHCAP14_ROOT:-/tmp/synthcap14}/human
 EPOCHS=${EPOCHS:-52}    # 26k steps — the control protocol's length
 NRAND=${NRAND:-4096}
 EXP=${EXP:-capsdf_nrand${NRAND}}
+# throughput opts appended AFTER the protocol opts (later opts win):
+# e.g. train_keep_frac (exact gradients absent overflow) and
+# compute_dtype bfloat16 — recorded with the artifact when used
+EXTRA_TRAIN=${EXTRA_TRAIN:-}
 COMMON="train_dataset.data_root $ROOT train_dataset.ann_file $ROOT/annots.npy \
 test_dataset.data_root $ROOT test_dataset.ann_file $ROOT/annots.npy \
 H 256 W 256 training_view [0,1,2,3,4,5,6,7,8,9,10,11] \
@@ -37,7 +41,7 @@ python train_net.py --cfg_file configs/synthetic.yaml exp_name $EXP \
   resume ${RESUME:-False} $COMMON \
   N_rand $NRAND ep_iter 500 train.epoch $EPOCHS train.steps_per_dispatch 8 \
   save_ep $EPOCHS save_latest_ep 8 eval_ep 4 test_view "0,12" \
-  test.frame_sampler_interval 8
+  test.frame_sampler_interval 8 $EXTRA_TRAIN
 echo "=== final evals (best.flax preferred) ==="
 for V in 0 12; do
   python run.py --type evaluate --cfg_file configs/synthetic.yaml \
